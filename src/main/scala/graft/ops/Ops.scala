@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators (SURVEY.md §2.2–2.7), each a pure
+  * `DataFrame => DataFrame` generic over column names so the same operator
+  * instantiates on BLS-shaped data (golden tests) and the TPC-H-ish
+  * testdata (oracle checks).
+  *
+  * Scale stance: everything here is declarative Catalyst territory —
+  * filters/projections push into the scan, grouped aggregates get
+  * map-side partial aggregation, and the only shuffles are the ones the
+  * semantics require (hash by group keys / window partition keys).
+  */
+object Ops {
+
+  /** P1: ordered column projection. */
+  def project(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*)
+
+  /** P4: null-drop on a subset of columns (`na.drop(subset)`). */
+  def dropNulls(df: DataFrame, subset: Seq[String]): DataFrame =
+    df.na.drop(subset)
+
+  /** A1: grouped sum — yearly totals per series in the reference
+    * (`report_processor.py:161`). Partial aggregation (map-side combine)
+    * happens automatically; the shuffle is keyed by the group columns.
+    */
+  def groupedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+                 alias: String = "value"): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(sum(col(valueCol)).as(alias))
+
+  /** A2: deterministic arg-max per group — for each `partitionCol` group,
+    * the row maximizing `valueCol`; ties resolve to the SMALLEST
+    * `tieBreakCol` (pandas `idxmax` takes the first max over data sorted
+    * by series,year — reference `report_processor.py:164-166`).
+    *
+    * `max_by` is non-deterministic on ties, so this must be the window
+    * form for oracle parity. One shuffle on `partitionCol`; with a prior
+    * groupBy on (partitionCol, tieBreakCol) the group count is small, so
+    * the window sort is cheap. At 100 TB the same plan holds: the window
+    * input is post-aggregation (|series| × |years| rows, not raw facts).
+    */
+  def argMax(df: DataFrame, partitionCol: String, valueCol: String,
+             tieBreakCol: String): DataFrame = {
+    val w = Window.partitionBy(col(partitionCol))
+      .orderBy(col(valueCol).desc, col(tieBreakCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** A3/A4/A5: global statistics over one column — mean, sample stddev
+    * (ddof=1, matching pandas `.std()`), count, min, max. Single-row
+    * result; partial aggregation means one tiny final reduce.
+    */
+  def globalStats(df: DataFrame, valueCol: String): DataFrame =
+    df.agg(
+      avg(col(valueCol)).as("mean"),
+      stddev_samp(col(valueCol)).as("stddev"),
+      count(col(valueCol)).as("n"),
+      min(col(valueCol)).as("min"),
+      max(col(valueCol)).as("max"))
+
+  /** J1/J2: left equi-join enrichment with key normalization — both sides
+    * cast the key to int before joining (reference
+    * `report_processor.py:235-236`). The dimension side is broadcast when
+    * small; at scale AQE demotes to sort-merge automatically.
+    */
+  def enrichLeft(fact: DataFrame, dim: DataFrame, key: String,
+                 broadcastDim: Boolean = true): DataFrame = {
+    val f = fact.withColumn(key, col(key).cast("int"))
+    val d = dim.withColumn(key, col(key).cast("int"))
+    f.join(if (broadcastDim) broadcast(d) else d, Seq(key), "left")
+  }
+
+  /** O2: top-k by ordering columns (TakeOrderedAndProject — no full sort,
+    * per-partition heaps then a k-way driver merge).
+    */
+  def topK(df: DataFrame, k: Int, ordering: Column*): DataFrame =
+    df.orderBy(ordering: _*).limit(k)
+
+  /** §2.7: set ops are built-ins; exposed for surface completeness. */
+  def setMinus(left: DataFrame, right: DataFrame): DataFrame = left.except(right)
+  def setIntersect(left: DataFrame, right: DataFrame): DataFrame = left.intersect(right)
+  def setUnionDistinct(left: DataFrame, right: DataFrame): DataFrame =
+    left.union(right).distinct()
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.Ops
+
+/** Core relational query inventory (SURVEY.md §2.2–2.7) instantiated on
+  * the driver testdata, each paired with an ANSI-SQL oracle in
+  * [[graft.SparkEntry.oracleSql]].
+  *
+  * Determinism contract (SURVEY.md §5): every query ends in a TOTAL order
+  * (unique key in the ORDER BY) and every floating aggregate whose value
+  * depends on accumulation order is `round`ed identically on both sides;
+  * integer-valued doubles (l_quantity) sum exactly and stay unrounded.
+  */
+object CoreQueries {
+
+  /** A1 grouped sum: pricing-summary style aggregate over lineitem.
+    * Map-side partial agg → shuffle on (returnflag, linestatus) → final.
+    */
+  def aggSum(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A2 deterministic arg-max: per supplier, the ship-year with the
+    * highest total quantity; ties → smallest year (window row_number,
+    * reference `report_processor.py:164-166` semantics).
+    */
+  def argMaxBestYear(s: SparkSession, d: String): DataFrame = {
+    val yearly = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(sum("l_quantity").as("total_qty"))
+    Ops.argMax(yearly, "l_suppkey", "total_qty", "ship_year")
+      .select("l_suppkey", "ship_year", "total_qty")
+      .orderBy("l_suppkey")
+  }
+
+  /** A3/A4/A5 global stats: mean / sample-stddev / count / min / max over
+    * order totals in a date range (reference population-stats shape,
+    * `report_processor.py:100-132`). Single-row reduce; stddev is
+    * ddof=1 (pandas default) = stddev_samp.
+    */
+  def globalStats(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate").between("1996-01-01", "1997-12-31"))
+      .agg(
+        round(avg("o_totalprice"), 4).as("mean_price"),
+        round(stddev_samp(col("o_totalprice")), 4).as("stddev_price"),
+        count(col("o_totalprice")).as("n"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+
+  /** P1/P2/F1 projection + trimmed equality filter (reference filters with
+    * `.str.strip()` inside the predicate, `report_processor.py:204-207`).
+    */
+  def projFilter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(trim(col("l_returnflag")) === "R" &&
+        trim(col("l_linestatus")) === "F")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P3 closed-interval range filter (`Year >= lo AND Year <= hi`,
+    * reference `report_processor.py:100-103`).
+    */
+  def rangeFilter(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(year(col("o_orderdate")).between(1996, 1998))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  /** J1/J2 left equi-join enrichment: every customer enriched with its
+    * order aggregate; unmatched customers keep NULLs (reference left-merge
+    * null-fill, `report_processor.py:239-243`). The aggregated dim side is
+    * small → broadcast.
+    */
+  def leftJoinEnrich(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_spent"))
+    Tables.customer(s, d)
+      .join(broadcast(perCust), Seq("c_custkey"), "left")
+      .select("c_custkey", "c_name", "n_orders", "total_spent")
+      .orderBy("c_custkey")
+  }
+
+  /** J3/J4 left-anti join (set-minus over keys): customers with no orders
+    * in a given year (the sync engine's delete/new-file detection shape,
+    * `Task_1_sync_bls_files.py:150-151,189`).
+    */
+  def antiJoin(s: SparkSession, d: String): DataFrame = {
+    val o95 = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1995)
+    Tables.customer(s, d)
+      .join(o95, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** A6 distinct values of a column pair. */
+  def distinctVals(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** O1/O2 top-k: highest-value orders, deterministic tie-break on key.
+    * Physical plan is TakeOrderedAndProject (per-partition heap + k-way
+    * merge), NOT a total sort — the shape that survives 100 TB.
+    */
+  def topK(s: SparkSession, d: String): DataFrame =
+    Ops.topK(Tables.orders(s, d), 10,
+      col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** §2.7 EXCEPT DISTINCT: customers whose first order arrived in or
+    * after 1999 (late adopters) — set-minus over row data.
+    */
+  def setExcept(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.filter(year(col("o_orderdate")) >= 1999)
+      .select(col("o_custkey").as("custkey"))
+      .except(o.filter(year(col("o_orderdate")) < 1999)
+        .select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  /** §2.5 window functions: ranking + lag + running frame sum within a
+    * customer's order history. One shuffle on o_custkey serves all three
+    * window functions (same partition spec).
+    */
+  def windowFuncs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("order_rank", row_number().over(w).cast("long"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("running_spend",
+        round(sum("o_totalprice").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .select("o_custkey", "o_orderkey", "order_rank", "prev_price",
+        "running_spend")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** A-gap rollup (grouping sets family): sums at (flag,status), (flag),
+    * and grand-total levels. NULL group cells mark the rolled-up levels in
+    * both engines.
+    */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Multi-way join: region → nation → customer → orders rollup, the
+    * star-schema path. nation/region are tiny → broadcast both; the only
+    * shuffle is the final per-nation aggregate.
+    */
+  def starJoin(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("r_name", "n_name")
+}
