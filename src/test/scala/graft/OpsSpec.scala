@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Ops
+
+/** Unit + property-style tests (seeded random cases) for the generic
+  * operators (SURVEY.md §5).
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("argMax picks row with max value; tie -> smallest tiebreak") {
+    val df = Seq(
+      ("a", 1, 10.0), ("a", 2, 10.0), ("a", 3, 5.0),
+      ("b", 7, 1.0), ("b", 5, 2.0)
+    ).toDF("k", "year", "v")
+    val got = Ops.argMax(df, "k", "v", "year").collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(got === Map("a" -> ((1, 10.0)), "b" -> ((5, 2.0))))
+  }
+
+  test("argMax ties always resolve to min tiebreak (seeded property)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val n = 1 + rnd.nextInt(30)
+      val rows = (0 until n).map(i => ("k", i, rnd.nextInt(5).toDouble))
+      val got = Ops.argMax(rows.toDF("k", "t", "v"), "k", "v", "t").collect()
+      assert(got.length === 1)
+      val maxV = rows.map(_._3).max
+      val wantT = rows.filter(_._3 == maxV).map(_._2).min
+      assert(got(0).getInt(1) === wantT)
+      assert(got(0).getDouble(2) === maxV)
+    }
+  }
+
+  test("groupedSum is permutation-invariant (integer-valued doubles)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map(_ =>
+      (if (rnd.nextBoolean()) "x" else "y", rnd.nextInt(1000).toDouble))
+    val a = Ops.groupedSum(rows.toDF("k", "v"), Seq("k"), "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = Ops.groupedSum(rows.reverse.toDF("k", "v"), Seq("k"), "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a === b)
+  }
+
+  test("enrichLeft keeps unmatched rows with nulls and casts keys to int") {
+    val fact = Seq((1995L, "a"), (2021L, "b")).toDF("year", "tag")
+    val dim = Seq((2021, 99.0)).toDF("year", "population")
+    val got = Ops.enrichLeft(fact, dim, "year")
+      .orderBy("year").collect()
+    assert(got(0).isNullAt(2))
+    assert(got(1).getDouble(2) === 99.0)
+  }
+
+  test("topK matches full-sort head") {
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+    val viaTopK = Ops.topK(df, 5, col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    val viaSort = df.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey").collect().take(5).map(_.getLong(0)).toSeq
+    assert(viaTopK === viaSort)
+  }
+
+  test("set ops: except/intersect/union-distinct") {
+    val a = Seq(1, 2, 3, 3).toDF("k")
+    val b = Seq(3, 4).toDF("k")
+    assert(Ops.setMinus(a, b).collect().map(_.getInt(0)).toSet === Set(1, 2))
+    assert(Ops.setIntersect(a, b).collect().map(_.getInt(0)).toSet === Set(3))
+    assert(Ops.setUnionDistinct(a, b).collect().map(_.getInt(0)).toSet === Set(1, 2, 3, 4))
+  }
+}
