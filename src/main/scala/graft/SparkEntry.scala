@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, FuncQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,7 +33,32 @@ object SparkEntry {
     "q_set_except"   -> (CoreQueries.setExcept _),
     "q_window"       -> (CoreQueries.windowFuncs _),
     "q_rollup"       -> (CoreQueries.rollupAgg _),
-    "q_star_join"    -> (CoreQueries.starJoin _)
+    "q_star_join"    -> (CoreQueries.starJoin _),
+    // scalar functions / semi-structured / events (SURVEY §2.8–2.9)
+    "q_string_funcs"   -> (FuncQueries.stringFuncs _),
+    "q_date_funcs"     -> (FuncQueries.dateFuncs _),
+    "q_coerce"         -> (FuncQueries.coerce _),
+    "q_md5"            -> (FuncQueries.md5Hash _),
+    "q_json_extract"   -> (FuncQueries.jsonExtract _),
+    "q_events_hourly"  -> (FuncQueries.eventsHourly _),
+    "q_sessionize"     -> (FuncQueries.sessionize _),
+    "q_case_union"     -> (FuncQueries.caseUnion _),
+    "q_semi_join"      -> (FuncQueries.semiJoin _),
+    "q_cube"           -> (FuncQueries.cubeAgg _),
+    "q_count_distinct" -> (FuncQueries.countDistinctAgg _),
+    "q_approx_distinct" -> (FuncQueries.approxDistinct _),
+    "q_latest_key"     -> (FuncQueries.latestKey _),
+    // training-data pipeline surface (north star)
+    "q_dedup_exact"    -> (TrainingQueries.dedupExact _),
+    "q_dedup_ngram"    -> (TrainingQueries.dedupNgramJaccard _),
+    "q_dedup_minhash"  -> (TrainingQueries.dedupMinhash _),
+    "q_dedup_simhash"  -> (TrainingQueries.dedupSimhash _),
+    "q_knn_brute"      -> (TrainingQueries.knnBruteForce _),
+    "q_knn_ivf"        -> (TrainingQueries.knnIvf _),
+    "q_token_counts"   -> (TrainingQueries.tokenCounts _),
+    "q_text_quality"   -> (TrainingQueries.textQuality _),
+    "q_fingerprint"    -> (TrainingQueries.fingerprints _),
+    "q_lang_id"        -> (TrainingQueries.langId _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -122,6 +147,160 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper,
+        | lower(p_brand) AS brand_lower,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | substr(p_name, 1, 5) AS name_pfx,
+        | contains(p_type, 'BRASS') AS is_brass,
+        | starts_with(p_name, 'a') AS starts_a,
+        | ends_with(p_name, 'e') AS ends_e,
+        | concat_ws('|', p_brand, p_type) AS brand_type,
+        | regexp_replace(p_name, '\s+', '_', 'g') AS name_snake
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate) AS o_year,
+        | month(o_orderdate) AS o_month, day(o_orderdate) AS o_day,
+        | strftime(o_orderdate, '%Y-%m') AS o_ym,
+        | CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+        | quarter(o_orderdate) AS o_quarter
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_coerce" ->
+      """SELECT o_orderkey,
+        | TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS priority_num,
+        | TRY_CAST(o_orderstatus AS BIGINT) AS status_num,
+        | CAST(floor(o_totalprice) AS BIGINT) AS price_int
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_md5" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        | substr(md5(lower(text)), 1, 8) AS md5_pfx
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, count(k) AS n,
+        | CAST(sum(k) AS BIGINT) AS sum_k,
+        | CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, value, ts,
+        |    lag(ts) OVER w AS prev_ts
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |b AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END
+        |      AS is_break
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(sum(is_break) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | round(sum(value), 2) AS session_value
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_case_union" ->
+      """SELECT event_type, tier, count(*) AS n FROM (
+        |  SELECT event_type, 'high' AS tier FROM events WHERE value >= 100
+        |  UNION ALL
+        |  SELECT event_type, 'low' AS tier FROM events WHERE value < 100)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  AND year(o.o_orderdate) = 1995)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_latest_key" ->
+      """SELECT lang, max(source) AS latest_source,
+        | min(source) AS first_source, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT doc_id, fp FROM (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents)
+        |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |     for i in range(1, len(w) - 1)])) AS shingle
+        |  FROM tok),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_both
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | round(n_both / (ca.n + cb.n - n_both), 6) AS jaccard
+        |FROM inter
+        |JOIN cnt ca ON ca.doc_id = doc_a
+        |JOIN cnt cb ON cb.doc_id = doc_b
+        |WHERE round(n_both / (ca.n + cb.n - n_both), 6) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_knn_brute" ->
+      """SELECT query_id, neighbor_id, rank, cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(
+        |        CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])) DESC,
+        |      c.vec_id ASC) AS BIGINT) AS rank,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM embeddings q
+        |  JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_token_counts" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |   AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[\w]+|[^\w\s]')) AS BIGINT)
+        |   AS n_re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars_q,
+        | CAST(len(toks) AS BIGINT) AS n_tokens,
+        | round(length(regexp_replace(trim(text), '\s+', '', 'g')) /
+        |   nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS mean_token_len,
+        | round(len(regexp_extract_all(text, '[^\w\s]')) /
+        |   nullif(CAST(length(text) AS DOUBLE), 0.0), 6) AS punct_ratio,
+        | round(len(list_filter(toks, x -> x IN
+        |   ('the','a','an','and','or','of','to','in','is','it'))) /
+        |   nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS stopword_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,206 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Deduplication operators for the training-data surface: exact,
+  * n-gram-Jaccard (inverted-index join), MinHash+LSH, and SimHash.
+  *
+  * Scale design (the 100 TB stance):
+  *  - NOTHING here is O(n²) over the corpus. Near-dup candidate
+  *    generation always goes through a key-partitioned self-join on a
+  *    compact key (shingle, LSH band bucket, simhash block), so the
+  *    shuffle is keyed and skew-bounded.
+  *  - Exact dedup is one hash-aggregate on the fingerprint.
+  *  - MinHash signatures are built with `xxhash64(shingle, seed)` — a
+  *    codegen'd Catalyst built-in — per the standard
+  *    min-over-permutations construction.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest `idCol` per content fingerprint
+    * (md5 of normalized text). One shuffle on the fingerprint.
+    */
+  def exact(df: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol).asc)
+    df.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Word k-shingles (k consecutive tokens joined by one space),
+    * distinct per document. Exploded representation: `(id, shingle)`.
+    */
+  def shingles(df: DataFrame, k: Int = 3, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // sliding window over the token array, expression-only (no UDF):
+    // shingle i = tokens[i..i+k-1] joined by ' '. Guard: sequence(0,-1)
+    // DESCENDS in Spark, so short docs need the explicit empty branch.
+    val shingleArr = expr(
+      s"""CASE WHEN size(__toks) >= $k THEN
+         |  transform(
+         |    sequence(0, size(__toks) - $k),
+         |    i -> array_join(slice(__toks, i + 1, $k), ' '))
+         |ELSE array() END""".stripMargin)
+    df.select(col(idCol), toks.as("__toks"))
+      .withColumn("shingle", explode(array_distinct(shingleArr)))
+      .select(col(idCol), col("shingle"))
+  }
+
+  /** n-gram Jaccard near-dup pairs via the inverted-index join: explode
+    * distinct shingles, self-join on shingle (the ONLY join key — never
+    * doc×doc), count intersections, divide by union size. Returns
+    * `(doc_a, doc_b, jaccard)` for pairs ≥ threshold.
+    *
+    * At 100 TB: the join is shuffle-partitioned by shingle; hot shingles
+    * (stopword runs) are the skew risk — mitigated upstream by
+    * `array_distinct` and optionally dropping shingles with document
+    * frequency above a cap (`maxDf`), the standard trick that also
+    * removes boilerplate.
+    */
+  def ngramJaccard(df: DataFrame, threshold: Double = 0.8, k: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   maxDf: Option[Int] = None): DataFrame = {
+    val sh = shingles(df, k, textCol, idCol)
+    val filtered = maxDf match {
+      case Some(cap) =>
+        val dfreq = sh.groupBy("shingle")
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap)
+        sh.join(dfreq.select("shingle"), Seq("shingle"))
+      case None => sh
+    }
+    val counts = filtered.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    val a = filtered.select(col(idCol).as("doc_a"), col("shingle"))
+    val b = filtered.select(col(idCol).as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(counts.select(col(idCol).as("doc_a"), col("n_shingles").as("n_a")), Seq("doc_a"))
+      .join(counts.select(col(idCol).as("doc_b"), col("n_shingles").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("n_both") / (col("n_a") + col("n_b") - col("n_both")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded permutations,
+    * min over the document's shingles of `xxhash64(shingle, seed)`.
+    * Output: `(id, sig array<long>)`. One aggregate per document.
+    */
+  def minhashSignatures(df: DataFrame, numHashes: Int = 64, k: Int = 3,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val sh = shingles(df, k, textCol, idCol)
+    val mins = (0 until numHashes).map { i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i")
+    }
+    sh.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash+LSH candidate pairs: split the signature into `bands`
+    * bands of `numHashes/bands` rows, hash each band, self-join on
+    * `(band_index, band_hash)` buckets. Returns distinct candidate
+    * pairs `(doc_a, doc_b)` — verify with [[ngramJaccard]] or estimate
+    * similarity as matching-signature fraction.
+    *
+    * The band join is the scale path: at 100 TB the shuffle key is the
+    * band bucket; bucket sizes are bounded because only near-identical
+    * documents collide in a band of 8+ hashes.
+    */
+  def minhashLshCandidates(df: DataFrame, numHashes: Int = 64,
+                           bands: Int = 16, k: Int = 3,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(df, numHashes, k, textCol, idCol)
+    val banded = sig.select(
+      col(idCol),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows)))"))
+        .as(Seq("band", "band_hash")))
+    val l = banded.select(col(idCol).as("doc_a"), col("band"), col("band_hash"))
+    val r = banded.select(col(idCol).as("doc_b"), col("band"), col("band_hash"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** MinHash similarity estimate for candidate pairs: fraction of
+    * matching signature positions (unbiased Jaccard estimator).
+    */
+  def minhashSimilarity(candidates: DataFrame, signatures: DataFrame,
+                        idCol: String = "doc_id"): DataFrame =
+    candidates
+      .join(signatures.select(col(idCol).as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(signatures.select(col(idCol).as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("est_jaccard", round(
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))") /
+          expr("cast(size(sig_a) AS DOUBLE)"), 6))
+      .select("doc_a", "doc_b", "est_jaccard")
+
+  /** SimHash: 64-bit signature where bit j = sign of the sum over
+    * tokens of (bit j of xxhash64(token) ? +1 : -1). Near-dups have
+    * small Hamming distance. Expression-only construction.
+    */
+  def simhash(df: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // per-token hash, then per-bit vote; bit j of the final signature is
+    // 1 iff sum over tokens of (2*bit_j - 1) > 0
+    val votes = expr(
+      """transform(sequence(0, 63), j ->
+        |  aggregate(__th, 0L, (acc, h) ->
+        |    acc + CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END))""".stripMargin)
+    val sig = expr(
+      """aggregate(sequence(0, 63), 0L, (acc, j) ->
+        |  acc | (CASE WHEN __votes[j] > 0 THEN 1L ELSE 0L END << j))""".stripMargin)
+    df.withColumn("__toks", toks)
+      .withColumn("__th", expr("transform(__toks, t -> xxhash64(t))"))
+      .withColumn("__votes", votes)
+      .withColumn("simhash", sig)
+      .drop("__toks", "__th", "__votes")
+  }
+
+  /** SimHash near-dup candidate pairs: block on 4 × 16-bit sub-keys
+    * (any pair within Hamming distance ≤ 3 of a 64-bit key shares at
+    * least one exact 16-bit block — pigeonhole), then verify the true
+    * Hamming distance via bit_count(xor).
+    */
+  def simhashPairs(df: DataFrame, maxHamming: Int = 3,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val sigs = simhash(df, textCol, idCol).select(col(idCol), col("simhash"))
+    val blocked = sigs.select(
+      col(idCol),
+      col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)"))
+        .as(Seq("block", "block_key")))
+    val l = blocked.select(col(idCol).as("doc_a"), col("simhash").as("sig_a"),
+      col("block"), col("block_key"))
+    val r = blocked.select(col(idCol).as("doc_b"), col("simhash").as("sig_b"),
+      col("block"), col("block_key"))
+    l.join(r, Seq("block", "block_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Scalar-function, semi-structured, and event-stream (batch-form)
+  * queries — SURVEY.md §2.8/§2.9 surface on the testdata.
+  */
+object FuncQueries {
+
+  /** F1/F2/F3 string functions over part. */
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_upper"),
+      lower(col("p_brand")).as("brand_lower"),
+      length(col("p_name")).cast("long").as("name_len"),
+      substring(col("p_name"), 1, 5).as("name_pfx"),
+      col("p_type").contains("BRASS").as("is_brass"),
+      col("p_name").startsWith("a").as("starts_a"),
+      col("p_name").endsWith("e").as("ends_e"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      regexp_replace(col("p_name"), "\\s+", "_").as("name_snake"))
+      .orderBy("p_partkey")
+
+  /** F6 date functions over orders. */
+  def dateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("o_year"),
+      month(col("o_orderdate")).cast("long").as("o_month"),
+      dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"),
+      date_add(col("o_orderdate"), 30).as("due_date"),
+      quarter(col("o_orderdate")).cast("long").as("o_quarter"))
+      .orderBy("o_orderkey")
+
+  /** F4/F5 null-on-error coercion: priority digit parses, status char
+    * does not (→ NULL, never error — the reference's errors='coerce').
+    */
+  def coerce(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)")
+        .as("priority_num"),
+      expr("try_cast(o_orderstatus AS BIGINT)").as("status_num"),
+      // floor, not cast: double→int cast truncates in Spark but rounds
+      // in DuckDB — floor is the portable spelling
+      floor(col("o_totalprice")).cast("long").as("price_int"))
+      .orderBy("o_orderkey")
+
+  /** F9 content hashing (the sync engine's MD5 CDC) + F2 lower. */
+  def md5Hash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(col("text")).as("text_md5"),
+      substring(md5(lower(col("text"))), 1, 8).as("md5_pfx"))
+      .orderBy("doc_id")
+
+  /** F8 semi-structured JSON: extract props.k per event, aggregate per
+    * type. `get_json_object` is the engine's `json_extract`.
+    */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** ST (batch form): tumbling 1-hour event-time windows per type —
+    * the Structured Streaming aggregation shape computed over the same
+    * data at rest (the streaming form is in graft.stream, tested with
+    * Trigger.AvailableNow).
+    */
+  def eventsHourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** Sessionization in batch: a session breaks after a 30-minute gap;
+    * session id = running count of breaks per user (lag + windowed
+    * cumulative sum — SURVEY §2.5 generalization).
+    */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum("is_break").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** CASE-WHEN classification (the reference's file-classifier shape,
+    * `report_processor.py:59-67`) + UNION ALL of two tagged slices.
+    */
+  def caseUnion(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val hi = ev.filter(col("value") >= 100)
+      .select(col("event_type"), lit("high").as("tier"))
+    val lo = ev.filter(col("value") < 100)
+      .select(col("event_type"), lit("low").as("tier"))
+    hi.unionAll(lo)
+      .groupBy("event_type", "tier")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "tier")
+  }
+
+  /** Left-semi join (EXISTS): customers having ≥1 order in 1995. */
+  def semiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(year(col("o_orderdate")) === 1995),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** CUBE over two grouping dimensions. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Exact distinct-count aggregate per group (expands to two-phase
+    * aggregation; the approximate path is approxDistinct below).
+    */
+  def countDistinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy("l_returnflag")
+
+  /** HLL approximate distinct (no SQL oracle — sketch implementations
+    * differ; accuracy vs exact is asserted in FuncSpec).
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  /** S6/O3 latest-key selection: lexicographic max per group (the
+    * reference's `sorted(files)[-1]` latest-partition pick).
+    */
+  def latestKey(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(max("source").as("latest_source"),
+        min("source").as("first_source"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.io.Tables
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+/** Training-data pipeline queries (BASELINE.json north star) over the
+  * documents/embeddings testdata: dedup, similarity search, text
+  * analysis. Deterministic ordering + rounding per the oracle contract.
+  */
+object TrainingQueries {
+
+  /** Exact dedup survivors: smallest doc_id per content fingerprint. */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+
+  /** n-gram Jaccard near-dup pairs (inverted shingle-index join). */
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(s, d), threshold = 0.8)
+      .orderBy("doc_a", "doc_b")
+
+  /** MinHash-LSH candidate pairs, similarity-estimated. Hash functions
+    * are engine-specific (xxhash64) → no SQL oracle; correctness is
+    * recall-tested against brute-force Jaccard in DedupSpec.
+    */
+  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sigs = Dedup.minhashSignatures(docs)
+    Dedup.minhashSimilarity(Dedup.minhashLshCandidates(docs), sigs)
+      .filter(col("est_jaccard") >= 0.7)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup pairs (Hamming ≤ 3 over 64-bit signatures). */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d))
+      .orderBy("doc_a", "doc_b")
+
+  /** Brute-force cosine top-5 for the first 10 vectors as queries.
+    * Emits ids + rank + rounded cosine (ranking is the oracle-stable
+    * part; the cosine itself is rounded to 6dp on both sides).
+    */
+  def knnBruteForce(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-probed approximate top-5 (centroids = vec_id 0..19, probe 3).
+    * Approximate → no SQL oracle; recall vs brute force is tested in
+    * SimilaritySpec.
+    */
+  def knnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id").between(10, 19)),
+      centroidIds = (0L until 20L), k = 5, nProbe = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish regex pieces. */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).cast("long").as("n_re_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality metrics per document. */
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityMetrics(Tables.documents(s, d))
+      .select("doc_id", "n_chars_q", "n_tokens", "mean_token_len",
+        "punct_ratio", "stopword_ratio")
+      .orderBy("doc_id")
+
+  /** Document fingerprints (rolling-hash stand-in: md5 of normalized
+    * text — same normalization on both engines).
+    */
+  def fingerprints(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic (stopword-profile argmax). Heuristic scoring
+    * → tested in TextSpec, aggregate shape here: predicted language
+    * distribution.
+    */
+  def langId(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.languageId(Tables.documents(s, d))
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang_pred")
+}

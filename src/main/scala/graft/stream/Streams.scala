@@ -1,0 +1,101 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Structured Streaming surface (SURVEY.md §2.9): the Spark-native
+  * replacement for the reference's S3→SQS→Lambda event path.
+  *
+  *  - File source with glob filter = the S3 OBJECT_CREATED(*.json)
+  *    notification (`data_pipeline_stack.py:119-125`); the source's
+  *    seen-files log plays the SQS role.
+  *  - `maxFilesPerTrigger=1` mirrors SQS `batch_size=1`
+  *    (`data_pipeline_stack.py:103`).
+  *  - `foreachBatch` re-running the full report mirrors the reference's
+  *    recompute-per-event semantics (`report_processor.py:294-353`).
+  *  - Watermark + event-time windows are the generalization the
+  *    reference lacks (its late-data story is full recompute).
+  *  - `Trigger.AvailableNow` is the scheduled-cron path (ST1): drain
+  *    everything pending, then stop — exactly-once via checkpoint.
+  */
+object Streams {
+
+  /** File-source stream over a landing directory (the reference's S3
+    * prefix), schema-first (streaming sources require explicit schema).
+    */
+  def fileSource(spark: SparkSession, dir: String, schema: StructType,
+                 format: String = "parquet",
+                 pathGlobFilter: Option[String] = None,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    var r = spark.readStream.format(format).schema(schema)
+    pathGlobFilter.foreach(g => r = r.option("pathGlobFilter", g))
+    maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n))
+    r.load(dir)
+  }
+
+  /** Watermarked tumbling event-time aggregation: events per
+    * (1h window, type). State is bounded by the watermark — at 100 TB/d
+    * the state store holds only open windows per key, not history.
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "10 minutes")
+  : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding-window variant (1h window every 15m). */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes")
+  : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n_events"))
+
+  /** Session windows (30-minute gap) per user — the stateful operator
+    * the batch `FuncQueries.sessionize` mirrors declaratively.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("session_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** The reference's recompute-per-file semantics: every micro-batch
+    * triggers a full re-run of `recompute` over the batch (stream side)
+    * and whatever static state the report joins against.
+    */
+  def foreachBatchRecompute(stream: DataFrame,
+                            recompute: (DataFrame, Long) => Unit)
+  : DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, id: Long) => recompute(batch, id) }
+
+  /** Drain-everything-then-stop runner (ST1 cron path): AvailableNow +
+    * processAllAvailable, memory sink for inspection.
+    */
+  def runAvailableNow(df: DataFrame, queryName: String,
+                      outputMode: String = "append"): Unit = {
+    val q = df.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Dedup operator semantics on small fixtures + recall against
+  * brute-force Jaccard on the sf0.001 documents.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "THE  QUICK   brown fox jumps over the lazy dog"), // exact after norm
+    (3L, "completely different text with no overlap at all here"),
+    (4L, "tiny")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: normalization collapses case/whitespace; keeps min id") {
+    val kept = Dedup.exact(docs).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 1L, 3L, 4L)) // 2 deduped into 0
+  }
+
+  test("shingles: sliding trigrams, distinct, short docs yield none") {
+    val sh = Dedup.shingles(docs, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(!sh.map(_._1).contains(4L)) // "tiny" has <3 tokens
+    val doc0 = sh.filter(_._1 == 0L).map(_._2)
+    assert(doc0.contains("the quick brown"))
+    assert(doc0.contains("the lazy dog"))
+    assert(doc0.length === 7) // 9 tokens -> 7 trigrams, all distinct
+  }
+
+  test("ngramJaccard finds the near-dup pair and not the unrelated doc") {
+    val pairs = Dedup.ngramJaccard(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH recall: finds >=80% of true near-dup pairs at sf0.001") {
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+    val truth = Dedup.ngramJaccard(real, threshold = 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.minhashLshCandidates(real)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain near-dups")
+    val recall = truth.count(cands.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"LSH recall $recall over ${truth.size} pairs")
+  }
+
+  test("minhash similarity estimates true jaccard within 0.25") {
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sigs = Dedup.minhashSignatures(real)
+    val est = Dedup.minhashSimilarity(
+      Dedup.minhashLshCandidates(real), sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val truth = Dedup.ngramJaccard(real, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val common = truth.keySet.intersect(est.keySet)
+    assert(common.nonEmpty)
+    common.foreach { k =>
+      assert(math.abs(truth(k) - est(k)) < 0.25,
+        s"pair $k: true=${truth(k)} est=${est(k)}")
+    }
+  }
+
+  test("simhash: identical docs collide, near-dups within small hamming") {
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = Dedup.simhashPairs(real, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Dedup.ngramJaccard(real, threshold = 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    // simhash with hamming<=3 should recover most >=0.9-jaccard pairs
+    val recall = truth.count(pairs.contains).toDouble / truth.size
+    assert(recall >= 0.5, s"simhash recall $recall over ${truth.size}")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.stream.Streams
+
+/** Streaming semantics driven synchronously: land the events testdata
+  * in a temp dir (µs timestamps), stream it with AvailableNow, compare
+  * against the batch answers.
+  */
+class StreamsSpec extends SparkSpec {
+
+  private lazy val landingDir: String = {
+    val dir = Files.createTempDirectory("events_landing").toString
+    // rewrite ns-timestamp testdata as µs parquet (what a landing zone
+    // written by this engine would contain)
+    Tables.events(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed agg over file source matches batch aggregation") {
+    val schema = Tables.events(spark, sfDir).schema
+    val stream = Streams.fileSource(spark, landingDir, schema)
+    // complete mode: append would withhold windows newer than the final
+    // watermark (they only emit once a later event advances it)
+    Streams.runAvailableNow(Streams.hourlyCounts(stream), "hourly_test",
+      outputMode = "complete")
+    val streamed = spark.table("hourly_test")
+      .select("hour", "event_type", "n_events", "sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(streamed === batch)
+  }
+
+  test("session windows produce bounded sessions per user") {
+    val schema = Tables.events(spark, sfDir).schema
+    val stream = Streams.fileSource(spark, landingDir, schema)
+    Streams.runAvailableNow(Streams.sessionCounts(stream), "sessions_test",
+      outputMode = "complete")
+    val sessions = spark.table("sessions_test").collect()
+    assert(sessions.nonEmpty)
+    // session bounds are ordered and non-overlapping per user
+    sessions.groupBy(_.getLong(2)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getTimestamp(0).getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(1).getTime <= b.getTimestamp(0).getTime)
+        case _ =>
+      }
+    }
+  }
+
+  test("foreachBatch recompute sees every micro-batch (reference ST3)") {
+    val schema = Tables.events(spark, sfDir).schema
+    val stream = Streams.fileSource(spark, landingDir, schema,
+      maxFilesPerTrigger = Some(1))
+    val counts = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = Streams.foreachBatchRecompute(stream, (batch, _) => {
+      counts += batch.count()
+    }).trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(counts.sum === Tables.events(spark, sfDir).count())
+  }
+}
