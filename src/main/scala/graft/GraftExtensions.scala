@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.functions.{ArrayCosine, ArrayDot}
+
+/** `SparkSessionExtensions` hook: registers the graft native functions
+  * so SQL users get `array_dot`/`array_cosine` without touching the
+  * Scala API. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("array_dot"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[ArrayDot].getName, "array_dot"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          ArrayDot(exprs(0), exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("array_cosine"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[ArrayCosine].getName, "array_cosine"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          ArrayCosine(exprs(0), exprs(1))))
+  }
+}

@@ -55,6 +55,8 @@ object SparkEntry {
     "q_dedup_simhash"  -> (TrainingQueries.dedupSimhash _),
     "q_knn_brute"      -> (TrainingQueries.knnBruteForce _),
     "q_knn_ivf"        -> (TrainingQueries.knnIvf _),
+    "q_emb_neardup"    -> (TrainingQueries.embNearDup _),
+    "q_centroid"       -> (TrainingQueries.centroids _),
     "q_token_counts"   -> (TrainingQueries.tokenCounts _),
     "q_text_quality"   -> (TrainingQueries.textQuality _),
     "q_fingerprint"    -> (TrainingQueries.fingerprints _),
@@ -275,6 +277,19 @@ object SparkEntry {
         |  FROM embeddings q
         |  JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_emb_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |  CAST(b.embedding AS DOUBLE[])) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_centroid" ->
+      """WITH pos AS (SELECT unnest(range(1, 65)) AS pos)
+        |SELECT label, CAST(pos AS BIGINT) AS pos,
+        | round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS mean_v
+        |FROM embeddings, pos GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_token_counts" ->
       """SELECT doc_id,
         | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)

@@ -154,36 +154,55 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
 
   /** SimHash: 64-bit signature where bit j = sign of the sum over
-    * tokens of (bit j of xxhash64(token) ? +1 : -1). Near-dups have
-    * small Hamming distance. Expression-only construction.
+    * tokens of (bit j of xxhash64(token) ? +1 : -1), i.e. bit j is set
+    * iff MORE than half the token hashes have bit j set.
+    *
+    * Implementation note: the textbook nested-lambda form
+    * (`transform(0..63, j -> aggregate(hashes, ...))`) is catastrophic
+    * in Spark — higher-order functions are interpreted AND
+    * CollapseProject inlines the shared token-hash array into all 64
+    * votes, making it O(64² · tokens) per doc (observed: 20 min for 5k
+    * docs). This version explodes tokens and computes the 64 bit-counts
+    * as plain `sum((hash >> j) & 1)` aggregates — whole-stage-codegen'd
+    * map-side partial aggregation, one shuffle keyed by doc id.
     */
   def simhash(df: DataFrame, textCol: String = "text",
               idCol: String = "doc_id"): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    // per-token hash, then per-bit vote; bit j of the final signature is
-    // 1 iff sum over tokens of (2*bit_j - 1) > 0
-    val votes = expr(
-      """transform(sequence(0, 63), j ->
-        |  aggregate(__th, 0L, (acc, h) ->
-        |    acc + CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END))""".stripMargin)
-    val sig = expr(
-      """aggregate(sequence(0, 63), 0L, (acc, j) ->
-        |  acc | (CASE WHEN __votes[j] > 0 THEN 1L ELSE 0L END << j))""".stripMargin)
-    df.withColumn("__toks", toks)
-      .withColumn("__th", expr("transform(__toks, t -> xxhash64(t))"))
-      .withColumn("__votes", votes)
-      .withColumn("simhash", sig)
-      .drop("__toks", "__th", "__votes")
+    val tok = df
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val bitCounts = (0 until 64).map(j =>
+      sum(expr(s"(__h >> $j) & 1")).as(s"__b$j"))
+    val counted = tok.groupBy(col(idCol))
+      .agg(bitCounts.head, (bitCounts.tail :+ count(lit(1)).as("__n")): _*)
+    // bit j set iff 2*count_j > n  (== sign(sum ±1) > 0)
+    val sig = (0 until 64)
+      .map(j => when(lit(2) * col(s"__b$j") > col("__n"),
+        lit(1L).cast("long") * lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val sigs = counted.select(col(idCol), sig.as("simhash"))
+    df.join(sigs, Seq(idCol), "left")
+      .na.fill(0L, Seq("simhash")) // empty docs: signature 0
   }
 
   /** SimHash near-dup candidate pairs: block on 4 × 16-bit sub-keys
     * (any pair within Hamming distance ≤ 3 of a 64-bit key shares at
     * least one exact 16-bit block — pigeonhole), then verify the true
     * Hamming distance via bit_count(xor).
+    *
+    * `maxBucket` caps the per-(block, key) bucket size: a hot bucket of
+    * b docs contributes b² join rows, so without the cap a
+    * low-diversity corpus degrades to the all-pairs product (observed:
+    * 5k word-salad docs → 20 min). Capped buckets are skipped the same
+    * way `maxDf` drops boilerplate shingles — docs that common are
+    * either true mega-clusters (caught by exact dedup) or hash
+    * degeneracy, not near-dup signal. The Hamming filter runs BEFORE
+    * the pair-distinct so the shuffle carries only surviving pairs.
     */
   def simhashPairs(df: DataFrame, maxHamming: Int = 3,
                    textCol: String = "text",
-                   idCol: String = "doc_id"): DataFrame = {
+                   idCol: String = "doc_id",
+                   maxBucket: Int = 256): DataFrame = {
     val sigs = simhash(df, textCol, idCol).select(col(idCol), col("simhash"))
     val blocked = sigs.select(
       col(idCol),
@@ -191,16 +210,21 @@ object Dedup {
       posexplode(expr(
         "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)"))
         .as(Seq("block", "block_key")))
-    val l = blocked.select(col(idCol).as("doc_a"), col("simhash").as("sig_a"),
+    val small = blocked.join(
+      blocked.groupBy("block", "block_key")
+        .agg(count(lit(1)).as("__bs"))
+        .filter(col("__bs") <= maxBucket)
+        .select("block", "block_key"),
+      Seq("block", "block_key"))
+    val l = small.select(col(idCol).as("doc_a"), col("simhash").as("sig_a"),
       col("block"), col("block_key"))
-    val r = blocked.select(col(idCol).as("doc_b"), col("simhash").as("sig_b"),
+    val r = small.select(col(idCol).as("doc_b"), col("simhash").as("sig_b"),
       col("block"), col("block_key"))
     l.join(r, Seq("block", "block_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b")
-      .distinct()
+      .filter(col("doc_a") < col("doc_b") &&
+        expr("bit_count(sig_a ^ sig_b)") <= maxHamming)
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
-      .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+      .distinct()
   }
 }

@@ -1,0 +1,61 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sinks (SURVEY.md §2.1 S8–S11). Retries/atomicity are the file
+  * committer's job in Spark — the reference's hand-rolled 3×-retry
+  * upload loop (`Task_1_sync_bls_files.py:118-132`) has no analog here
+  * by design.
+  */
+object Sinks {
+
+  /** Timestamped output path, mirroring the reference's
+    * `population_data_<ts>.json` key scheme
+    * (`Task2_Fetch_api_data.py:40`). The timestamp is driver-side
+    * wall-clock formatted `yyyyMMdd_HHmmss`.
+    */
+  def timestampedPath(baseDir: String, prefix: String,
+                      suffix: String = ""): String = {
+    val ts = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd_HHmmss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    s"$baseDir/$prefix$ts$suffix"
+  }
+
+  /** S9 JSON sink. */
+  def writeJson(df: DataFrame, dir: String, overwrite: Boolean = true): Unit =
+    df.write.mode(if (overwrite) "overwrite" else "errorifexists").json(dir)
+
+  /** Parquet sink, optionally partitioned — the engine's canonical
+    * at-rest format.
+    */
+  def writeParquet(df: DataFrame, dir: String,
+                   partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(dir)
+  }
+
+  /** S11 record sink: rows as JSON strings (the reference's
+    * `to_dict('records')` log emission, `report_processor.py:186`).
+    */
+  def toJsonRecords(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("record"))
+
+  /** S10 object delete, driven by the CDC merge's delete set: removes
+    * each listed path. Action, not a plan — runs driver-side over the
+    * (small) delete list, like the reference's per-key delete loop
+    * (`Task_1_sync_bls_files.py:189-198`).
+    */
+  def deletePaths(spark: org.apache.spark.sql.SparkSession,
+                  paths: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(conf)
+      fs.delete(path, false)
+    }
+  }
+}

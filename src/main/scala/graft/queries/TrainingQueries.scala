@@ -63,6 +63,22 @@ object TrainingQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-dup pairs (exact; native ArrayCosine). */
+  def embNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(s, d), threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** Per-label centroid, element-wise (posexplode + grouped avg —
+    * map-side partial aggregation keyed by (label, pos)).
+    */
+  def centroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("mean_v"))
+      .orderBy("label", "pos")
+
   /** Token counting: whitespace tokens + BPE-ish regex pieces. */
   def tokenCounts(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

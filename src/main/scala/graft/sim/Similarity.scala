@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions.{array_cosine, array_dot}
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`), expression-only (codegen-friendly, no UDF).
   *
@@ -55,8 +57,10 @@ object Similarity {
       .select(col(idCol).as("query_id"), col("__unit").as("__qu"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    // native codegen'd dot product (graft.functions.ArrayDot) — the
+    // per-pair hot loop; unit vectors make it the cosine
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("__cos", expr(dotExpr("__qu", "__cu")))
+      .withColumn("__cos", array_dot(col("__qu"), col("__cu")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -112,7 +116,7 @@ object Similarity {
       val w = Window.partitionBy("query_id")
         .orderBy(col("__csim").desc, col("cell").asc)
       qu.crossJoin(broadcast(cu))
-        .withColumn("__csim", expr(dotExpr("__qu", "__cent_u")))
+        .withColumn("__csim", array_dot(col("__qu"), col("__cent_u")))
         .withColumn("__r", row_number().over(w))
         .filter(col("__r") <= nProbe)
         .select("query_id", "cell", "__qu")
@@ -121,11 +125,50 @@ object Similarity {
       .orderBy(col("__cos").desc, col("neighbor_id").asc)
     cells.join(broadcast(qcells), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("__cos", expr(dotExpr("__qu", "__cu")))
+      .withColumn("__cos", array_dot(col("__qu"), col("__cu")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("__cos"), 6).as("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, exact: every pair with
+    * cosine ≥ threshold (native codegen'd [[graft.functions.ArrayCosine]]
+    * in the hot loop). The non-equi self-join broadcasts one side —
+    * correct for corpora that fit broadcast; at 100 TB use
+    * [[nearDupPairsLsh]], which turns the product into a bucket-keyed
+    * equi-join.
+    */
+  def nearDupPairs(corpus: DataFrame, threshold: Double = 0.5,
+                   vecCol: String = "embedding",
+                   idCol: String = "vec_id"): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("__cos", array_cosine(col("__va"), col("__vb")))
+      .filter(col("__cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__cos"), 6).as("cosine"))
+  }
+
+  /** LSH-bucketed near-dup: candidates must share a random-hyperplane
+    * bucket, so the join key is the bucket, not the pair product.
+    * Approximate (misses cross-bucket pairs; raise `planes` ↓ buckets).
+    */
+  def nearDupPairsLsh(corpus: DataFrame, threshold: Double = 0.5,
+                      planes: Int = 8, vecCol: String = "embedding",
+                      idCol: String = "vec_id"): DataFrame = {
+    val buckets = cosineLshBuckets(corpus, planes, vecCol, idCol)
+    val withB = corpus.join(buckets, Seq(idCol))
+    val a = withB.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      col("bucket"))
+    val b = withB.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__cos", array_cosine(col("__va"), col("__vb")))
+      .filter(col("__cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__cos"), 6).as("cosine"))
+      .distinct()
   }
 
   /** Random-hyperplane LSH buckets for cosine: bit i of the bucket key

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{EmbeddingCentroid, VectorFunctions}
+import graft.functions.VectorFunctions.{array_cosine, array_dot}
+
+/** Native vector expressions (interpreted + codegen paths) and the
+  * typed centroid Aggregator.
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (2L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+    (3L, Array(0.0f, 0.0f), Array(1.0f, 1.0f))
+  ).toDF("id", "a", "b")
+
+  test("array_dot computes dot product; codegen and interpreted agree") {
+    val got = vecs.select(col("id"), array_dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 32.0) // 4+10+18
+    assert(got(2L) === 0.0)
+  }
+
+  test("array_cosine: orthogonal=0, zero vector -> null") {
+    val got = vecs.select(col("id"), array_cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(math.abs(got(1L).get -
+      32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-12)
+    assert(got(2L).get === 0.0)
+    assert(got(3L) === None) // zero norm
+  }
+
+  test("length mismatch yields null, not error") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+    val r = df.select(array_dot(col("a"), col("b"))).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("SQL registration exposes array_cosine to spark.sql") {
+    VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT array_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("native cosine matches expression-tree formulation on real data") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(20)
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("eb")))
+      .filter(col("ia") < col("ib"))
+    val viaTree = pairs.withColumn("c", expr(
+      """aggregate(zip_with(transform(ea, x -> cast(x AS DOUBLE)),
+        |  transform(eb, x -> cast(x AS DOUBLE)), (x, y) -> x * y),
+        |  0D, (acc, v) -> acc + v) /
+        |(sqrt(aggregate(transform(ea, x -> cast(x AS DOUBLE) *
+        |  cast(x AS DOUBLE)), 0D, (acc, v) -> acc + v)) *
+        | sqrt(aggregate(transform(eb, x -> cast(x AS DOUBLE) *
+        |  cast(x AS DOUBLE)), 0D, (acc, v) -> acc + v)))""".stripMargin))
+      .select("ia", "ib", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaNative = pairs.withColumn("c", array_cosine(col("ea"), col("eb")))
+      .select("ia", "ib", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    viaTree.foreach { case (k, v) =>
+      assert(math.abs(viaNative(k) - v) < 1e-12, s"pair $k")
+    }
+  }
+
+  test("EmbeddingCentroid aggregator matches posexplode-avg per label") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val typed = emb.select(col("label"), col("embedding"))
+      .as[(Int, Seq[Float])]
+    val viaAgg = typed.groupByKey(_._1).mapValues(_._2)
+      .agg(EmbeddingCentroid.toColumn.name("centroid"))
+      .collect().toMap
+    // cross-check one label against the declarative grouped mean
+    val lbl = viaAgg.keySet.min
+    val want = emb.filter(col("label") === lbl)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(avg(col("v").cast("double")).as("m"))
+      .orderBy("pos").collect().map(_.getDouble(1))
+    val got = viaAgg(lbl)
+    assert(got.length === want.length)
+    want.indices.foreach { i =>
+      assert(math.abs(got(i) - want(i)) < 1e-9)
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{Catalog, Sinks}
+import graft.sync.CdcMerge
+
+/** Catalog listing, href scrape, sinks, and the full sync round-trip
+  * (list → hash → merge → delete) on a local temp "object store".
+  */
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("listFiles returns name/path/length; latestKey picks lexicographic max") {
+    val dir = Files.createTempDirectory("catalog")
+    Files.writeString(dir.resolve("population_data_20240101_000000.json"), "{}")
+    Files.writeString(dir.resolve("population_data_20240301_000000.json"), "{}")
+    Files.writeString(dir.resolve("pr.data.0.Current"), "x\ty")
+    val listing = Catalog.listFiles(spark, dir.toString)
+    assert(listing.count() === 3)
+    val latest = Catalog.latestKey(listing, "population_data_", ".json")
+      .collect()(0).getString(0)
+    assert(latest === "population_data_20240301_000000.json")
+  }
+
+  test("withContentHash computes md5 over file bytes") {
+    val dir = Files.createTempDirectory("hashing")
+    Files.writeString(dir.resolve("a.txt"), "abc")
+    val row = Catalog.withContentHash(spark, dir.toString).collect()(0)
+    assert(row.getAs[String]("hash") === "900150983cd24fb0d6963f7d28e17f72")
+    assert(row.getAs[String]("name") === "a.txt")
+  }
+
+  test("hrefsFromHtml extracts file links, skips dirs and parent refs") {
+    val html = Seq(
+      """<html><a href="../">up</a><a href="pr.data.0.Current">f</a>
+        |<a href="subdir/">d</a><a href="pr.class">c</a>
+        |<a href="?C=N;O=D">sort</a></html>""".stripMargin).toDF("html")
+    val hrefs = Catalog.hrefsFromHtml(html).collect().map(_.getString(0)).toSet
+    assert(hrefs === Set("pr.data.0.Current", "pr.class"))
+  }
+
+  test("sync round-trip: list + hash both sides -> merge -> delete applied") {
+    val remote = Files.createTempDirectory("remote")
+    val stored = Files.createTempDirectory("stored")
+    Files.writeString(remote.resolve("f1"), "new content")
+    Files.writeString(remote.resolve("f2"), "same")
+    Files.writeString(stored.resolve("f2"), "same")
+    Files.writeString(stored.resolve("f3"), "retired")
+    val r = Catalog.withContentHash(spark, remote.toString).select("name", "hash")
+    val s = Catalog.withContentHash(spark, stored.toString).select("name", "hash")
+    val merged = CdcMerge.plan(r, s)
+    val actions = merged.collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(actions === Map("f1" -> "insert", "f2" -> "skip", "f3" -> "delete"))
+    // apply deletes
+    val deletePaths = Catalog.listFiles(spark, stored.toString)
+      .join(CdcMerge.toDelete(merged), Seq("name"))
+      .select("path").collect().map(_.getString(0)).toSeq
+    Sinks.deletePaths(spark, deletePaths)
+    assert(!Files.exists(stored.resolve("f3")))
+    assert(Files.exists(stored.resolve("f2")))
+  }
+
+  test("timestamped path + json sink + record sink") {
+    val out = Sinks.timestampedPath(
+      Files.createTempDirectory("sink").toString, "population_data_", ".json")
+    assert(out.matches(".*population_data_\\d{8}_\\d{6}\\.json"))
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    Sinks.writeJson(df, out)
+    val back = spark.read.json(out)
+    assert(back.count() === 2)
+    val recs = Sinks.toJsonRecords(df).collect().map(_.getString(0)).sorted
+    assert(recs(0) === """{"id":1,"v":"a"}""")
+  }
+}
