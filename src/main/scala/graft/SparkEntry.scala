@@ -48,6 +48,10 @@ object SparkEntry {
     "q_count_distinct" -> (FuncQueries.countDistinctAgg _),
     "q_approx_distinct" -> (FuncQueries.approxDistinct _),
     "q_latest_key"     -> (FuncQueries.latestKey _),
+    "q_pivot"          -> (FuncQueries.pivotAgg _),
+    "q_set_intersect"  -> (FuncQueries.setIntersect _),
+    "q_from_json"      -> (FuncQueries.fromJson _),
+    "q_media_features" -> (TrainingQueries.mediaFeatures _),
     // training-data pipeline surface (north star)
     "q_dedup_exact"    -> (TrainingQueries.dedupExact _),
     "q_dedup_ngram"    -> (TrainingQueries.dedupNgramJaccard _),
@@ -235,6 +239,28 @@ object SparkEntry {
       """SELECT lang, max(source) AS latest_source,
         | min(source) AS first_source, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        | round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        | round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+        | round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        | round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+        | round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders
+        |WHERE year(o_orderdate) = 1996
+        |ORDER BY custkey""".stripMargin,
+    "q_from_json" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_media_features" ->
+      """SELECT doc_id AS media_id, 'fake/utf8' AS format,
+        | CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, fp FROM (
         |  SELECT doc_id,

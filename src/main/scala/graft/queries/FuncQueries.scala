@@ -153,6 +153,39 @@ object FuncQueries {
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** Pivot (conditional aggregation): per-user spend matrix by event
+    * type. Spark `pivot` with explicit values compiles to the same
+    * CASE-WHEN aggregate the oracle spells out — no extra pass to
+    * discover pivot values (the two-phase discovery would be a full
+    * extra scan at 100 TB).
+    */
+  def pivotAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum("value"), 2))
+      .orderBy("user_id")
+
+  /** INTERSECT DISTINCT: customers active in both 1995 and 1996. */
+  def setIntersect(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_custkey").as("custkey"))
+      .intersect(o.filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  /** Schema-first JSON parsing (`from_json`, vs the path-extraction in
+    * [[jsonExtract]]): parse props into a typed struct, project field.
+    */
+  def fromJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("p", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+      .select(col("event_id"), col("p.k").as("k"))
+      .orderBy("event_id")
+
   /** S6/O3 latest-key selection: lexicographic max per group (the
     * reference's `sorted(files)[-1]` latest-partition pick).
     */

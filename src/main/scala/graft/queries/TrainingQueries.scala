@@ -102,6 +102,22 @@ object TrainingQueries {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Multimodal plumbing in the verified path: synthesize binary media
+    * from documents, batch-extract features via mapPartitions (stub
+    * codec), report per-media byte counts. The histogram itself is
+    * codec-dependent (spec-tested); byte length is oracle-checkable.
+    */
+  def mediaFeatures(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    implicit val sp: SparkSession = s
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      .as[Multimodal.MediaRow](
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    Multimodal.extractFeatures(media)
+      .select(col("media_id"), col("format"), col("n_bytes"))
+      .orderBy("media_id")
+  }
+
   /** Language-ID heuristic (stopword-profile argmax). Heuristic scoring
     * → tested in TextSpec, aggregate shape here: predicted language
     * distribution.
