@@ -22,6 +22,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_sum"      -> (CoreQueries.aggSum _),
+    "q_agg_salted"   -> (CoreQueries.aggSumSalted _),
     "q_argmax"       -> (CoreQueries.argMaxBestYear _),
     "q_global_stats" -> (CoreQueries.globalStats _),
     "q_proj_filter"  -> (CoreQueries.projFilter _),
@@ -76,6 +77,9 @@ object SparkEntry {
         | round(sum(l_extendedprice), 2) AS sum_price,
         | round(avg(l_discount), 6) AS avg_disc, count(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_agg_salted" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_argmax" ->
       """SELECT l_suppkey, ship_year, total_qty FROM (
         |  SELECT l_suppkey, CAST(year(l_shipdate) AS BIGINT) AS ship_year,

@@ -82,6 +82,26 @@ object Ops {
   def topK(df: DataFrame, k: Int, ordering: Column*): DataFrame =
     df.orderBy(ordering: _*).limit(k)
 
+  /** Skew-resistant grouped sum: two-phase aggregation through a salt.
+    * Phase 1 aggregates on (keys, salt) — spreading one hot key over
+    * `saltBuckets` reducers — phase 2 merges the partials on the true
+    * keys. Identical result to [[groupedSum]] (sum is associative);
+    * use when a handful of keys dominate (AQE's skew handling covers
+    * joins, not aggregations). The salt is `pmod(hash(all columns), n)`
+    * rather than rand() so the plan stays deterministic.
+    */
+  def saltedGroupedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+                       alias: String = "value",
+                       saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
+    salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as(alias))
+  }
+
   /** §2.7: set ops are built-ins; exposed for surface completeness. */
   def setMinus(left: DataFrame, right: DataFrame): DataFrame = left.except(right)
   def setIntersect(left: DataFrame, right: DataFrame): DataFrame = left.intersect(right)

@@ -30,6 +30,16 @@ object CoreQueries {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** A1 variant for skewed keys: salted two-phase grouped sum. Result
+    * is identical to the plain grouped sum (the oracle IS the plain
+    * GROUP BY), but one hot key spreads over 16 reducers in phase 1.
+    */
+  def aggSumSalted(s: SparkSession, d: String): DataFrame =
+    Ops.saltedGroupedSum(
+      Tables.lineitem(s, d).select("l_returnflag", "l_quantity"),
+      Seq("l_returnflag"), "l_quantity", alias = "sum_qty")
+      .orderBy("l_returnflag")
+
   /** A2 deterministic arg-max: per supplier, the ship-year with the
     * highest total quantity; ties → smallest year (window row_number,
     * reference `report_processor.py:164-166` semantics).

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+import graft.ops.Ops
+
+/** Scale-technique checks: salted aggregation equivalence, bucketed
+  * co-located joins (no shuffle at join time), broadcast-join planning,
+  * and scan pushdown — the 100 TB design points, asserted on the
+  * physical plan rather than eyeballed.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("saltedGroupedSum == groupedSum (integer-valued doubles)") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val plain = Ops.groupedSum(li, Seq("l_returnflag"), "l_quantity", "s")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = Ops.saltedGroupedSum(li, Seq("l_returnflag"), "l_quantity", "s")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(plain === salted)
+  }
+
+  test("bucketed tables join without exchange (co-located join)") {
+    // warehouse.dir is static -> use the default warehouse with session-
+    // local table names; disable broadcast so the join would otherwise
+    // need a hash-partition exchange on both sides
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = s2.read.parquet(s"$sfDir/lineitem.parquet")
+    val or = s2.read.parquet(s"$sfDir/orders.parquet")
+    try {
+      li.write.mode("overwrite").bucketBy(4, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("li_b")
+      or.write.mode("overwrite").bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("or_b")
+      val joined = s2.table("li_b")
+        .join(s2.table("or_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(sum("l_quantity"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucketing satisfies the join's distribution: no shuffle before join
+      assert(plan.contains("SortMergeJoin"), plan)
+      val afterJoin = plan.split("SortMergeJoin")(1)
+      assert(!afterJoin.contains("Exchange hashpartitioning(l_orderkey"),
+        s"join inputs should be bucket-pruned of exchanges:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS li_b")
+      s2.sql("DROP TABLE IF EXISTS or_b")
+    }
+  }
+
+  test("small dimension joins broadcast; filter pushes into parquet scan") {
+    val or = spark.read.parquet(s"$sfDir/orders.parquet")
+    val na = spark.read.parquet(s"$sfDir/nation.parquet")
+    val cu = spark.read.parquet(s"$sfDir/customer.parquet")
+    val q = or.join(cu, col("o_custkey") === col("c_custkey"))
+      .join(na, col("c_nationkey") === col("n_nationkey"))
+      .filter(col("o_totalprice") > 100000.0)
+      .select("n_name", "o_totalprice")
+    val plan = physical(q)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), " +
+      "GreaterThan(o_totalprice,100000.0)"), plan)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a total sort") {
+    val or = spark.read.parquet(s"$sfDir/orders.parquet")
+    val plan = physical(Ops.topK(or, 10, col("o_totalprice").desc))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("argmax input aggregates before the window (no raw-fact window)") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val yearly = li.groupBy(col("l_suppkey"),
+      year(col("l_shipdate")).as("y")).agg(sum("l_quantity").as("v"))
+    val plan = physical(Ops.argMax(yearly, "l_suppkey", "v", "y"))
+    // the window's child must be the aggregate, not the scan
+    val windowIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(windowIdx >= 0 && aggIdx > windowIdx,
+      s"expected HashAggregate beneath Window:\n$plan")
+  }
+}
