@@ -63,6 +63,18 @@ class IoSpec extends SparkSpec {
     assert(Files.exists(stored.resolve("f2")))
   }
 
+  test("partitioned parquet write enables partition pruning") {
+    val dir = Files.createTempDirectory("part_out").toString
+    val df = Seq((1, "en", "a"), (2, "de", "b"), (3, "en", "c"))
+      .toDF("id", "lang", "v")
+    Sinks.writeParquet(df, dir, partitionBy = Seq("lang"))
+    val pruned = spark.read.parquet(dir).filter(col("lang") === "en")
+    assert(pruned.count() === 2)
+    // pruning shows up as partition filters, not data filters
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+  }
+
   test("timestamped path + json sink + record sink") {
     val out = Sinks.timestampedPath(
       Files.createTempDirectory("sink").toString, "population_data_", ".json")

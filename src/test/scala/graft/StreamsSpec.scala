@@ -58,6 +58,28 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint gives exactly-once file processing across restarts (ST4)") {
+    val schema = Tables.events(spark, sfDir).schema
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val outDir = Files.createTempDirectory("stream_out").toString
+    def runOnce(): Unit = {
+      val q = Streams.fileSource(spark, landingDir, schema)
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(outDir).count()
+    runOnce() // restart with same checkpoint, no new files
+    val afterSecond = spark.read.parquet(outDir).count()
+    assert(afterFirst === Tables.events(spark, sfDir).count())
+    assert(afterSecond === afterFirst) // nothing reprocessed
+  }
+
   test("foreachBatch recompute sees every micro-batch (reference ST3)") {
     val schema = Tables.events(spark, sfDir).schema
     val stream = Streams.fileSource(spark, landingDir, schema,
