@@ -33,6 +33,11 @@ object SparkEntry {
     "q_topk"         -> (CoreQueries.topK _),
     "q_set_except"   -> (CoreQueries.setExcept _),
     "q_window"       -> (CoreQueries.windowFuncs _),
+    "q_full_join"    -> (CoreQueries.fullOuterJoin _),
+    "q_cross_join"   -> (CoreQueries.crossJoinSmall _),
+    "q_having"       -> (CoreQueries.havingAgg _),
+    "q_string_agg"   -> (CoreQueries.stringAgg _),
+    "q_array_funcs"  -> (CoreQueries.arrayFuncs _),
     "q_rollup"       -> (CoreQueries.rollupAgg _),
     "q_star_join"    -> (CoreQueries.starJoin _),
     // scalar functions / semi-structured / events (SURVEY §2.8–2.9)
@@ -144,6 +149,36 @@ object SparkEntry {
         |WINDOW w AS (
         |  PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_full_join" ->
+      """SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+        | a.spend_1995, b.spend_1996
+        |FROM (SELECT o_custkey AS custkey,
+        |        round(sum(o_totalprice), 2) AS spend_1995
+        |      FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1) a
+        |FULL JOIN (SELECT o_custkey AS custkey,
+        |        round(sum(o_totalprice), 2) AS spend_1996
+        |      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1) b
+        |ON a.custkey = b.custkey
+        |ORDER BY custkey""".stripMargin,
+    "q_cross_join" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS n_orders FROM orders
+        |GROUP BY 1 HAVING count(*) >= 15 ORDER BY 1""".stripMargin,
+    "q_string_agg" ->
+      """SELECT source,
+        | string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        | round(list_min(CAST(embedding AS DOUBLE[])), 6) AS min_v,
+        | round(list_max(CAST(embedding AS DOUBLE[])), 6) AS max_v,
+        | round(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6)
+        |   AS mean_v
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | count(*) AS n_rows

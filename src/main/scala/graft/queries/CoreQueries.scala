@@ -147,6 +147,59 @@ object CoreQueries {
       .orderBy("custkey")
   }
 
+  /** Full-outer join (the CDC merge's join shape, J3+J4+J5 in one):
+    * yearly spend per customer in 1995 vs 1996, null where absent.
+    */
+  def fullOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def spend(y: Int, alias: String) =
+      o.filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(round(sum("o_totalprice"), 2).as(alias))
+    spend(1995, "spend_1995")
+      .join(spend(1996, "spend_1996"), Seq("custkey"), "full_outer")
+      .orderBy("custkey")
+  }
+
+  /** Cross join (small × small): region × order-status matrix. */
+  def crossJoinSmall(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).select("r_name")
+      .crossJoin(Tables.orders(s, d).select("o_orderstatus").distinct())
+      .orderBy("r_name", "o_orderstatus")
+
+  /** HAVING (post-aggregation filter): customers with ≥ 15 orders. */
+  def havingAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 15)
+      .orderBy("o_custkey")
+
+  /** Ordered string aggregation: sorted distinct languages per source
+    * (deterministic via array_sort, so the oracle's ORDER BY inside
+    * string_agg matches exactly).
+    */
+  def stringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(array_join(array_sort(collect_set(col("lang"))), ",").as("langs"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
+  /** Array functions over the embedding column: size, min/max/avg of
+    * elements (cast to double; Catalyst array built-ins).
+    */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("__d", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(array_min(col("__d")), 6).as("min_v"),
+        round(array_max(col("__d")), 6).as("max_v"),
+        round(expr("aggregate(__d, 0D, (a, x) -> a + x) / size(__d)"), 6)
+          .as("mean_v"))
+      .orderBy("vec_id")
+
   /** §2.5 window functions: ranking + lag + running frame sum within a
     * customer's order history. One shuffle on o_custkey serves all three
     * window functions (same partition spec).
