@@ -50,6 +50,8 @@ object SparkEntry {
     "q_sessionize"     -> (FuncQueries.sessionize _),
     "q_case_union"     -> (FuncQueries.caseUnion _),
     "q_semi_join"      -> (FuncQueries.semiJoin _),
+    "q_asof_join"      -> (FuncQueries.asofJoin _),
+    "q_percentiles"    -> (FuncQueries.percentiles _),
     "q_cube"           -> (FuncQueries.cubeAgg _),
     "q_count_distinct" -> (FuncQueries.countDistinctAgg _),
     "q_approx_distinct" -> (FuncQueries.approxDistinct _),
@@ -144,11 +146,30 @@ object SparkEntry {
         | round(sum(o_totalprice) OVER (
         |   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-        |   AS running_spend
+        |   AS running_spend,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | first_value(o_totalprice) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price
         |FROM orders
         |WINDOW w AS (
         |  PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, round(p.value, 2) AS value,
+        | s.signup_event_id
+        |FROM (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS signup_event_id
+        |      FROM events WHERE event_type = 'signup') s
+        |ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY event_id""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        | round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        | round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_full_join" ->
       """SELECT COALESCE(a.custkey, b.custkey) AS custkey,
         | a.spend_1995, b.spend_1996

@@ -102,6 +102,51 @@ object Ops {
       .agg(sum(col("__partial")).as(alias))
   }
 
+  /** As-of (backward) join: for each left row, the single latest right
+    * row with `right.ts <= left.ts` on the same key — the canonical
+    * time-series enrichment Spark lacks as a built-in.
+    *
+    * Composed, not custom-planned (SURVEY §7.4 preference (a)): tag and
+    * union both sides, then one window pass per key ordered by
+    * (ts, side) carrying the last-seen right payload forward
+    * (`last(_, ignoreNulls=true)`). Cost is ONE shuffle+sort on
+    * (key, ts) — linear, no range-join pair explosion, safe at 100 TB
+    * (contrast: the naive `left.ts >= right.ts` theta-join is O(n·m)
+    * per key). Right rows sort before left rows at equal ts, so an
+    * exactly-simultaneous right row IS matched.
+    *
+    * Output: all left columns + the right `payloadCols` (null when no
+    * right row precedes).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lTagged = left
+      .withColumn("__side", lit(1))
+      .select((keyCols.map(col) :+ col(tsCol).as("__ts") :+ col("__side")) ++
+        left.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
+          .map(col) ++
+        payloadCols.map(c => lit(null).cast(
+          right.schema(c).dataType).as(s"__p_$c")): _*)
+    val rTagged = right
+      .withColumn("__side", lit(0))
+      .select((keyCols.map(col) :+ col(tsCol).as("__ts") :+ col("__side")) ++
+        left.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(lTagged.unionByName(rTagged)) {
+      case (df, c) =>
+        df.withColumn(s"__p_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    val out = carried.filter(col("__side") === 1)
+      .drop("__side")
+      .withColumnRenamed("__ts", tsCol)
+    payloadCols.foldLeft(out)((df, c) => df.withColumnRenamed(s"__p_$c", c))
+  }
+
   /** §2.7: set ops are built-ins; exposed for surface completeness. */
   def setMinus(left: DataFrame, right: DataFrame): DataFrame = left.except(right)
   def setIntersect(left: DataFrame, right: DataFrame): DataFrame = left.intersect(right)

@@ -214,8 +214,12 @@ object CoreQueries {
       .withColumn("running_spend",
         round(sum("o_totalprice").over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("first_price",
+        first(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select("o_custkey", "o_orderkey", "order_rank", "prev_price",
-        "running_spend")
+        "running_spend", "quartile", "first_price")
       .orderBy("o_custkey", "o_orderkey")
   }
 

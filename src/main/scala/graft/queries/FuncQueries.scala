@@ -153,6 +153,37 @@ object FuncQueries {
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** As-of join: each purchase enriched with the user's latest signup
+    * at-or-before the purchase time (composed single-shuffle form,
+    * [[graft.ops.Ops.asofJoin]]; the oracle uses DuckDB's native
+    * ASOF LEFT JOIN).
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("signup_event_id"))
+    graft.ops.Ops.asofJoin(purchases, signups, Seq("user_id"), "ts",
+        Seq("signup_event_id"))
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("value"), col("signup_event_id"))
+      .orderBy("event_id")
+  }
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`).
+    */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"))
+      .orderBy("l_returnflag")
+
   /** Pivot (conditional aggregation): per-user spend matrix by event
     * type. Spark `pivot` with explicit values compiles to the same
     * CASE-WHEN aggregate the oracle spells out — no extra pass to

@@ -63,6 +63,22 @@ class OpsSpec extends SparkSpec {
     assert(viaTopK === viaSort)
   }
 
+  test("asofJoin: latest right row at-or-before each left ts, per key") {
+    val left = Seq(
+      ("u1", 10L, "p1"), ("u1", 25L, "p2"), ("u2", 5L, "p3")
+    ).toDF("k", "ts", "pid")
+    val right = Seq(
+      ("u1", 10L, "s1"), ("u1", 20L, "s2"), ("u2", 7L, "s3")
+    ).toDF("k", "ts", "sid")
+    val got = Ops.asofJoin(left, right, Seq("k"), "ts", Seq("sid"))
+      .select("pid", "sid").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got === Map(
+      "p1" -> Some("s1"),  // equal ts matches
+      "p2" -> Some("s2"),  // latest preceding, not first
+      "p3" -> None))       // right row is later -> no match
+  }
+
   test("set ops: except/intersect/union-distinct") {
     val a = Seq(1, 2, 3, 3).toDF("k")
     val b = Seq(3, 4).toDF("k")
