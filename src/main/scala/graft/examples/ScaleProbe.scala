@@ -1,0 +1,64 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Ops
+
+/** Empirical scaling probe: replicate the sf0.1 lineitem N× with
+  * disjoint key ranges (so group/join cardinalities scale too) and time
+  * the core operators. Near-linear growth here is the evidence that the
+  * plans would survive a real scale-up — superlinear growth flags an
+  * operator whose shuffle or build side grows with the square of input.
+  * `SPARK_GRAFT_SCALE=16 sbt "runMain graft.examples.ScaleProbe"`
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE", "8").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val maxKey = li.agg(max("l_orderkey")).collect()(0).getLong(0) + 1
+
+    def replicated(k: Int): DataFrame =
+      (0 until k).map { i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxKey))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i * 100L))
+      }.reduce(_ unionByName _)
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  ($rows rows)")
+    }
+
+    for (k <- Seq(1, n)) {
+      println(s"=== scale x$k (${6000000L * k / 10} rows approx) ===")
+      val df = replicated(k)
+      time("grouped sum")(
+        df.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity")).count())
+      time("argmax per suppkey")(
+        Ops.argMax(
+          df.groupBy(col("l_suppkey"), year(col("l_shipdate")).as("y"))
+            .agg(sum("l_quantity").as("v")), "l_suppkey", "v", "y").count())
+      time("salted sum")(
+        Ops.saltedGroupedSum(df.select("l_returnflag", "l_quantity"),
+          Seq("l_returnflag"), "l_quantity").count())
+      time("window running sum")(
+        df.withColumn("rs", sum("l_quantity").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey")
+            .rowsBetween(Long.MinValue, 0))).count())
+    }
+    spark.stop()
+  }
+}
