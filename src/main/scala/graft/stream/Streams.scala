@@ -74,6 +74,34 @@ object Streams {
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Output row of [[runningUserTotals]]. */
+  case class UserStat(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful operator (`mapGroupsWithState`): cumulative
+    * per-user event count and value total across micro-batches. State
+    * is one (count, sum) pair per user — bounded by the user
+    * cardinality, not the stream length; at 100 TB/day the state store
+    * shards by the group key like any keyed shuffle. NoTimeout because
+    * totals are lifetime aggregates (a session variant would use
+    * event-time timeout).
+    */
+  def runningUserTotals(events: DataFrame)
+                       (implicit spark: SparkSession)
+  : org.apache.spark.sql.Dataset[UserStat] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), UserStat](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var (n, t) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => n += 1; t += r._2 }
+          state.update((n, t))
+          UserStat(uid, n, math.rint(t * 100) / 100)
+      }
+  }
+
   /** The reference's recompute-per-file semantics: every micro-batch
     * triggers a full re-run of `recompute` over the batch (stream side)
     * and whatever static state the report joins against.

@@ -58,6 +58,31 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("mapGroupsWithState running totals match batch aggregation") {
+    implicit val s = spark
+    val schema = Tables.events(spark, sfDir).schema
+    val stream = Streams.fileSource(spark, landingDir, schema)
+    val q = Streams.runningUserTotals(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("user_totals")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // single batch -> one emission per user; compare against batch agg
+    val streamed = spark.table("user_totals").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (u, (n, v)) =>
+      assert(n === batch(u)._1, s"user $u count")
+      assert(math.abs(v - batch(u)._2) < 0.01, s"user $u total")
+    }
+  }
+
   test("checkpoint gives exactly-once file processing across restarts (ST4)") {
     val schema = Tables.events(spark, sfDir).schema
     val ckpt = Files.createTempDirectory("ckpt").toString
