@@ -70,6 +70,10 @@ object SparkEntry {
     "q_emb_neardup"    -> (TrainingQueries.embNearDup _),
     "q_centroid"       -> (TrainingQueries.centroids _),
     "q_token_counts"   -> (TrainingQueries.tokenCounts _),
+    "q_train_test_split" -> (TrainingQueries.trainTestSplit _),
+    "q_stratified_sample" -> (TrainingQueries.stratifiedSample _),
+    "q_term_freq"      -> (TrainingQueries.termFreq _),
+    "q_top_bigrams"    -> (TrainingQueries.topBigrams _),
     "q_text_quality"   -> (TrainingQueries.textQuality _),
     "q_fingerprint"    -> (TrainingQueries.fingerprints _),
     "q_lang_id"        -> (TrainingQueries.langId _)
@@ -399,6 +403,32 @@ object SparkEntry {
         |   ('the','a','an','and','or','of','to','in','is','it'))) /
         |   nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS stopword_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_train_test_split" ->
+      """SELECT doc_id,
+        | CAST((doc_id * 2654435761) % 4294967296 % 100 AS BIGINT) AS bucket,
+        | CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+        |   THEN 'train' ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT lang, doc_id, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 3
+        |ORDER BY lang, doc_id""".stripMargin,
+    "q_term_freq" ->
+      """SELECT token, count(*) AS freq FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 20""".stripMargin,
+    "q_top_bigrams" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS bigram
+        |  FROM tok)
+        |SELECT bigram, count(DISTINCT doc_id) AS doc_freq
+        |FROM sh GROUP BY 1
+        |ORDER BY doc_freq DESC, bigram ASC LIMIT 10""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

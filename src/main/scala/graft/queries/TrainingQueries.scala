@@ -118,6 +118,52 @@ object TrainingQueries {
       .orderBy("media_id")
   }
 
+  /** Deterministic train/test split: multiplicative (Knuth) hash of the
+    * id into 100 buckets, 90/10 split. Pure BIGINT arithmetic so any
+    * engine reproduces the assignment bit-for-bit — the property a
+    * training pipeline needs for stable splits across reruns/engines.
+    */
+  def trainTestSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        expr("pmod(doc_id * 2654435761L, 4294967296L) % 100").cast("long"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train").otherwise("test"))
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+
+  /** Stratified sample: first 3 docs per language by id (deterministic
+    * rank-based stratum sampling — one window pass per stratum key).
+    */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    Tables.documents(s, d)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 3)
+      .select("lang", "doc_id", "source")
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Term frequencies: top-20 whitespace tokens corpus-wide
+    * (explode → hash-agg → TakeOrdered; ties → token asc).
+    */
+  def termFreq(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(20)
+
+  /** Top-10 bigram counts (shingle k=2 over the corpus). */
+  def topBigrams(s: SparkSession, d: String): DataFrame =
+    Dedup.shingles(Tables.documents(s, d), k = 2)
+      .groupBy(col("shingle").as("bigram"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("bigram").asc)
+      .limit(10)
+
   /** Language-ID heuristic (stopword-profile argmax). Heuristic scoring
     * → tested in TextSpec, aggregate shape here: predicted language
     * distribution.
