@@ -52,6 +52,10 @@ object SparkEntry {
     "q_semi_join"      -> (FuncQueries.semiJoin _),
     "q_asof_join"      -> (FuncQueries.asofJoin _),
     "q_percentiles"    -> (FuncQueries.percentiles _),
+    "q_zscore"         -> (FuncQueries.zscore _),
+    "q_corr"           -> (FuncQueries.corrAgg _),
+    "q_histogram"      -> (FuncQueries.histogram _),
+    "q_tfidf"          -> (TrainingQueries.tfidf _),
     "q_cube"           -> (FuncQueries.cubeAgg _),
     "q_count_distinct" -> (FuncQueries.countDistinctAgg _),
     "q_approx_distinct" -> (FuncQueries.approxDistinct _),
@@ -174,6 +178,42 @@ object SparkEntry {
         | round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
         | round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_zscore" ->
+      """SELECT event_id, event_type, value,
+        | round((value - avg(value) OVER w) /
+        |   stddev_samp(value) OVER w, 6) AS z
+        |FROM events WINDOW w AS (PARTITION BY event_type)
+        |ORDER BY event_id""".stripMargin,
+    "q_corr" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+        | round(avg(l_quantity), 6) AS avg_q
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+        | count(*) AS n, round(min(o_totalprice), 2) AS lo,
+        | round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |       FROM terms GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM (
+        |         SELECT DISTINCT doc_id, token FROM terms) GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, rank, token, tfidf FROM (
+        |  SELECT tf.doc_id, tf.token,
+        |    round(tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE)), 6) AS tfidf,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE)) DESC,
+        |        tf.token ASC) AS BIGINT) AS rank
+        |  FROM tf JOIN df USING (token) CROSS JOIN n
+        |  WHERE tf.doc_id < 20)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_full_join" ->
       """SELECT COALESCE(a.custkey, b.custkey) AS custkey,
         | a.spend_1995, b.spend_1996

@@ -217,6 +217,43 @@ object FuncQueries {
       .select(col("event_id"), col("p.k").as("k"))
       .orderBy("event_id")
 
+  /** Per-group z-score normalization via window aggregates (the
+    * feature-scaling pass of a training pipeline): no pre-computed
+    * stats table, one shuffle on the group key serves both moments.
+    */
+  def zscore(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+    Tables.events(s, d)
+      .withColumn("z",
+        round((col("value") - avg("value").over(w)) /
+          stddev_samp(col("value")).over(w), 6))
+      .select("event_id", "event_type", "value", "z")
+      .orderBy("event_id")
+  }
+
+  /** Correlation / covariance aggregates per group. */
+  def corrAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("covar_qp"),
+        round(avg("l_quantity"), 6).as("avg_q"))
+      .orderBy("l_returnflag")
+
+  /** Histogram bucketing by arithmetic (portable width_bucket):
+    * order totals in 50k-wide bins.
+    */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"))
+      .orderBy("bin")
+
   /** S6/O3 latest-key selection: lexicographic max per group (the
     * reference's `sorted(files)[-1]` latest-partition pick).
     */

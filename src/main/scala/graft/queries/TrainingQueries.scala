@@ -164,6 +164,37 @@ object TrainingQueries {
       .orderBy(col("doc_freq").desc, col("bigram").asc)
       .limit(10)
 
+  /** TF-IDF: for the first 20 docs, the top-3 tokens by
+    * tf · ln(N/df). Three aggregations (term-in-doc counts, doc
+    * frequencies, corpus size) joined and ranked — every stage is a
+    * keyed hash-agg or broadcast join; nothing is per-pair.
+    */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val terms = docs
+      .select(col("doc_id"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
+    val tf = terms.groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df_ = terms.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // rank on the RAW score (the oracle does too); round only on output
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("__raw").desc, col("token").asc)
+    tf.join(broadcast(df_), Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("__raw",
+        col("tf") * log(col("n_docs") / col("df").cast("double")))
+      .filter(col("doc_id") < 20)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"),
+        round(col("__raw"), 6).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Language-ID heuristic (stopword-profile argmax). Heuristic scoring
     * → tested in TextSpec, aggregate shape here: predicted language
     * distribution.
