@@ -63,6 +63,29 @@ class IoSpec extends SparkSpec {
     assert(Files.exists(stored.resolve("f2")))
   }
 
+  test("format round-trips: orc, csv (schema-first), json, text") {
+    val base = Files.createTempDirectory("formats").toString
+    val df = spark.read.parquet(s"$sfDir/nation.parquet")
+    val want = df.orderBy("n_nationkey").collect().toSeq
+
+    df.write.mode("overwrite").orc(s"$base/orc")
+    assert(spark.read.orc(s"$base/orc")
+      .orderBy("n_nationkey").collect().toSeq === want)
+
+    df.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    assert(spark.read.option("header", "true").schema(df.schema)
+      .csv(s"$base/csv").orderBy("n_nationkey").collect().toSeq === want)
+
+    df.write.mode("overwrite").json(s"$base/json")
+    assert(spark.read.schema(df.schema).json(s"$base/json")
+      .orderBy("n_nationkey").collect().toSeq === want)
+
+    import spark.implicits._
+    Seq("line one", "line two").toDF("value").write
+      .mode("overwrite").text(s"$base/text")
+    assert(spark.read.text(s"$base/text").count() === 2)
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val dir = Files.createTempDirectory("part_out").toString
     val df = Seq((1, "en", "a"), (2, "de", "b"), (3, "en", "c"))
