@@ -431,18 +431,29 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT doc_id, text,
         |    regexp_split_to_array(trim(text), '\s+') AS toks
-        |  FROM documents)
-        |SELECT doc_id,
-        | CAST(length(text) AS BIGINT) AS n_chars_q,
-        | CAST(len(toks) AS BIGINT) AS n_tokens,
-        | round(length(regexp_replace(trim(text), '\s+', '', 'g')) /
-        |   nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS mean_token_len,
-        | round(len(regexp_extract_all(text, '[^\w\s]')) /
-        |   nullif(CAST(length(text) AS DOUBLE), 0.0), 6) AS punct_ratio,
-        | round(len(list_filter(toks, x -> x IN
-        |   ('the','a','an','and','or','of','to','in','is','it'))) /
-        |   nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS stopword_ratio
-        |FROM t ORDER BY doc_id""".stripMargin,
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |   CAST(length(text) AS BIGINT) AS n_chars_q,
+        |   CAST(len(toks) AS BIGINT) AS n_tokens,
+        |   round(length(regexp_replace(trim(text), '\s+', '', 'g')) /
+        |     nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS mean_token_len,
+        |   round(len(regexp_extract_all(text, '[^\w\s]')) /
+        |     nullif(CAST(length(text) AS DOUBLE), 0.0), 6) AS punct_ratio,
+        |   round(len(list_filter(toks, x -> x IN
+        |     ('the','a','an','and','or','of','to','in','is','it'))) /
+        |     nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS stopword_ratio
+        |  FROM t)
+        |SELECT doc_id, n_chars_q, n_tokens, mean_token_len, punct_ratio,
+        | stopword_ratio,
+        | round(greatest(
+        |   least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) *
+        |   (1.0 - least(punct_ratio * 5.0, 1.0)) *
+        |   (1.0 - (CASE WHEN mean_token_len IS NULL THEN 1.0
+        |     WHEN mean_token_len < 2.0 OR mean_token_len > 12.0 THEN 0.5
+        |     ELSE 0.0 END) * 0.5),
+        |   0.0), 6) AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_train_test_split" ->
       """SELECT doc_id,
         | CAST((doc_id * 2654435761) % 4294967296 % 100 AS BIGINT) AS bucket,

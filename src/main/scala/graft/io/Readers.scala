@@ -86,7 +86,7 @@ object Readers {
     import spark.implicits._
     spark.read
       .option("multiLine", "true")
-      .json(Seq(payload).toDS)
+      .json(Seq(payload).toDS())
       .select(explode(col("data")).as("r"))
       .select("r.*")
   }

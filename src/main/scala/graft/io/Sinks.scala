@@ -42,7 +42,7 @@ object Sinks {
     * `to_dict('records')` log emission, `report_processor.py:186`).
     */
   def toJsonRecords(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("record"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("record"))
 
   /** S10 object delete, driven by the CDC merge's delete set: removes
     * each listed path. Action, not a plan — runs driver-side over the

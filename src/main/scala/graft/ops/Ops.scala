@@ -94,7 +94,7 @@ object Ops {
                        alias: String = "value",
                        saltBuckets: Int = 16): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(saltBuckets)))
     salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__partial"))

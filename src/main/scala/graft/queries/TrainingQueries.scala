@@ -91,7 +91,7 @@ object TrainingQueries {
   def textQuality(s: SparkSession, d: String): DataFrame =
     TextAnalysis.qualityMetrics(Tables.documents(s, d))
       .select("doc_id", "n_chars_q", "n_tokens", "mean_token_len",
-        "punct_ratio", "stopword_ratio")
+        "punct_ratio", "stopword_ratio", "quality_score")
       .orderBy("doc_id")
 
   /** Document fingerprints (rolling-hash stand-in: md5 of normalized

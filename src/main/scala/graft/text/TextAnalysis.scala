@@ -70,6 +70,25 @@ object TextAnalysis {
       .withColumn("stopword_ratio",
         round(size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
           nullif(nTok, lit(0.0)), 6))
+      .withColumn("quality_score", qualityScore(
+        col("n_tokens"), col("mean_token_len"), col("punct_ratio")))
+  }
+
+  /** Composite quality score in [0, 1] (the filter threshold a data
+    * pipeline gates on): length credit (saturating at 64 tokens),
+    * penalized by punctuation excess and degenerate token lengths.
+    * Fixed weights; pure arithmetic so any engine reproduces it.
+    */
+  def qualityScore(nTokens: Column, meanTokenLen: Column,
+                   punctRatio: Column): Column = {
+    val lengthCredit = least(nTokens.cast("double") / 64.0, lit(1.0))
+    val punctPenalty = least(punctRatio * 5.0, lit(1.0))
+    val lenPenalty = when(meanTokenLen.isNull, 1.0)
+      .when(meanTokenLen < 2.0 || meanTokenLen > 12.0, 0.5)
+      .otherwise(0.0)
+    round(greatest(
+      lengthCredit * (lit(1.0) - punctPenalty) * (lit(1.0) - lenPenalty * 0.5),
+      lit(0.0)), 6)
   }
 
   /** Language-ID: score each candidate language by the fraction of its
