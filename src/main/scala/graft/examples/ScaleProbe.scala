@@ -59,6 +59,26 @@ object ScaleProbe {
             .partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey")
             .rowsBetween(Long.MinValue, 0))).count())
     }
+
+    // training-op hot paths: replicate docs/embeddings with shifted ids
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def docsX(k: Int): DataFrame =
+      (0 until k).map(i => docs.withColumn("doc_id",
+        col("doc_id") + lit(i * 100000L))).reduce(_ unionByName _)
+    def embX(k: Int): DataFrame =
+      (0 until k).map(i => emb.withColumn("vec_id",
+        col("vec_id") + lit(i * 100000L))).reduce(_ unionByName _)
+    for (k <- Seq(1, 4)) {
+      println(s"=== docs x$k / emb x$k ===")
+      time("simhash signatures")(
+        graft.dedup.Dedup.simhash(docsX(k)).count())
+      time("minhash signatures")(
+        graft.dedup.Dedup.minhashSignatures(docsX(k)).count())
+      time("knn brute (10 queries)")(
+        graft.sim.Similarity.bruteForceTopK(
+          embX(k), emb.filter(col("vec_id") < 10), k = 5).count())
+    }
     spark.stop()
   }
 }
