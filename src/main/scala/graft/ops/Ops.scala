@@ -117,6 +117,11 @@ object Ops {
     *
     * Output: all left columns + the right `payloadCols` (null when no
     * right row precedes).
+    *
+    * Precondition: (key, ts) is unique on the RIGHT side — with
+    * duplicate right timestamps the carried payload is whichever
+    * duplicate sorts last, which is not deterministic (the same caveat
+    * applies to engines' native ASOF joins).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                tsCol: String, payloadCols: Seq[String]): DataFrame = {
