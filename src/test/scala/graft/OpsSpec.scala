@@ -79,6 +79,27 @@ class OpsSpec extends SparkSpec {
       "p3" -> None))       // right row is later -> no match
   }
 
+  test("asofJoin matches naive theta-join + argmax on real events") {
+    val ev = graft.io.Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("sid"))
+    val fast = Ops.asofJoin(purchases, signups, Seq("user_id"), "ts", Seq("sid"))
+      .select("event_id", "sid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // naive: all (purchase, earlier-signup) pairs, keep latest signup
+    val naive = purchases.as("p")
+      .join(signups.as("s"),
+        col("p.user_id") === col("s.user_id") && col("p.ts") >= col("s.ts"),
+        "left")
+      .groupBy(col("p.event_id"))
+      .agg(max_by(col("s.sid"), col("s.ts")).as("sid"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(fast === naive)
+  }
+
   test("set ops: except/intersect/union-distinct") {
     val a = Seq(1, 2, 3, 3).toDF("k")
     val b = Seq(3, 4).toDF("k")
