@@ -72,6 +72,7 @@ object SparkEntry {
     "q_knn_brute"      -> (TrainingQueries.knnBruteForce _),
     "q_knn_ivf"        -> (TrainingQueries.knnIvf _),
     "q_emb_neardup"    -> (TrainingQueries.embNearDup _),
+    "q_emb_neardup_lsh" -> (TrainingQueries.embNearDupLsh _),
     "q_centroid"       -> (TrainingQueries.centroids _),
     "q_token_counts"   -> (TrainingQueries.tokenCounts _),
     "q_train_test_split" -> (TrainingQueries.trainTestSplit _),

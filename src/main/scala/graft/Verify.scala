@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // SURVEY §4: pandas `errors='coerce'` parity — malformed casts
+      // null out instead of throwing. Queries also use try_cast at every
+      // string→number site, so the suite is green under ANSI too; the
+      // pin just makes the driver-run config explicit.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

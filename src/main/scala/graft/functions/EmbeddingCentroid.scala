@@ -21,8 +21,12 @@ object EmbeddingCentroid
     if (v == null) buf
     else {
       val sums = if (buf._1.isEmpty) new Array[Double](v.length) else buf._1
+      // Ragged inputs must FAIL, not silently truncate to whichever
+      // dimensionality a partition happened to see first.
+      require(v.length == sums.length,
+        s"EmbeddingCentroid: embedding dim ${v.length} != ${sums.length}")
       var i = 0
-      while (i < v.length && i < sums.length) { sums(i) += v(i); i += 1 }
+      while (i < sums.length) { sums(i) += v(i); i += 1 }
       (sums, buf._2 + 1)
     }
   }
@@ -32,8 +36,10 @@ object EmbeddingCentroid
     if (a._1.isEmpty) b
     else if (b._1.isEmpty) a
     else {
+      require(a._1.length == b._1.length,
+        s"EmbeddingCentroid: partial dims ${a._1.length} != ${b._1.length}")
       var i = 0
-      while (i < a._1.length && i < b._1.length) { a._1(i) += b._1(i); i += 1 }
+      while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
       (a._1, a._2 + b._2)
     }
   }

@@ -27,6 +27,16 @@ object Tables {
     * µs timestamp with INTEGER division — `div`, not `/`: a double
     * round-trip at 1.7e18 nanos loses sub-ms precision (2^53 < ns
     * epoch).
+    *
+    * SESSION-WIDE EFFECT, by necessity: the conf is re-read from the
+    * session at scan EXECUTION time (ParquetFileFormat bakes it into the
+    * hadoop conf when the RDD is built), so a set/restore scoped to this
+    * method would break the later action, and ParquetOptions exposes no
+    * per-read equivalent (verified against the 4.1.2 jars). The flag
+    * only changes how TIMESTAMP(NANOS) columns surface (as LONG); no
+    * other testdata table has one, and any caller-supplied parquet with
+    * nanos timestamps would otherwise fail the read outright — so the
+    * blast radius is "reads that would have thrown now yield LONG".
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -66,13 +66,17 @@ object Ops {
 
   /** J1/J2: left equi-join enrichment with key normalization — both sides
     * cast the key to int before joining (reference
-    * `report_processor.py:235-236`). The dimension side is broadcast when
-    * small; at scale AQE demotes to sort-merge automatically.
+    * `report_processor.py:235-236`). `try_cast`, not `cast`: the
+    * reference coerces malformed keys to null (`errors='coerce'`), and
+    * try_cast preserves that under BOTH ANSI modes (a plain cast throws
+    * on malformed input when `spark.sql.ansi.enabled=true`). The
+    * dimension side is broadcast when small; at scale AQE demotes to
+    * sort-merge automatically.
     */
   def enrichLeft(fact: DataFrame, dim: DataFrame, key: String,
                  broadcastDim: Boolean = true): DataFrame = {
-    val f = fact.withColumn(key, col(key).cast("int"))
-    val d = dim.withColumn(key, col(key).cast("int"))
+    val f = fact.withColumn(key, col(key).try_cast("int"))
+    val d = dim.withColumn(key, col(key).try_cast("int"))
     f.join(if (broadcastDim) broadcast(d) else d, Seq(key), "left")
   }
 
@@ -87,14 +91,21 @@ object Ops {
     * `saltBuckets` reducers — phase 2 merges the partials on the true
     * keys. Identical result to [[groupedSum]] (sum is associative);
     * use when a handful of keys dominate (AQE's skew handling covers
-    * joins, not aggregations). The salt is `pmod(hash(all columns), n)`
-    * rather than rand() so the plan stays deterministic.
+    * joins, not aggregations). The salt is
+    * `pmod(hash(keys..., spark_partition_id()), n)` rather than rand()
+    * (deterministic within a run) and rather than hash(all columns):
+    * content-derived salt silently stops spreading exactly when the hot
+    * key's rows are duplicates — the common real-skew case — and
+    * `hash()` fails outright on MapType columns. Partition-id salt
+    * guarantees spread independent of row content (map-side combine
+    * already collapses within a partition, so one salt per input
+    * partition is the finest spread that matters).
     */
   def saltedGroupedSum(df: DataFrame, keys: Seq[String], valueCol: String,
                        alias: String = "value",
                        saltBuckets: Int = 16): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(saltBuckets)))
+      pmod(hash((keys.map(col) :+ spark_partition_id()): _*), lit(saltBuckets)))
     salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__partial"))
@@ -118,6 +129,14 @@ object Ops {
     * Output: all left columns + the right `payloadCols` (null when no
     * right row precedes).
     *
+    * The payload is carried as ONE struct per right row —
+    * `last(when(side=0, struct(payloads)), ignoreNulls)` — never as
+    * independent per-column `last`s: the struct is non-null for every
+    * right row, so (a) a legitimately-NULL payload field propagates
+    * faithfully instead of resurrecting an older row's value, and (b)
+    * every output field comes from the SAME matched right row rather
+    * than a per-column mix.
+    *
     * Precondition: (key, ts) is unique on the RIGHT side — with
     * duplicate right timestamps the carried payload is whichever
     * duplicate sorts last, which is not deterministic (the same caveat
@@ -126,30 +145,34 @@ object Ops {
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                tsCol: String, payloadCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(payloadCols.intersect(left.columns.toSeq).isEmpty,
+      s"asofJoin payload columns ${payloadCols.intersect(left.columns.toSeq)
+        .mkString(", ")} collide with left-side column names; alias the " +
+        "right-side payloads before joining")
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c).copy(name = c)))
     val lTagged = left
       .withColumn("__side", lit(1))
       .select((keyCols.map(col) :+ col(tsCol).as("__ts") :+ col("__side")) ++
         left.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
-          .map(col) ++
-        payloadCols.map(c => lit(null).cast(
-          right.schema(c).dataType).as(s"__p_$c")): _*)
+          .map(col) :+
+        lit(null).cast(payloadType).as("__payload"): _*)
     val rTagged = right
       .withColumn("__side", lit(0))
       .select((keyCols.map(col) :+ col(tsCol).as("__ts") :+ col("__side")) ++
         left.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payloadCols.map(col): _*).as("__payload"): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(lTagged.unionByName(rTagged)) {
-      case (df, c) =>
-        df.withColumn(s"__p_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
-    val out = carried.filter(col("__side") === 1)
+    lTagged.unionByName(rTagged)
+      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .drop("__side")
       .withColumnRenamed("__ts", tsCol)
-    payloadCols.foldLeft(out)((df, c) => df.withColumnRenamed(s"__p_$c", c))
+      .select(col("*") +: payloadCols.map(c => col(s"__payload.$c").as(c)): _*)
+      .drop("__payload")
   }
 
   /** §2.7: set ops are built-ins; exposed for surface completeness. */

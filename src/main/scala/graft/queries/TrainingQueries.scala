@@ -63,9 +63,27 @@ object TrainingQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** Embedding-cosine near-dup pairs (exact; native ArrayCosine). */
+  /** Embedding-cosine near-dup pairs, exact all-pairs form (native
+    * ArrayCosine). SMALL-CORPUS BASELINE ONLY: the theta self-join is a
+    * BroadcastNestedLoopJoin — quadratic in corpus size — kept because
+    * it is the oracle-checkable ground truth the LSH path is measured
+    * against. The 100 TB path is [[embNearDupLsh]].
+    */
   def embNearDup(s: SparkSession, d: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(s, d), threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** Embedding-cosine near-dup, banded-LSH form — the scale path: the
+    * join key is (band, bucket), never the pair product. Approximate
+    * (band-miss ⇒ no SQL oracle; recall vs the exact form is asserted
+    * in SimilaritySpec); precision is exact (candidates re-checked with
+    * the true cosine). Threshold 0.4 because the synthetic embeddings
+    * are near-random (max pairwise cosine ≈ 0.51): 0.4 yields a
+    * non-trivial pair set to exercise the pipeline.
+    */
+  def embNearDupLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.nearDupPairsLsh(Tables.embeddings(s, d), threshold = 0.4,
+      bands = 16, rowsPerBand = 4)
       .orderBy("id_a", "id_b")
 
   /** Per-label centroid, element-wise (posexplode + grouped avg —

@@ -70,28 +70,41 @@ object Similarity {
   /** Deterministic coarse centroids: the corpus rows whose id is in
     * `centroidIds` (k-means would be the production path; seeding by id
     * keeps the operator deterministic for the oracle).
+    *
+    * Plan shape (round-2 rewrite): a NARROW map — one `transform` over
+    * the ~k-element broadcast centroid array whose lambda body is the
+    * native codegen'd [[graft.functions.ArrayDot]], then a single
+    * `array_max` over `struct(sim, -id)` for the argmax (ties →
+    * smallest centroid id). The round-1 version folded a nested
+    * interpreted `aggregate(zip_with(...))` that recomputed each dot
+    * twice per step — the CollapseProject/HOF trap already documented in
+    * `Dedup.simhash`; BENCH_r01 had it at 33.8–78.8 s where this form
+    * benches ~1 s. Two deliberate choices keep it fast:
+    *  - the lambda dots the centroid UNIT vector against the RAW corpus
+    *    vector: argmax over `dot(ĉ, v)` equals argmax over cosine
+    *    because `|v|` is a positive per-row constant — so the corpus
+    *    normalization chain is never inlined into the lambda;
+    *  - no shuffle at all (vs. the posexplode+groupBy alternative,
+    *    which re-shuffles the full corpus): at 100 TB assignment stays
+    *    embarrassingly parallel.
     */
   def assignCells(corpus: DataFrame, centroids: DataFrame,
                   vecCol: String = "embedding",
                   idCol: String = "vec_id"): DataFrame = {
     val cents = withUnit(centroids, vecCol)
       .select(col(idCol).as("__cent_id"), col("__unit").as("__cent_unit"))
-    val rows = withUnit(corpus, vecCol)
-    // collect centroid list as one broadcastable array literal via
-    // cross-join of a 1-row aggregated frame (no driver collect)
+    // collect centroid list as one broadcastable array via cross-join of
+    // a 1-row aggregated frame (no driver collect)
     val centArr = cents.agg(
-      collect_list(struct(col("__cent_id"), col("__cent_unit"))).as("__cents"))
-    rows.crossJoin(broadcast(centArr))
-      .withColumn("cell", expr(
-        """aggregate(__cents,
-          |  struct(cast(-1L AS BIGINT) AS id, cast(-2D AS DOUBLE) AS sim),
-          |  (best, c) -> CASE WHEN aggregate(zip_with(c.__cent_unit, __unit,
-          |      (x, y) -> x * y), 0D, (acc, v) -> acc + v) > best.sim
-          |    THEN struct(c.__cent_id AS id,
-          |      aggregate(zip_with(c.__cent_unit, __unit, (x, y) -> x * y),
-          |        0D, (acc, v) -> acc + v) AS sim)
-          |    ELSE best END).id""".stripMargin))
-      .drop("__cents")
+      sort_array(collect_list(struct(col("__cent_id"), col("__cent_unit"))))
+        .as("__cents"))
+    withUnit(corpus, vecCol).crossJoin(broadcast(centArr))
+      .withColumn("__best", array_max(transform(col("__cents"), c =>
+        struct(
+          array_dot(c.getField("__cent_unit"), col(vecCol)).as("sim"),
+          (-c.getField("__cent_id")).as("nid")))))
+      .withColumn("cell", (-col("__best").getField("nid")).cast("long"))
+      .drop("__cents", "__best")
   }
 
   /** IVF top-k: probe only the cells of the `nProbe` centroids nearest
@@ -150,47 +163,118 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("__cos"), 6).as("cosine"))
   }
 
-  /** LSH-bucketed near-dup: candidates must share a random-hyperplane
-    * bucket, so the join key is the bucket, not the pair product.
-    * Approximate (misses cross-bucket pairs; raise `planes` ↓ buckets).
+  /** Banded random-hyperplane LSH keys: `bands` keys per row, band b
+    * packing the sign bits of hyperplanes [b·r, (b+1)·r). Two rows are
+    * candidates when ANY band matches (all r bits equal) — the standard
+    * AND-within-band / OR-across-bands construction, same shape as
+    * MinHash LSH banding. For a pair at angle θ the candidate
+    * probability is 1 − (1 − (1 − θ/π)^r)^bands: at cosine 0.5
+    * (θ = 60°), r = 4, bands = 8 ⇒ ≈ 0.84 (a SINGLE 8-plane bucket —
+    * `cosineLshBuckets` — would be (2/3)^8 ≈ 0.04, which is why near-dup
+    * goes through bands).
+    *
+    * Output: (id, band, bucket) — `bands` rows per input row. All dots
+    * are against driver-side literal hyperplanes (fully codegen'd, see
+    * [[cosineLshBuckets]]); the posexplode is a narrow `bands`× fan-out.
+    */
+  def cosineLshBands(df: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
+                     vecCol: String = "embedding",
+                     idCol: String = "vec_id", dim: Int = -1): DataFrame = {
+    require(rowsPerBand >= 1 && rowsPerBand <= 63,
+      s"rowsPerBand must be in [1,63]: $rowsPerBand")
+    val d = if (dim > 0) dim
+      else df.select(size(col(vecCol))).head().getInt(0)
+    val hp = hyperplanes(bands * rowsPerBand, d)
+    // band b's key packs the signs of its own rowsPerBand hyperplanes
+    val bandKeys = (0 until bands).map { b =>
+      (0 until rowsPerBand).map { j =>
+        when(array_dot(col(vecCol), lit(hp(b * rowsPerBand + j))) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }
+    df.select(col(idCol), posexplode(array(bandKeys: _*))
+      .as(Seq("band", "bucket")))
+  }
+
+  /** LSH-bucketed near-dup: candidates must share a band bucket, so the
+    * join key is (band, bucket), never the pair product — the same
+    * inverted-index-join scale shape as MinHash LSH. Approximate: a pair
+    * is missed when no band matches (raise `bands` for recall, raise
+    * `rowsPerBand` to cut candidates). `distinct()` collapses pairs
+    * caught by several bands BEFORE the exact cosine re-check would
+    * multiply, and the re-check keeps precision exact.
     */
   def nearDupPairsLsh(corpus: DataFrame, threshold: Double = 0.5,
-                      planes: Int = 8, vecCol: String = "embedding",
+                      bands: Int = 8, rowsPerBand: Int = 4,
+                      vecCol: String = "embedding",
                       idCol: String = "vec_id"): DataFrame = {
-    val buckets = cosineLshBuckets(corpus, planes, vecCol, idCol)
-    val withB = corpus.join(buckets, Seq(idCol))
-    val a = withB.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
-      col("bucket"))
-    val b = withB.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
-      col("bucket"))
-    a.join(b, Seq("bucket"))
+    val keys = cosineLshBands(corpus, bands, rowsPerBand, vecCol, idCol)
+    val a = keys.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = keys.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("__cos", array_cosine(col("__va"), col("__vb")))
       .filter(col("__cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("__cos"), 6).as("cosine"))
-      .distinct()
   }
 
-  /** Random-hyperplane LSH buckets for cosine: bit i of the bucket key
+  /** Random-hyperplane LSH buckets for cosine: bit p of the bucket key
     * is the sign of the dot product with a deterministic pseudo-random
-    * hyperplane derived from xxhash64(dimension, plane). Candidate
-    * pairs share a bucket; same inverted-index-join scale shape as
-    * MinHash LSH.
+    * hyperplane (splitmix64 of (plane, dimension) — seeded, so the same
+    * corpus always buckets identically). Candidate pairs share a
+    * bucket; same inverted-index-join scale shape as MinHash LSH.
+    *
+    * Plan shape (round-2 rewrite): the hyperplanes are materialized
+    * driver-side as literal arrays — they depend only on (planes, dim),
+    * never on data — so the bucket is `planes` native codegen'd
+    * [[graft.functions.ArrayDot]] calls + sign tests per row, fully
+    * inside whole-stage codegen. The round-1 form was a triple-nested
+    * interpreted HOF (aggregate over zip_with over transform) that
+    * re-derived every hyperplane component per row. Signs are taken
+    * against the RAW vector (same sign as the unit vector — positive
+    * scale), so no normalization chain either.
+    *
+    * `dim`: embedding dimensionality; pass it when known (saves a
+    * 1-row peek at the corpus).
     */
   def cosineLshBuckets(df: DataFrame, planes: Int = 16,
                        vecCol: String = "embedding",
-                       idCol: String = "vec_id"): DataFrame = {
-    val u = withUnit(df, vecCol)
-    // hyperplane p component d = (xxhash64(d, p) mod 1000)/1000 - 0.5
-    u.withColumn("bucket", expr(
-      s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) ->
-         |  acc | (CASE WHEN aggregate(
-         |    zip_with(__unit,
-         |      transform(sequence(0, size(__unit) - 1),
-         |        d -> cast(pmod(xxhash64(d, p), 1000L) AS DOUBLE) / 1000.0 - 0.5),
-         |      (x, h) -> x * h),
-         |    0D, (acc2, v) -> acc2 + v) > 0 THEN 1L ELSE 0L END << p))"""
-        .stripMargin))
-      .select(col(idCol), col("bucket"))
+                       idCol: String = "vec_id",
+                       dim: Int = -1): DataFrame = {
+    require(planes >= 1 && planes <= 63, s"planes must be in [1,63]: $planes")
+    val d = if (dim > 0) dim
+      else df.select(size(col(vecCol))).head().getInt(0)
+    val hp = hyperplanes(planes, d)
+    val bucket = (0 until planes).map { p =>
+      when(array_dot(col(vecCol), lit(hp(p))) > 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    df.select(col(idCol), bucket.as("bucket"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component i of plane p is
+    * splitmix64(p‖i) mapped into [-0.5, 0.5). splitmix64 is the
+    * standard public-domain 64-bit finalizer (Steele et al., "Fast
+    * Splittable Pseudorandom Number Generators"). Driver-side on
+    * purpose — they depend only on (n, dim), never on data.
+    */
+  private def hyperplanes(n: Int, d: Int): IndexedSeq[Array[Double]] = {
+    def mix(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until n).map { p =>
+      Array.tabulate(d) { i =>
+        java.lang.Math.floorMod(mix(p.toLong << 32 | i.toLong), 1000L)
+          .toDouble / 1000.0 - 0.5
+      }
+    }
   }
 }

@@ -45,6 +45,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("banded LSH near-dup: exact precision, high recall vs all-pairs") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.nearDupPairs(emb, threshold = 0.4))
+    val lsh = pairs(Similarity.nearDupPairsLsh(emb, threshold = 0.4,
+      bands = 16, rowsPerBand = 4))
+    assert(exact.nonEmpty, "fixture should contain pairs at cosine>=0.4")
+    // precision is exact by construction (true-cosine re-check)
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    info(s"banded LSH recall $recall over ${exact.size} exact pairs")
+    assert(recall >= 0.6, s"banded LSH recall $recall")
+  }
+
   test("LSH buckets: similar vectors collide more than dissimilar ones") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val buckets = Similarity.cosineLshBuckets(emb, planes = 8)
