@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Bench-stall forensics (VERDICT r1): every forked JVM logs GC +
+  // safepoint pauses so a wall-time spike can be attributed (or not)
+  // to the collector. %p = pid, so concurrent forks don't clobber.
+  "-Xlog:gc*,safepoint:file=target/jvm-%p.log:time,uptime,level,tags",
 )

@@ -1,29 +1,166 @@
 package graft
+
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.graftshim.ListenerBridge
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark. Emits ONE JSON line:
+  *
+  * {{{
+  * {"metric":"total","value":<sum of per-query best walls>,"unit":"sec",
+  *  "queries":{name: best-of-N wall sec, ...}, "sf": dir,
+  *  "iters":N, "method":"min_of_iters",
+  *  "errors":{name: message, ...},               // only failed queries
+  *  "detail":{name:{"wall":[per-iter sec...],
+  *                  "run_ms":…,"cpu_ms":…,"gc_ms":…,"tasks":…}, ...}}
+  * }}}
+  *
+  * Round-2 redesign, after BENCH_r01's instability (per-query swings up
+  * to ~50× between driver/judge runs, stalls landing on RANDOM queries):
+  *  - each query runs `SPARK_GRAFT_ITERS` (default 3) times and reports
+  *    the MINIMUM wall — the standard defense when the environment
+  *    injects multi-second stalls unrelated to plan cost; per-iteration
+  *    walls are kept in `detail` so a stall is visible, not hidden;
+  *  - a SparkListener accumulates task metrics (executorRunTime,
+  *    executorCpuTime, jvmGCTime, task count) per query, reported from
+  *    the best iteration: a query whose wall ≫ task run time stalled
+  *    outside Spark (scheduler/JVM/host); run ≫ cpu means the executor
+  *    threads were starved or blocked, gc isolates collector pauses;
+  *  - failures are LOUD: a throwing query records its actual elapsed
+  *    wall (never a fake fast time) plus the exception in `errors`, and
+  *    the process exits 0 only because a partial bench is still useful
+  *    to the driver — the `errors` key is the honesty signal.
+  */
 object Bench {
+
+  /** Accumulates executor-side task metrics between snapshots. */
+  final class MetricsListener extends SparkListener {
+    val runMs = new LongAdder; val cpuNs = new LongAdder
+    val gcMs = new LongAdder; val tasks = new LongAdder
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        runMs.add(m.executorRunTime)
+        cpuNs.add(m.executorCpuTime)
+        gcMs.add(m.jvmGCTime)
+        tasks.increment()
+      }
+    }
+    def snap: Array[Long] =
+      Array(runMs.sum, cpuNs.sum / 1000000L, gcMs.sum, tasks.sum)
+  }
+
+  final case class QueryResult(best: Double, walls: Seq[Double],
+                               metrics: Array[Long], err: Option[String])
+
+  /** Run one query `iters` times; min wall + metrics from the best
+    * iteration. A throwing query reports its TRUE elapsed wall and the
+    * exception — a broken query must never look fast.
+    */
+  def runQuery(spark: SparkSession, listener: MetricsListener, iters: Int)
+              (run: () => Long): QueryResult = {
+    var err: Option[String] = None
+    val runs = (1 to iters).map { _ =>
+      ListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+      val before = listener.snap
+      val t0 = System.nanoTime()
+      try {
+        run()
+        val wall = (System.nanoTime() - t0) / 1e9
+        ListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+        val after = listener.snap
+        (wall, after.zip(before).map { case (a, b) => a - b })
+      } catch {
+        case e: Throwable =>
+          err = Some(s"${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(300))
+          ((System.nanoTime() - t0) / 1e9, Array(0L, 0L, 0L, 0L))
+      }
+    }
+    val walls = runs.map(_._1)
+    val bestIdx = walls.indexOf(walls.min)
+    QueryResult(walls.min, walls, runs(bestIdx)._2, err)
+  }
+
+  private def jsonNum(d: Double): String =
+    if (d.isNaN || d.isInfinite) "null" else f"$d%.6f"
+
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // SURVEY §4: coercion parity with the reference (errors='coerce')
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+
     // Warm the JVM/codegen/parquet-reader paths so the first timed query
     // doesn't absorb one-time startup cost (JIT, codegen compiler init).
     spark.read.parquet(s"$sfDir/nation.parquet")
       .groupBy("n_regionkey").count().count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Warm the collation-aware string paths: Spark 4 routes case mapping
+    // of NON-ASCII strings through ICU (ASCII takes a fast path that
+    // never loads the class), and the CollationAwareUTF8String static
+    // init was observed (jstack, round 2) burning 60–250 s of CPU when
+    // it runs interpreted under C2 compile-queue pressure — landing in
+    // whichever TIMED query first touched non-ASCII text was the
+    // round-1 "random 30–90 s stall". Pay it here, untimed, with
+    // inputs that actually cross the ASCII boundary (Latin-1, CJK,
+    // Greek, Cyrillic).
+    spark.range(2).selectExpr(
+      "count(distinct lower(concat('Äß宇Ω', id)))",
+      "count(distinct upper(concat('éñ的д', id)))",
+      "count(distinct initcap(concat('über 北京 σπ', id)))",
+      "count(if(contains(concat('xÄ', id), 'Ä'), 1, null))",
+      "count(if(startswith(concat('Öx', id), 'Ö'), 1, null))",
+      "count(if(endswith(concat('xµ', id), 'µ'), 1, null))",
+      "count(distinct replace(concat('aÅ b', id), ' ', '_'))",
+      "count(distinct split(concat('aé bé', id), ' ')[0])",
+      "count(distinct trim(concat(' aβ ', id)))").count()
+
+    val results: Seq[(String, QueryResult)] =
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        name -> runQuery(spark, listener, iters)(() => fn(spark, sfDir).count())
+      }
+
+    val total = results.map(_._2.best).sum
+    val qs = results.map { case (k, r) => s"${jsonStr(k)}:${jsonNum(r.best)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, r) if r.err.isDefined =>
+      s"${jsonStr(k)}:${jsonStr(r.err.get)}" }
+    val detail = results.map { case (k, r) =>
+      val walls = r.walls.map(jsonNum).mkString("[", ",", "]")
+      s"${jsonStr(k)}:{" +
+        s""""wall":$walls,"run_ms":${r.metrics(0)},""" +
+        s""""cpu_ms":${r.metrics(1)},"gc_ms":${r.metrics(2)},""" +
+        s""""tasks":${r.metrics(3)}}"""
+    }.mkString("{", ",", "}")
+    val errPart =
+      if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":${jsonStr(sfDir)},"iters":$iters,"method":"min_of_iters"""" +
+      errPart + s""","detail":$detail}""")
     spark.stop()
+    if (results.exists(_._2.err.isDefined)) System.err.println(
+      s"[bench] ${errs.size} queries FAILED — see errors key")
   }
 }

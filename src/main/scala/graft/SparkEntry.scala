@@ -44,6 +44,7 @@ object SparkEntry {
     "q_string_funcs"   -> (FuncQueries.stringFuncs _),
     "q_date_funcs"     -> (FuncQueries.dateFuncs _),
     "q_coerce"         -> (FuncQueries.coerce _),
+    "q_format"         -> (FuncQueries.formatFuncs _),
     "q_md5"            -> (FuncQueries.md5Hash _),
     "q_json_extract"   -> (FuncQueries.jsonExtract _),
     "q_events_hourly"  -> (FuncQueries.eventsHourly _),
@@ -81,6 +82,9 @@ object SparkEntry {
     "q_top_bigrams"    -> (TrainingQueries.topBigrams _),
     "q_text_quality"   -> (TrainingQueries.textQuality _),
     "q_fingerprint"    -> (TrainingQueries.fingerprints _),
+    "q_repetition"     -> (TrainingQueries.repetition _),
+    "q_chunks"         -> (TrainingQueries.chunks _),
+    "q_redact"         -> (TrainingQueries.redact _),
     "q_lang_id"        -> (TrainingQueries.langId _)
   )
 
@@ -283,6 +287,16 @@ object SparkEntry {
         | TRY_CAST(o_orderstatus AS BIGINT) AS status_num,
         | CAST(floor(o_totalprice) AS BIGINT) AS price_int
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_format" ->
+      """SELECT o_orderkey,
+        | format('{:,}', CAST(floor(o_totalprice) AS BIGINT)) || '.' ||
+        |   lpad(CAST(CAST(round((o_totalprice - floor(o_totalprice)) * 100)
+        |     AS BIGINT) AS VARCHAR), 2, '0') AS price_display,
+        | format('{:,}', CAST(floor(o_totalprice) AS BIGINT))
+        |   AS price_grouped,
+        | 'https://data.example.org/pub/' || 'orders_' ||
+        |   CAST(o_orderkey AS VARCHAR) || '.json' AS url
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_md5" ->
       """SELECT doc_id, md5(text) AS text_md5,
         | substr(md5(lower(text)), 1, 8) AS md5_pfx
@@ -484,6 +498,42 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id,
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """SELECT doc_id,
+        | round(1.0 - len(list_distinct(regexp_split_to_array(trim(text),
+        |   '\s+'))) / nullif(CAST(len(regexp_split_to_array(trim(text),
+        |   '\s+')) AS DOUBLE), 0.0), 6) AS rep_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |nc AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) <= 32 THEN 1
+        |      ELSE (len(w) - 32 + 23) // 24 + 1 END AS n_chunks
+        |  FROM tok),
+        |c AS (
+        |  SELECT doc_id, len(w) AS n,
+        |    unnest([{ci: i,
+        |      txt: array_to_string(w[(i*24+1):(i*24+32)], ' ')}
+        |      for i in range(0, n_chunks)]) AS ch
+        |  FROM nc)
+        |SELECT doc_id, CAST(ch.ci AS BIGINT) AS chunk_id,
+        | ch.txt AS chunk_text,
+        | CAST(least(32, n - ch.ci*24) AS BIGINT) AS chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_redact" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |   AS n_emails,
+        | CAST(len(regexp_extract_all(text, '\d{4,}')) AS BIGINT)
+        |   AS n_long_nums,
+        | regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\d{4,}', '<NUM>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

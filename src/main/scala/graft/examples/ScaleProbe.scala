@@ -79,6 +79,23 @@ object ScaleProbe {
         graft.sim.Similarity.bruteForceTopK(
           embX(k), emb.filter(col("vec_id") < 10), k = 5).count())
     }
+
+    // The round-1 weak spots, head-to-head at growing replication:
+    // all-pairs near-dup (quadratic by construction) vs banded LSH
+    // (bucket-keyed equi-join), and the rewritten IVF cell assignment
+    // (narrow map — must stay linear).
+    for (k <- Seq(1, 4, 16)) {
+      println(s"=== near-dup scale: emb x$k (${2000 * k} vecs) ===")
+      if (k <= 4) // quadratic path: skip at 16x by design (32k^2 pairs)
+        time("nearDup all-pairs")(
+          graft.sim.Similarity.nearDupPairs(embX(k), 0.4).count())
+      time("nearDup banded LSH")(
+        graft.sim.Similarity.nearDupPairsLsh(embX(k), 0.4,
+          bands = 16, rowsPerBand = 4).count())
+      time("IVF assignCells")(
+        graft.sim.Similarity.assignCells(embX(k),
+          emb.filter(col("vec_id") < 20)).count())
+    }
     spark.stop()
   }
 }

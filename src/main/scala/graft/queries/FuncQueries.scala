@@ -52,6 +52,21 @@ object FuncQueries {
       floor(col("o_totalprice")).cast("long").as("price_int"))
       .orderBy("o_orderkey")
 
+  /** F7 display formatting + F11 URL join — the reference's
+    * `:,.2f` CloudWatch formatting (`report_processor.py:128-129,259`)
+    * and `urljoin` key building (`Task_1_sync_bls_files.py:155`).
+    * Presentation-layer only; values are formatted AFTER all math.
+    */
+  def formatFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      format_number(col("o_totalprice"), 2).as("price_display"),
+      format_number(floor(col("o_totalprice")).cast("long"), 0)
+        .as("price_grouped"),
+      concat(lit("https://data.example.org/pub/"), lit("orders_"),
+        col("o_orderkey").cast("string"), lit(".json")).as("url"))
+      .orderBy("o_orderkey")
+
   /** F9 content hashing (the sync engine's MD5 CDC) + F2 lower. */
   def md5Hash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(

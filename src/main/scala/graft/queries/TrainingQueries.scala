@@ -213,6 +213,28 @@ object TrainingQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** Token-repetition quality signal per document. */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
+      .orderBy("doc_id")
+
+  /** Sliding token chunks (training-sample windowing), 32-token chunks
+    * at stride 24; per-chunk id/text/token-count.
+    */
+  def chunks(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunkTokens(Tables.documents(s, d),
+      chunkSize = 32, stride = 24)
+      .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")
+      .orderBy("doc_id", "chunk_id")
+
+  /** PII-shaped scrubbing with audit counts. */
+  def redact(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.redact(Tables.documents(s, d))
+      .select("doc_id", "n_emails", "n_long_nums", "redacted")
+      .orderBy("doc_id")
+
   /** Language-ID heuristic (stopword-profile argmax). Heuristic scoring
     * → tested in TextSpec, aggregate shape here: predicted language
     * distribution.

@@ -1,0 +1,77 @@
+package graft.sync
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.io.{Catalog, Sinks}
+
+/** End-to-end catalog sync: mirror `srcDir` into `dstDir` — the whole of
+  * the reference's `sync_files()` (`lambda_functions/sync_and_fetch.py:
+  * 60-120` and `Task_1_sync_bls_files.py:150-198`) as one job:
+  *
+  *  1. hash both catalogs (distributed binary read + md5 per file),
+  *  2. one full-outer CDC plan ([[CdcMerge.plan]]) classifying every
+  *     key insert / update / skip / delete,
+  *  3. apply: copy insert+update, delete orphans.
+  *
+  * The apply loop is driver-side over the (small) action sets, exactly
+  * like the reference's per-key HTTP loop — the SCALE-CRITICAL part,
+  * hashing both catalogs, is distributed (one task per file). A 100
+  * M-object sync would swap step 3 for a distributed binaryFile
+  * read→write keyed by the fetch set; the plan side needs no change.
+  */
+object SyncJob {
+
+  private val catalogSchema = StructType(Seq(
+    StructField("name", StringType), StructField("path", StringType),
+    StructField("length", LongType), StructField("hash", StringType)))
+
+  /** [[Catalog.withContentHash]], tolerating a missing/empty dir (the
+    * destination on first sync) by returning an empty catalog.
+    */
+  def catalogOrEmpty(spark: SparkSession, dir: String): DataFrame = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a sync source/destination mutates between passes — drop any
+    // cached file listing for this path or pass 2 reads ghosts of
+    // files pass 1 deleted
+    spark.catalog.refreshByPath(dir)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+      Catalog.withContentHash(spark, dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], catalogSchema)
+  }
+
+  /** Plan + apply one sync; returns the merged plan
+    * `(name, action, remote_hash, stored_hash)` for reporting (the
+    * reference prints per-file outcomes; callers aggregate by action).
+    *
+    * The plan is materialized ONCE before any action runs: the apply
+    * step mutates the very directory the plan's scan lists, so handing
+    * back the lazy plan would re-read deleted files on the caller's
+    * next action. The materialized plan is catalog-sized (keys, not
+    * content) — the same driver-side footprint as the reference's
+    * per-file decision dict.
+    */
+  def run(spark: SparkSession, srcDir: String, dstDir: String): DataFrame = {
+    val merged = CdcMerge.plan(
+      catalogOrEmpty(spark, srcDir), catalogOrEmpty(spark, dstDir))
+    val rows = merged.collect()
+    val fetch = rows.filter(r => Set("insert", "update")(r.getString(1)))
+      .map(_.getString(0))
+    val del = rows.filter(_.getString(1) == "delete").map(_.getString(0))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dstDir).getFileSystem(conf)
+    fs.mkdirs(new Path(dstDir))
+    fetch.foreach { name =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new Path(s"$srcDir/$name"), fs, new Path(s"$dstDir/$name"),
+        false, true, conf)
+    }
+    Sinks.deletePaths(spark, del.toSeq.map(n => s"$dstDir/$n"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), merged.schema)
+  }
+}

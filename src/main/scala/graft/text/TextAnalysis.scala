@@ -91,6 +91,64 @@ object TextAnalysis {
       lit(0.0)), 6)
   }
 
+  /** Token-repetition ratio (Gopher-style repetition quality signal):
+    * fraction of tokens that are repeats of an earlier token,
+    * `1 − |distinct tokens| / |tokens|`. Narrow map — array ops only.
+    */
+  def repetitionRatio(text: Column): Column = {
+    val toks = tokens(text)
+    round(lit(1.0) - size(array_distinct(toks)) /
+      nullif(size(toks).cast("double"), lit(0.0)), 6)
+  }
+
+  /** Fixed-size sliding token chunks (the training-sample windowing
+    * step): chunk i covers tokens [i·stride+1, i·stride+chunkSize],
+    * 1-based, last chunk truncated. Emits one row per (doc, chunk) via
+    * posexplode of a per-row index sequence — a narrow `chunks`× fan-out
+    * with no shuffle; at 100 TB this is the map stage before a
+    * repartition-by-chunk-hash write.
+    *
+    * Output: input columns + `(chunk_id, chunk_text, chunk_tokens)`.
+    */
+  def chunkTokens(df: DataFrame, chunkSize: Int = 32, stride: Int = 24,
+                  textCol: String = "text"): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"need 1 <= stride <= chunkSize: $stride/$chunkSize")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // chunk count: 1 if n<=chunkSize else ceil((n-chunkSize)/stride)+1
+    val nChunks = when(n <= chunkSize, lit(1)).otherwise(
+      floor(((n - chunkSize + stride - 1) / stride)).cast("int") + 1)
+    df.withColumn("__toks", toks)
+      .withColumn("__nc", nChunks)
+      .select(col("*"),
+        posexplode(expr("sequence(0, __nc - 1)")).as(Seq("chunk_id", "__i")))
+      .withColumn("chunk_text",
+        array_join(slice(col("__toks"), col("chunk_id") * stride + 1,
+          lit(chunkSize)), " "))
+      .withColumn("chunk_tokens",
+        least(lit(chunkSize),
+          size(col("__toks")) - col("chunk_id") * stride).cast("long"))
+      .withColumn("chunk_id", col("chunk_id").cast("long"))
+      .drop("__toks", "__nc", "__i")
+  }
+
+  /** PII-shaped redaction (training-data scrubbing): emails →
+    * `<EMAIL>`, 4+-digit runs → `<NUM>`; counts of each kept for audit.
+    * Pure regexp expressions — codegen'd, narrow.
+    */
+  def redact(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val numRe = "\\d{4,}"
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))).cast("long"))
+      .withColumn("n_long_nums",
+        size(regexp_extract_all(col(textCol), lit(numRe), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+          numRe, "<NUM>"))
+  }
+
   /** Language-ID: score each candidate language by the fraction of its
     * stopword profile present in the token set, pick the argmax
     * (deterministic tie-break: language code ascending). Pure expression

@@ -1,0 +1,33 @@
+package graft
+
+/** Bench harness semantics — above all FAILURE HONESTY (VERDICT r1: a
+  * throwing query was silently timed as ~0 and looked fast).
+  */
+class BenchSpec extends SparkSpec {
+
+  private def listener = {
+    val l = new Bench.MetricsListener
+    spark.sparkContext.addSparkListener(l)
+    l
+  }
+
+  test("a throwing query reports its true elapsed wall plus the error") {
+    val r = Bench.runQuery(spark, listener, iters = 2) { () =>
+      Thread.sleep(50)
+      throw new IllegalStateException("injected failure")
+    }
+    assert(r.err.isDefined)
+    assert(r.err.get.contains("injected failure"))
+    assert(r.best >= 0.05, s"failed query must keep its real wall: ${r.best}")
+    assert(r.walls.length === 2)
+  }
+
+  test("a healthy query reports min-of-iters wall and task metrics") {
+    val r = Bench.runQuery(spark, listener, iters = 2) { () =>
+      spark.range(1000).selectExpr("sum(id)").collect()(0).getLong(0)
+    }
+    assert(r.err.isEmpty)
+    assert(r.best > 0 && r.best === r.walls.min)
+    assert(r.metrics(3) > 0, "best iteration should have run Spark tasks")
+  }
+}

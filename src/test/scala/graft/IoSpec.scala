@@ -63,6 +63,37 @@ class IoSpec extends SparkSpec {
     assert(Files.exists(stored.resolve("f2")))
   }
 
+  test("SyncJob.run applies insert/update/delete end-to-end and is idempotent") {
+    import graft.sync.SyncJob
+    val src = Files.createTempDirectory("sj_src")
+    val dst = Files.createTempDirectory("sj_dst")
+    Files.writeString(src.resolve("f_new"), "fresh")
+    Files.writeString(src.resolve("f_changed"), "v2")
+    Files.writeString(src.resolve("f_same"), "same")
+    Files.writeString(dst.resolve("f_changed"), "v1")
+    Files.writeString(dst.resolve("f_same"), "same")
+    Files.writeString(dst.resolve("f_orphan"), "gone upstream")
+
+    val plan1 = SyncJob.run(spark, src.toString, dst.toString)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(plan1 === Map("f_new" -> "insert", "f_changed" -> "update",
+      "f_same" -> "skip", "f_orphan" -> "delete"))
+    // destination now mirrors source byte-for-byte
+    assert(Files.readString(dst.resolve("f_new")) === "fresh")
+    assert(Files.readString(dst.resolve("f_changed")) === "v2")
+    assert(!Files.exists(dst.resolve("f_orphan")))
+    // second pass: nothing to do
+    val plan2 = SyncJob.run(spark, src.toString, dst.toString)
+      .collect().map(_.getString(1)).toSet
+    assert(plan2 === Set("skip"))
+    // first sync into a nonexistent destination: all inserts
+    val empty = Files.createTempDirectory("sj_empty").resolve("sub")
+    val plan3 = SyncJob.run(spark, src.toString, empty.toString)
+      .collect().map(_.getString(1)).toSet
+    assert(plan3 === Set("insert"))
+    assert(Files.readString(empty.resolve("f_same")) === "same")
+  }
+
   test("format round-trips: orc, csv (schema-first), json, text") {
     val base = Files.createTempDirectory("formats").toString
     val df = spark.read.parquet(s"$sfDir/nation.parquet")

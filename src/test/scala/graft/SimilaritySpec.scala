@@ -60,6 +60,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"banded LSH recall $recall")
   }
 
+  test("assignCells plans as a narrow map: no hash-partition exchange") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = Similarity.assignCells(emb, emb.filter(col("vec_id") < 20))
+      .queryExecution.executedPlan.toString
+    // the corpus side must not reshuffle — only the 20-row centroid
+    // aggregate (SinglePartition) and its broadcast are exchanges
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"cell assignment must stay narrow:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("nearDupPairsLsh candidates come from an equi-join, never a product") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = Similarity.nearDupPairsLsh(emb, 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"banded LSH must never plan a pair product:\n$plan")
+  }
+
   test("LSH buckets: similar vectors collide more than dissimilar ones") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val buckets = Similarity.cosineLshBuckets(emb, planes = 8)
