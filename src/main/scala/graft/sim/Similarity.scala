@@ -203,6 +203,21 @@ object Similarity {
     * `rowsPerBand` to cut candidates). `distinct()` collapses pairs
     * caught by several bands BEFORE the exact cosine re-check would
     * multiply, and the re-check keeps precision exact.
+    *
+    * PARAMETER LAW (measured in ScaleProbe): each band has only
+    * `2^rowsPerBand` buckets, so expected bucket occupancy is
+    * `n / 2^rowsPerBand` and candidate volume is
+    * `bands · 2^rowsPerBand · (n / 2^rowsPerBand)² / 2` — quadratic in n
+    * unless `rowsPerBand` GROWS with the corpus (keep
+    * `2^rowsPerBand ≳ n / 1000`, i.e. rowsPerBand ≈ log2(n) − 10). The
+    * defaults (8×4) suit ~10³-vector corpora and LOW thresholds (the
+    * sf0.01 oracle data has max cosine ≈ 0.5). A production near-dup
+    * pass (threshold ≥ 0.9, θ ≤ 26°, per-bit agreement ≥ 0.86) should
+    * run wide bands — e.g. `bands = 4–8, rowsPerBand = 16–24` gives
+    * recall 1−(1−0.86^16)^4 ≈ 0.6–0.9 with 65 k–16 M buckets per band;
+    * at rowsPerBand = 4 a 32 k-vector corpus already degenerates to
+    * ~2 000-row buckets and the candidate join costs MORE than the
+    * all-pairs product (819 s vs est. ~60 s at ×16 in ScaleProbe).
     */
   def nearDupPairsLsh(corpus: DataFrame, threshold: Double = 0.5,
                       bands: Int = 8, rowsPerBand: Int = 4,
