@@ -102,6 +102,23 @@ object Streams {
       }
   }
 
+  /** Streaming exact-dedup (the incremental leg of `dedup/Dedup.exact`):
+    * keep the FIRST arrival per content fingerprint, dropping re-sends
+    * that arrive within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` bounds the state store to
+    * fingerprints seen inside the horizon — at 100 TB/day the state is
+    * (fp → firstSeen) for one horizon, not the corpus history; a
+    * full-history dedup instead joins against the at-rest fingerprint
+    * table in `foreachBatch`.
+    */
+  def dedupStream(docs: DataFrame, textCol: String = "text",
+                  tsCol: String = "ts",
+                  watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", graft.text.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** The reference's recompute-per-file semantics: every micro-batch
     * triggers a full re-run of `recompute` over the batch (stream side)
     * and whatever static state the report joins against.

@@ -105,6 +105,30 @@ class StreamsSpec extends SparkSpec {
     assert(afterSecond === afterFirst) // nothing reprocessed
   }
 
+  test("streaming dedup keeps first arrival per fingerprint") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("docs_landing").toString
+    // 3 distinct texts, 6 rows: every text sent twice within the horizon
+    Seq(
+      (0L, "alpha beta", java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+      (1L, "alpha beta", java.sql.Timestamp.valueOf("2026-01-01 00:05:00")),
+      (2L, "Gamma  delta", java.sql.Timestamp.valueOf("2026-01-01 00:01:00")),
+      (3L, "gamma delta", java.sql.Timestamp.valueOf("2026-01-01 00:06:00")),
+      (4L, "epsilon", java.sql.Timestamp.valueOf("2026-01-01 00:02:00")),
+      (5L, "epsilon", java.sql.Timestamp.valueOf("2026-01-01 00:03:00"))
+    ).toDF("doc_id", "text", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val deduped = Streams.dedupStream(
+      Streams.fileSource(spark, dir, schema))
+    Streams.runAvailableNow(deduped, "dedup_stream_test")
+    val fps = spark.table("dedup_stream_test").collect()
+      .map(_.getAs[String]("fp"))
+    // fingerprint normalizes case + whitespace -> 3 survivors
+    assert(fps.length === 3)
+    assert(fps.distinct.length === 3)
+  }
+
   test("foreachBatch recompute sees every micro-batch (reference ST3)") {
     val schema = Tables.events(spark, sfDir).schema
     val stream = Streams.fileSource(spark, landingDir, schema,
