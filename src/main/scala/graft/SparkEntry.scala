@@ -85,6 +85,7 @@ object SparkEntry {
     "q_repetition"     -> (TrainingQueries.repetition _),
     "q_chunks"         -> (TrainingQueries.chunks _),
     "q_redact"         -> (TrainingQueries.redact _),
+    "q_curate"         -> (TrainingQueries.curate _),
     "q_lang_id"        -> (TrainingQueries.langId _)
   )
 

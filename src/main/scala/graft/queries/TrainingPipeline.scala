@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** End-to-end training-data curation: the composition a pretraining
+  * pipeline actually runs, built from this library's operators —
+  *
+  *   quality filter → language filter → exact dedup → near-dup drop →
+  *   sliding-window chunking → deterministic train/test split
+  *
+  * Every stage is one of the individually-verified operators; this
+  * object only composes them, so the 100 TB properties compose too:
+  * quality/language/chunking are narrow maps, exact dedup is one
+  * fingerprint-keyed shuffle, near-dup candidates come from the
+  * inverted shingle index (never a pair product), and the drop set is
+  * applied as a keyed left-anti join. Nothing touches the driver.
+  */
+object TrainingPipeline {
+
+  /** Curate `docs` into chunked, split training samples.
+    *
+    * @param minQuality  drop documents scoring below this
+    *                    ([[TextAnalysis.qualityScore]] ∈ [0,1])
+    * @param langs       keep documents whose predicted language is one
+    *                    of these (empty = keep all)
+    * @param nearDupThreshold trigram-Jaccard threshold; of each
+    *                    near-dup pair the LARGER doc_id is dropped
+    * @param chunkSize/stride sliding token window (overlap =
+    *                    chunkSize − stride)
+    * @param trainPct    percent of docs (by id hash) in the train split
+    *
+    * Output: (doc_id, chunk_id, chunk_text, chunk_tokens, lang_pred,
+    * quality_score, split).
+    */
+  def curate(docs: DataFrame,
+             minQuality: Double = 0.2,
+             langs: Seq[String] = Nil,
+             nearDupThreshold: Double = 0.8,
+             chunkSize: Int = 64, stride: Int = 48,
+             trainPct: Int = 90): DataFrame = {
+    // narrow scoring maps (no shuffle yet)
+    val scored = TextAnalysis.languageId(TextAnalysis.qualityMetrics(docs))
+      .filter(col("quality_score") >= minQuality)
+    val inLang =
+      if (langs.isEmpty) scored
+      else scored.filter(col("lang_pred").isin(langs: _*))
+    // exact dedup: one shuffle keyed by fingerprint
+    val exact = Dedup.exact(inLang)
+    // near-dup: inverted-index candidates, drop the larger id per pair
+    val dropIds = Dedup.ngramJaccard(exact, threshold = nearDupThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val unique = exact.join(dropIds, Seq("doc_id"), "left_anti")
+    // chunk + split (both narrow; split is the engine-portable Knuth
+    // hash so reruns and other engines agree bit-for-bit)
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100
+    TextAnalysis.chunkTokens(unique, chunkSize, stride)
+      .withColumn("split",
+        when(bucket < trainPct, "train").otherwise("test"))
+      .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens",
+        "lang_pred", "quality_score", "split")
+  }
+}

@@ -235,6 +235,18 @@ object TrainingQueries {
       .select("doc_id", "n_emails", "n_long_nums", "redacted")
       .orderBy("doc_id")
 
+  /** End-to-end curation (quality → language → dedup → near-dup →
+    * chunk → split), composed from the verified operators. The whole-
+    * pipeline result is property-tested (TrainingPipelineSpec); each
+    * stage has its own oracle — a single SQL oracle for the composition
+    * would re-prove what the stages already prove, so this entry is
+    * rows-only by design.
+    */
+  def curate(s: SparkSession, d: String): DataFrame =
+    TrainingPipeline.curate(Tables.documents(s, d),
+      minQuality = 0.2, chunkSize = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id")
+
   /** Language-ID heuristic (stopword-profile argmax). Heuristic scoring
     * → tested in TextSpec, aggregate shape here: predicted language
     * distribution.

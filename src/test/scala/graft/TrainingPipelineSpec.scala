@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.TrainingPipeline
+import graft.text.TextAnalysis
+
+/** End-to-end curation properties on the documents fixture: the
+  * composed pipeline must preserve each stage's guarantee.
+  */
+class TrainingPipelineSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val curated = TrainingPipeline.curate(docs,
+    minQuality = 0.2, chunkSize = 32, stride = 24).cache()
+
+  test("pipeline yields chunks and drops something (filters are live)") {
+    val nDocs = curated.select("doc_id").distinct().count()
+    assert(curated.count() > 0)
+    assert(nDocs > 0 && nDocs < docs.count(),
+      s"expected quality/near-dup filters to drop documents: $nDocs")
+  }
+
+  test("no two surviving documents share a fingerprint") {
+    val survivors = curated.select("doc_id").distinct()
+    val fps = docs.join(survivors, Seq("doc_id"))
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    assert(fps.count() === fps.distinct().count())
+  }
+
+  test("every chunk respects the window size and quality floor") {
+    assert(curated.filter(col("chunk_tokens") > 32 ||
+      col("chunk_tokens") < 1).count() === 0)
+    assert(curated.filter(col("quality_score") < 0.2).count() === 0)
+    assert(curated.filter(!col("split").isin("train", "test")).count() === 0)
+  }
+
+  test("split is deterministic and ~90/10 by document") {
+    val again = TrainingPipeline.curate(docs,
+      minQuality = 0.2, chunkSize = 32, stride = 24)
+    assert(curated.orderBy("doc_id", "chunk_id").collect().toSeq ===
+      again.orderBy("doc_id", "chunk_id").collect().toSeq)
+    val perDoc = curated.select("doc_id", "split").distinct()
+    val train = perDoc.filter(col("split") === "train").count().toDouble
+    val ratio = train / perDoc.count()
+    assert(ratio > 0.75 && ratio < 1.0, s"train ratio $ratio")
+  }
+}
