@@ -62,6 +62,7 @@ object SparkEntry {
     "q_approx_distinct" -> (FuncQueries.approxDistinct _),
     "q_latest_key"     -> (FuncQueries.latestKey _),
     "q_pivot"          -> (FuncQueries.pivotAgg _),
+    "q_unpivot"        -> (FuncQueries.unpivotMeasures _),
     "q_set_intersect"  -> (FuncQueries.setIntersect _),
     "q_from_json"      -> (FuncQueries.fromJson _),
     "q_media_features" -> (TrainingQueries.mediaFeatures _),
@@ -367,6 +368,13 @@ object SparkEntry {
         | round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
         | round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        | l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure,
+        | l_extendedprice AS value FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "q_set_intersect" ->
       """SELECT o_custkey AS custkey FROM orders
         |WHERE year(o_orderdate) = 1995

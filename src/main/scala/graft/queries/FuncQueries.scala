@@ -67,6 +67,22 @@ object FuncQueries {
         col("o_orderkey").cast("string"), lit(".json")).as("url"))
       .orderBy("o_orderkey")
 
+  /** Unpivot / melt (wide → long): the inverse of [[pivotAgg]], one row
+    * per (id, measure). Spark's `unpivot` plans as a single Expand —
+    * narrow, no shuffle; the oracle spells it as UNION ALL (same
+    * semantics, engine-portable).
+    */
+  def unpivotMeasures(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
   /** F9 content hashing (the sync engine's MD5 CDC) + F2 lower. */
   def md5Hash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
