@@ -55,33 +55,46 @@ object Bench {
   final case class QueryResult(best: Double, walls: Seq[Double],
                                metrics: Array[Long], err: Option[String])
 
-  /** Run one query `iters` times; min wall + metrics from the best
-    * iteration. A throwing query reports its TRUE elapsed wall and the
-    * exception — a broken query must never look fast.
+  /** Best-effort listener drain: `LiveListenerBus.waitUntilEmpty` has a
+    * built-in 10 s timeout that THROWS — under exactly the stall
+    * conditions this harness measures. Metrics being slightly stale is
+    * acceptable; aborting the bench (or mislabeling a successful query
+    * as failed) is not.
+    */
+  private def drainListenerBus(spark: SparkSession): Unit =
+    try ListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+    catch { case _: Throwable => () }
+
+  /** Run one query `iters` times; min wall + metrics over the
+    * SUCCESSFUL iterations (a transient failure must not contribute a
+    * fake-fast wall). If every iteration fails, the reported wall is
+    * the MAXIMUM elapsed — a broken query must never look fast — and
+    * the exception is carried in `err`.
     */
   def runQuery(spark: SparkSession, listener: MetricsListener, iters: Int)
               (run: () => Long): QueryResult = {
     var err: Option[String] = None
     val runs = (1 to iters).map { _ =>
-      ListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+      drainListenerBus(spark)
       val before = listener.snap
       val t0 = System.nanoTime()
       try {
         run()
         val wall = (System.nanoTime() - t0) / 1e9
-        ListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+        drainListenerBus(spark)
         val after = listener.snap
-        (wall, after.zip(before).map { case (a, b) => a - b })
+        (wall, after.zip(before).map { case (a, b) => a - b }, true)
       } catch {
         case e: Throwable =>
           err = Some(s"${e.getClass.getSimpleName}: " +
             String.valueOf(e.getMessage).take(300))
-          ((System.nanoTime() - t0) / 1e9, Array(0L, 0L, 0L, 0L))
+          ((System.nanoTime() - t0) / 1e9, Array(0L, 0L, 0L, 0L), false)
       }
     }
     val walls = runs.map(_._1)
-    val bestIdx = walls.indexOf(walls.min)
-    QueryResult(walls.min, walls, runs(bestIdx)._2, err)
+    val ok = runs.filter(_._3)
+    val best = if (ok.nonEmpty) ok.minBy(_._1) else runs.maxBy(_._1)
+    QueryResult(best._1, walls, best._2, err)
   }
 
   private def jsonNum(d: Double): String =

@@ -534,15 +534,18 @@ object SparkEntry {
         | CAST(least(32, n - ch.ci*24) AS BIGINT) AS chunk_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q_redact" ->
-      """SELECT doc_id,
+      """WITH ef AS (
+        |  SELECT doc_id, text, regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g') AS email_free
+        |  FROM documents)
+        |SELECT doc_id,
         | CAST(len(regexp_extract_all(text,
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
         |   AS n_emails,
-        | CAST(len(regexp_extract_all(text, '\d{4,}')) AS BIGINT)
+        | CAST(len(regexp_extract_all(email_free, '\d{4,}')) AS BIGINT)
         |   AS n_long_nums,
-        | regexp_replace(regexp_replace(text,
-        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |   '\d{4,}', '<NUM>', 'g') AS redacted
-        |FROM documents ORDER BY doc_id""".stripMargin
+        | regexp_replace(email_free, '\d{4,}', '<NUM>', 'g') AS redacted
+        |FROM ef ORDER BY doc_id""".stripMargin
   )
 }

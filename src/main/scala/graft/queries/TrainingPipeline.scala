@@ -54,9 +54,10 @@ object TrainingPipeline {
     val dropIds = Dedup.ngramJaccard(exact, threshold = nearDupThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
     val unique = exact.join(dropIds, Seq("doc_id"), "left_anti")
-    // chunk + split (both narrow; split is the engine-portable Knuth
-    // hash so reruns and other engines agree bit-for-bit)
-    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 100
+    // chunk + split (both narrow; split is the shared engine-portable
+    // Knuth hash so reruns, other engines, and q_train_test_split all
+    // agree bit-for-bit)
+    val bucket = TrainingQueries.splitBucket(col("doc_id"))
     TextAnalysis.chunkTokens(unique, chunkSize, stride)
       .withColumn("split",
         when(bucket < trainPct, "train").otherwise("test"))

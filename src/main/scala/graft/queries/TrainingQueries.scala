@@ -136,6 +136,23 @@ object TrainingQueries {
       .orderBy("media_id")
   }
 
+  /** Engine-portable Knuth split bucket in [0, 100):
+    * `((id mod 2³²) · 2654435761) mod 2³² mod 100`, computed with a
+    * SPLIT multiply (2654435761 = 40503·65536 + 31153) so the Long
+    * product cannot overflow — a direct `id * 2654435761L` THROWS under
+    * ANSI mode once id ≥ ~3.47e9, exactly the id range a 100 TB corpus
+    * reaches. Identical values to the direct form wherever that form
+    * doesn't overflow (the DuckDB oracle keeps the direct spelling).
+    * Shared by [[trainTestSplit]] and [[TrainingPipeline.curate]] so
+    * the two splits can never drift apart.
+    */
+  def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val m = lit(4294967296L)
+    val b = pmod(id.cast("long"), m)
+    pmod(pmod(pmod(b * lit(40503L), m) * lit(65536L) + b * lit(31153L), m),
+      lit(100L))
+  }
+
   /** Deterministic train/test split: multiplicative (Knuth) hash of the
     * id into 100 buckets, 90/10 split. Pure BIGINT arithmetic so any
     * engine reproduces the assignment bit-for-bit — the property a
@@ -143,8 +160,7 @@ object TrainingQueries {
     */
   def trainTestSplit(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("bucket",
-        expr("pmod(doc_id * 2654435761L, 4294967296L) % 100").cast("long"))
+      .withColumn("bucket", splitBucket(col("doc_id")).cast("long"))
       .withColumn("split",
         when(col("bucket") < 90, "train").otherwise("test"))
       .select("doc_id", "bucket", "split")

@@ -103,7 +103,10 @@ object Similarity {
         struct(
           array_dot(c.getField("__cent_unit"), col(vecCol)).as("sim"),
           (-c.getField("__cent_id")).as("nid")))))
-      .withColumn("cell", (-col("__best").getField("nid")).cast("long"))
+      // coalesce: with an EMPTY centroid set array_max yields NULL —
+      // keep the -1 sentinel the pre-rewrite fold returned
+      .withColumn("cell",
+        coalesce((-col("__best").getField("nid")).cast("long"), lit(-1L)))
       .drop("__cents", "__best")
   }
 
@@ -182,8 +185,7 @@ object Similarity {
                      idCol: String = "vec_id", dim: Int = -1): DataFrame = {
     require(rowsPerBand >= 1 && rowsPerBand <= 63,
       s"rowsPerBand must be in [1,63]: $rowsPerBand")
-    val d = if (dim > 0) dim
-      else df.select(size(col(vecCol))).head().getInt(0)
+    val d = if (dim > 0) dim else probeDim(df, vecCol)
     val hp = hyperplanes(bands * rowsPerBand, d)
     // band b's key packs the signs of its own rowsPerBand hyperplanes
     val bandKeys = (0 until bands).map { b =>
@@ -262,14 +264,24 @@ object Similarity {
                        idCol: String = "vec_id",
                        dim: Int = -1): DataFrame = {
     require(planes >= 1 && planes <= 63, s"planes must be in [1,63]: $planes")
-    val d = if (dim > 0) dim
-      else df.select(size(col(vecCol))).head().getInt(0)
+    val d = if (dim > 0) dim else probeDim(df, vecCol)
     val hp = hyperplanes(planes, d)
     val bucket = (0 until planes).map { p =>
       when(array_dot(col(vecCol), lit(hp(p))) > 0, lit(1L << p))
         .otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     df.select(col(idCol), bucket.as("bucket"))
+  }
+
+  /** 1-row peek at the embedding dimensionality (when the caller didn't
+    * pass `dim`). An EMPTY corpus yields a 1-dim placeholder — every
+    * downstream result is empty anyway, and throwing
+    * NoSuchElementException on an empty frame would break callers that
+    * filtered everything out.
+    */
+  private def probeDim(df: DataFrame, vecCol: String): Int = {
+    val h = df.select(size(col(vecCol)).as("d")).head(1)
+    if (h.isEmpty) 1 else math.max(h(0).getInt(0), 1)
   }
 
   /** Deterministic pseudo-random hyperplanes: component i of plane p is

@@ -63,11 +63,14 @@ object SyncJob {
       .map(_.getString(0))
     val del = rows.filter(_.getString(1) == "delete").map(_.getString(0))
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(dstDir).getFileSystem(conf)
-    fs.mkdirs(new Path(dstDir))
+    // resolve each side's OWN FileSystem — src and dst may live on
+    // different schemes (s3a → file, hdfs → s3a, ...)
+    val srcFs = new Path(srcDir).getFileSystem(conf)
+    val dstFs = new Path(dstDir).getFileSystem(conf)
+    dstFs.mkdirs(new Path(dstDir))
     fetch.foreach { name =>
       org.apache.hadoop.fs.FileUtil.copy(
-        fs, new Path(s"$srcDir/$name"), fs, new Path(s"$dstDir/$name"),
+        srcFs, new Path(s"$srcDir/$name"), dstFs, new Path(s"$dstDir/$name"),
         false, true, conf)
     }
     Sinks.deletePaths(spark, del.toSeq.map(n => s"$dstDir/$n"))

@@ -134,19 +134,21 @@ object TextAnalysis {
   }
 
   /** PII-shaped redaction (training-data scrubbing): emails →
-    * `<EMAIL>`, 4+-digit runs → `<NUM>`; counts of each kept for audit.
-    * Pure regexp expressions — codegen'd, narrow.
+    * `<EMAIL>`, then 4+-digit runs → `<NUM>`; counts of each kept for
+    * audit. `n_long_nums` is counted on the EMAIL-REDACTED text so the
+    * counts reconcile exactly with the `<NUM>` tokens in the output
+    * (digits inside an email are part of its `<EMAIL>` redaction, not a
+    * separate number). Pure regexp expressions — codegen'd, narrow.
     */
   def redact(df: DataFrame, textCol: String = "text"): DataFrame = {
     val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val numRe = "\\d{4,}"
+    val emailFree = regexp_replace(col(textCol), emailRe, "<EMAIL>")
     df.withColumn("n_emails",
         size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))).cast("long"))
       .withColumn("n_long_nums",
-        size(regexp_extract_all(col(textCol), lit(numRe), lit(0))).cast("long"))
-      .withColumn("redacted",
-        regexp_replace(regexp_replace(col(textCol), emailRe, "<EMAIL>"),
-          numRe, "<NUM>"))
+        size(regexp_extract_all(emailFree, lit(numRe), lit(0))).cast("long"))
+      .withColumn("redacted", regexp_replace(emailFree, numRe, "<NUM>"))
   }
 
   /** Language-ID: score each candidate language by the fraction of its

@@ -22,6 +22,19 @@ class BenchSpec extends SparkSpec {
     assert(r.walls.length === 2)
   }
 
+  test("a transiently-failing query never contributes its failed wall") {
+    var calls = 0
+    val r = Bench.runQuery(spark, listener, iters = 3) { () =>
+      calls += 1
+      if (calls == 1) throw new IllegalStateException("flaky once")
+      Thread.sleep(30)
+      1L
+    }
+    assert(r.err.isDefined) // the flake is still reported
+    assert(r.best >= 0.03, // but the wall comes from a SUCCESSFUL run
+      s"min must be over successful iterations: ${r.best}")
+  }
+
   test("a healthy query reports min-of-iters wall and task metrics") {
     val r = Bench.runQuery(spark, listener, iters = 2) { () =>
       spark.range(1000).selectExpr("sum(id)").collect()(0).getLong(0)

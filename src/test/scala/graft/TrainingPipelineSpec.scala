@@ -35,6 +35,21 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(curated.filter(!col("split").isin("train", "test")).count() === 0)
   }
 
+  test("splitBucket matches the Knuth hash and survives huge ids") {
+    import spark.implicits._
+    import graft.queries.TrainingQueries.splitBucket
+    // includes ids past 2^31 and past the ANSI-overflow boundary of the
+    // naive `id * 2654435761L` spelling (~3.47e9)
+    val ids = Seq(0L, 1L, 17L, 499L, 2147483648L, 5000000000L, 1L << 40)
+    val got = ids.toDF("id").select(splitBucket(col("id")).as("b"))
+      .collect().map(_.getLong(0))
+    val want = ids.map { id =>
+      ((BigInt(id).mod(BigInt(2).pow(32)) * BigInt(2654435761L))
+        .mod(BigInt(2).pow(32)).mod(100)).toLong
+    }
+    assert(got.toSeq === want)
+  }
+
   test("split is deterministic and ~90/10 by document") {
     val again = TrainingPipeline.curate(docs,
       minQuality = 0.2, chunkSize = 32, stride = 24)
