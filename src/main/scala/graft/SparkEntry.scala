@@ -63,6 +63,7 @@ object SparkEntry {
     "q_latest_key"     -> (FuncQueries.latestKey _),
     "q_pivot"          -> (FuncQueries.pivotAgg _),
     "q_unpivot"        -> (FuncQueries.unpivotMeasures _),
+    "q_rank"           -> (FuncQueries.rankFuncs _),
     "q_set_intersect"  -> (FuncQueries.setIntersect _),
     "q_from_json"      -> (FuncQueries.fromJson _),
     "q_media_features" -> (TrainingQueries.mediaFeatures _),
@@ -368,6 +369,17 @@ object SparkEntry {
         | round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
         | round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(rank() OVER w AS BIGINT) AS price_rank,
+        | CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | round(percent_rank() OVER w, 6) AS price_pct_rank,
+        | round(cume_dist() OVER w, 6) AS price_cume_dist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
         | l_quantity AS value FROM lineitem

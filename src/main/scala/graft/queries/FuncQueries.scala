@@ -67,6 +67,24 @@ object FuncQueries {
         col("o_orderkey").cast("string"), lit(".json")).as("url"))
       .orderBy("o_orderkey")
 
+  /** §2.5 completion: the ranking-function family — rank / dense_rank /
+    * lead / percent_rank / cume_dist per customer over order history.
+    * One shuffle on the partition key, same plan shape as
+    * [[CoreQueries.windowFuncs]].
+    */
+  def rankFuncs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      rank().over(w).cast("long").as("price_rank"),
+      dense_rank().over(w).cast("long").as("price_dense_rank"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      round(percent_rank().over(w), 6).as("price_pct_rank"),
+      round(cume_dist().over(w), 6).as("price_cume_dist"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Unpivot / melt (wide → long): the inverse of [[pivotAgg]], one row
     * per (id, measure). Spark's `unpivot` plans as a single Expand —
     * narrow, no shuffle; the oracle spells it as UNION ALL (same
