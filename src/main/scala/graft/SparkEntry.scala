@@ -64,6 +64,7 @@ object SparkEntry {
     "q_pivot"          -> (FuncQueries.pivotAgg _),
     "q_unpivot"        -> (FuncQueries.unpivotMeasures _),
     "q_rank"           -> (FuncQueries.rankFuncs _),
+    "q_math_funcs"     -> (FuncQueries.mathFuncs _),
     "q_set_intersect"  -> (FuncQueries.setIntersect _),
     "q_from_json"      -> (FuncQueries.fromJson _),
     "q_media_features" -> (TrainingQueries.mediaFeatures _),
@@ -369,6 +370,20 @@ object SparkEntry {
         | round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
         | round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        | abs(l_quantity - 25.0) AS abs_dev,
+        | round(sqrt(l_extendedprice), 6) AS sqrt_price,
+        | round(exp(l_discount), 6) AS exp_disc,
+        | round(ln(l_extendedprice), 6) AS ln_price,
+        | round(log10(l_extendedprice), 6) AS log10_price,
+        | round(pow(l_quantity, 2.0), 6) AS qty_sq,
+        | CASE WHEN l_quantity > 25.0 THEN 1.0
+        |   WHEN l_quantity < 25.0 THEN -1.0 ELSE 0.0 END AS qty_sign,
+        | greatest(l_tax, l_discount) AS max_rate,
+        | least(l_tax, l_discount) AS min_rate,
+        | CAST(l_orderkey % 7 AS BIGINT) AS key_mod7
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_rank" ->
       """SELECT o_custkey, o_orderkey,
         | CAST(rank() OVER w AS BIGINT) AS price_rank,

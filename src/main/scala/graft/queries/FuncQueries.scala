@@ -67,6 +67,25 @@ object FuncQueries {
         col("o_orderkey").cast("string"), lit(".json")).as("url"))
       .orderBy("o_orderkey")
 
+  /** §2.8 completion: the scalar math family — abs/sqrt/exp/ln/log10/
+    * power/sign/greatest/least/mod — rounded to 6dp for cross-engine
+    * hash stability. Narrow map, codegen'd end-to-end.
+    */
+  def mathFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      abs(col("l_quantity") - 25.0).as("abs_dev"),
+      round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+      round(exp(col("l_discount")), 6).as("exp_disc"),
+      round(log(col("l_extendedprice")), 6).as("ln_price"),
+      round(log10(col("l_extendedprice")), 6).as("log10_price"),
+      round(pow(col("l_quantity"), 2.0), 6).as("qty_sq"),
+      signum(col("l_quantity") - 25.0).as("qty_sign"),
+      greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+      least(col("l_tax"), col("l_discount")).as("min_rate"),
+      pmod(col("l_orderkey"), lit(7L)).cast("long").as("key_mod7"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** §2.5 completion: the ranking-function family — rank / dense_rank /
     * lead / percent_rank / cume_dist per customer over order history.
     * One shuffle on the partition key, same plan shape as
