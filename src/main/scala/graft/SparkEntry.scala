@@ -65,6 +65,7 @@ object SparkEntry {
     "q_unpivot"        -> (FuncQueries.unpivotMeasures _),
     "q_rank"           -> (FuncQueries.rankFuncs _),
     "q_math_funcs"     -> (FuncQueries.mathFuncs _),
+    "q_date_arith"     -> (FuncQueries.dateArith _),
     "q_set_intersect"  -> (FuncQueries.setIntersect _),
     "q_from_json"      -> (FuncQueries.fromJson _),
     "q_media_features" -> (TrainingQueries.mediaFeatures _),
@@ -370,6 +371,16 @@ object SparkEntry {
         | round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
         | round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        | CAST(date_diff('day', o_orderdate, DATE '1998-12-31') AS BIGINT)
+        |   AS days_to_eoy98,
+        | last_day(o_orderdate) AS month_end,
+        | CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        | CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+        | CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        | CAST(weekofyear(o_orderdate) AS BIGINT) AS woy
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         | abs(l_quantity - 25.0) AS abs_dev,

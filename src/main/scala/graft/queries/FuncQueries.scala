@@ -67,6 +67,24 @@ object FuncQueries {
         col("o_orderkey").cast("string"), lit(".json")).as("url"))
       .orderBy("o_orderkey")
 
+  /** §2.8 completion: date arithmetic — datediff / last_day /
+    * add_months (end-of-month clamping) / week truncation / day-of-week
+    * / ISO week. Day-of-week conventions differ across engines (Spark:
+    * 1 = Sunday; DuckDB: 0 = Sunday) — the oracle compensates, the
+    * VALUES are the contract.
+    */
+  def dateArith(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      datediff(lit("1998-12-31").cast("date"), col("o_orderdate"))
+        .cast("long").as("days_to_eoy98"),
+      last_day(col("o_orderdate")).as("month_end"),
+      add_months(col("o_orderdate"), 3).as("plus3m"),
+      date_trunc("week", col("o_orderdate")).cast("date").as("week_start"),
+      dayofweek(col("o_orderdate")).cast("long").as("dow"),
+      weekofyear(col("o_orderdate")).cast("long").as("woy"))
+      .orderBy("o_orderkey")
+
   /** §2.8 completion: the scalar math family — abs/sqrt/exp/ln/log10/
     * power/sign/greatest/least/mod — rounded to 6dp for cross-engine
     * hash stability. Narrow map, codegen'd end-to-end.
