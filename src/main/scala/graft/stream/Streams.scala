@@ -102,6 +102,35 @@ object Streams {
       }
   }
 
+  /** Watermarked stream-stream inner join: match each right event to
+    * left events of the same key within `[left.ts, left.ts + maxDelay]`
+    * — e.g. purchases attributed to the preceding view. BOTH sides
+    * carry watermarks and the join has a time-range predicate, which is
+    * what lets Spark BOUND the buffered state (each side evicts rows
+    * older than watermark + range) — an unconstrained stream-stream
+    * join would buffer forever. At 100 TB/day state is sharded by the
+    * equi-key like any keyed shuffle.
+    *
+    * Output: key, left ts/id, right ts/id, and the right value.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       keyCol: String = "user_id",
+                       tsCol: String = "ts", idCol: String = "event_id",
+                       valueCol: String = "value",
+                       maxDelay: String = "30 minutes",
+                       watermark: String = "10 minutes"): DataFrame = {
+    val l = left
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol), col(tsCol).as("l_ts"), col(idCol).as("l_id"))
+    val r = right
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).as("__rk"), col(tsCol).as("r_ts"),
+        col(idCol).as("r_id"), col(valueCol).as("r_value"))
+    l.join(r, col(keyCol) === col("__rk") && col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"))
+      .drop("__rk")
+  }
+
   /** Streaming exact-dedup (the incremental leg of `dedup/Dedup.exact`):
     * keep the FIRST arrival per content fingerprint, dropping re-sends
     * that arrive within the watermark horizon.

@@ -105,6 +105,31 @@ class StreamsSpec extends SparkSpec {
     assert(afterSecond === afterFirst) // nothing reprocessed
   }
 
+  test("stream-stream join matches the batch time-range join") {
+    val schema = Tables.events(spark, sfDir).schema
+    def src() = Streams.fileSource(spark, landingDir, schema)
+    val joined = Streams.streamStreamJoin(
+      src().filter(col("event_type") === "view"),
+      src().filter(col("event_type") === "purchase"))
+    Streams.runAvailableNow(joined, "ss_join_test")
+    val streamed = spark.table("ss_join_test")
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.events(spark, sfDir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("__rk"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+    val batch = v.join(p, col("user_id") === col("__rk") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 30 minutes"))
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture should produce view->purchase pairs")
+    assert(streamed === batch)
+  }
+
   test("streaming dedup keeps first arrival per fingerprint") {
     import spark.implicits._
     val dir = Files.createTempDirectory("docs_landing").toString
