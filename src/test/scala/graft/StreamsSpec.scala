@@ -130,6 +130,22 @@ class StreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-static broadcast enrichment preserves every stream row") {
+    val schema = Tables.events(spark, sfDir).schema
+    val ev = Streams.fileSource(spark, landingDir, schema)
+      .withColumn("key", pmod(col("user_id"), lit(1500L)) + 1)
+    // static dimension side: plain batch frame, broadcast into every
+    // micro-batch — the standard streaming enrichment shape
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").cast("long").as("key"), col("c_name"))
+    val out = ev.join(broadcast(dim), Seq("key"), "left")
+    Streams.runAvailableNow(out, "enrich_test")
+    val n = Tables.events(spark, sfDir).count()
+    val got = spark.table("enrich_test")
+    assert(got.count() === n) // left join: nothing dropped
+    assert(got.filter(col("c_name").isNotNull).count() > 0)
+  }
+
   test("streaming dedup keeps first arrival per fingerprint") {
     import spark.implicits._
     val dir = Files.createTempDirectory("docs_landing").toString
