@@ -40,6 +40,8 @@ object SparkEntry {
     "q_array_funcs"  -> (CoreQueries.arrayFuncs _),
     "q_rollup"       -> (CoreQueries.rollupAgg _),
     "q_star_join"    -> (CoreQueries.starJoin _),
+    "q_topk_group"   -> (CoreQueries.topKPerGroup _),
+    "q_range_join"   -> (CoreQueries.rangeJoinBands _),
     // scalar functions / semi-structured / events (SURVEY §2.8–2.9)
     "q_string_funcs"   -> (FuncQueries.stringFuncs _),
     "q_date_funcs"     -> (FuncQueries.dateFuncs _),
@@ -60,6 +62,7 @@ object SparkEntry {
     "q_cube"           -> (FuncQueries.cubeAgg _),
     "q_count_distinct" -> (FuncQueries.countDistinctAgg _),
     "q_approx_distinct" -> (FuncQueries.approxDistinct _),
+    "q_approx_percentile" -> (FuncQueries.approxPercentile _),
     "q_latest_key"     -> (FuncQueries.latestKey _),
     "q_pivot"          -> (FuncQueries.pivotAgg _),
     "q_unpivot"        -> (FuncQueries.unpivotMeasures _),
@@ -90,6 +93,8 @@ object SparkEntry {
     "q_chunks"         -> (TrainingQueries.chunks _),
     "q_redact"         -> (TrainingQueries.redact _),
     "q_curate"         -> (TrainingQueries.curate _),
+    "q_dedup_clusters" -> (TrainingQueries.dedupClusters _),
+    "q_pack"           -> (TrainingQueries.pack _),
     "q_lang_id"        -> (TrainingQueries.langId _)
   )
 
@@ -268,6 +273,21 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_topk_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice FROM part
+        |QUALIFY row_number() OVER (PARTITION BY p_brand
+        |  ORDER BY p_retailprice DESC, p_partkey ASC) <= 3
+        |ORDER BY p_brand, p_partkey""".stripMargin,
+    "q_range_join" ->
+      """WITH bands AS (
+        |  SELECT p_brand AS band_brand, min(p_retailprice) AS band_lo,
+        |    max(p_retailprice) AS band_hi
+        |  FROM part GROUP BY 1)
+        |SELECT band_brand, count(*) AS n_in_band,
+        | round(avg(p_retailprice), 6) AS avg_in_band
+        |FROM part JOIN bands
+        |  ON p_retailprice BETWEEN band_lo AND band_hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS name_upper,
         | lower(p_brand) AS brand_lower,
@@ -571,6 +591,53 @@ object SparkEntry {
         | ch.txt AS chunk_text,
         | CAST(least(32, n - ch.ci*24) AS BIGINT) AS chunk_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |     for i in range(1, len(w) - 1)])) AS shingle
+        |  FROM tok),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_both
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN cnt ca ON ca.doc_id = doc_a
+        |  JOIN cnt cb ON cb.doc_id = doc_b
+        |  WHERE round(n_both / (ca.n + cb.n - n_both), 6) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach
+        |  GROUP BY a)
+        |SELECT d.doc_id,
+        | COALESCE(c.cluster, d.doc_id) AS cluster_id,
+        | COALESCE(c.cluster, d.doc_id) = d.doc_id AS is_kept
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_pack" ->
+      """SELECT doc_id, source, n_tokens,
+        | CAST(floor((cum - 1) / 256) AS BIGINT) AS bin
+        |FROM (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    sum(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |      AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q_redact" ->
       """WITH ef AS (
         |  SELECT doc_id, text, regexp_replace(text,

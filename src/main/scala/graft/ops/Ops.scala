@@ -175,6 +175,54 @@ object Ops {
       .drop("__payload")
   }
 
+  /** O2 variant: top-k rows per group (window `row_number <= k`), ties
+    * resolved by the caller's ordering — append a unique key to make it
+    * total. One shuffle on the partition columns; at 100 TB the window
+    * sorts within each group only (no global sort), and k small means
+    * the output is |groups|·k regardless of input size.
+    */
+  def topKPerGroup(df: DataFrame, k: Int, partCols: Seq[String],
+                   ordering: Column*): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Scale-safe point-in-interval (range) join: for each `points` row,
+    * all `intervals` rows with `lo <= point <= hi` — WITHOUT the
+    * BroadcastNestedLoopJoin a naive theta-join plans to.
+    *
+    * Both sides are keyed to a bin grid of width `binWidth`: the point
+    * gets its single bin `floor(point/w)`, the interval is exploded to
+    * every bin it overlaps (`sequence(floor(lo/w), floor(hi/w))`), and
+    * the join becomes an EQUI-join on the bin followed by the exact
+    * interval predicate. Each matching (point, interval) pair meets in
+    * exactly ONE bin (the point's), so no post-join dedup is needed.
+    *
+    * At 100 TB this is the difference between a keyed shuffle
+    * (candidates bounded by bin occupancy) and the quadratic pair
+    * product. Choose `binWidth` near the typical interval length:
+    * fan-out per interval is `len/binWidth + 1` bins, candidate volume
+    * per bin is |points in bin| × |intervals overlapping bin|.
+    * Column names must not collide across the two sides.
+    */
+  def rangeJoinBinned(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, loCol: String, hiCol: String,
+                      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(points.columns.intersect(intervals.columns).isEmpty,
+      "rangeJoinBinned: column names collide across sides — alias first")
+    val p = points.withColumn("__bin",
+      floor(col(pointCol) / lit(binWidth)).cast("long"))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / lit(binWidth)).cast("long"),
+        floor(col(hiCol) / lit(binWidth)).cast("long"))))
+    p.join(iv, Seq("__bin"))
+      .filter(col(pointCol).between(col(loCol), col(hiCol)))
+      .drop("__bin")
+  }
+
   /** §2.7: set ops are built-ins; exposed for surface completeness. */
   def setMinus(left: DataFrame, right: DataFrame): DataFrame = left.except(right)
   def setIntersect(left: DataFrame, right: DataFrame): DataFrame = left.intersect(right)

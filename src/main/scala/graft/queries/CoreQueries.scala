@@ -234,6 +234,37 @@ object CoreQueries {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** O2 per-group top-k: the 3 highest-priced parts per brand,
+    * deterministic tie-break on part key. Output is |brands|·k rows
+    * regardless of input size — the window sorts per group, never
+    * globally.
+    */
+  def topKPerGroup(s: SparkSession, d: String): DataFrame =
+    Ops.topKPerGroup(Tables.part(s, d), 3, Seq("p_brand"),
+      col("p_retailprice").desc, col("p_partkey").asc)
+      .select("p_brand", "p_partkey", "p_retailprice")
+      .orderBy("p_brand", "p_partkey")
+
+  /** Point-in-interval range join via bin-grid equi-join
+    * ([[Ops.rangeJoinBinned]]): per brand, how many parts (of ANY
+    * brand) price inside that brand's [min, max] band. The naive
+    * spelling is a theta-join (BroadcastNestedLoopJoin — the plan shape
+    * that dies at scale); the binned form shuffles on the bin key only.
+    */
+  def rangeJoinBands(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    val bands = p.groupBy(col("p_brand").as("band_brand"))
+      .agg(min("p_retailprice").as("band_lo"),
+        max("p_retailprice").as("band_hi"))
+    val points = p.select(col("p_partkey"), col("p_retailprice"))
+    Ops.rangeJoinBinned(points, bands,
+      "p_retailprice", "band_lo", "band_hi", binWidth = 100.0)
+      .groupBy("band_brand")
+      .agg(count(lit(1)).as("n_in_band"),
+        round(avg("p_retailprice"), 6).as("avg_in_band"))
+      .orderBy("band_brand")
+  }
+
   /** Multi-way join: region → nation → customer → orders rollup, the
     * star-schema path. nation/region are tiny → broadcast both; the only
     * shuffle is the final per-nation aggregate.

@@ -239,6 +239,24 @@ object FuncQueries {
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** Approximate percentile sketch (GK/KLL-family `percentile_approx`)
+    * — the mergeable-quantile path for 100 TB where exact per-group
+    * sort-percentiles ([[percentiles]]) get expensive. Sketch
+    * implementations differ across engines → no SQL oracle; accuracy
+    * vs the exact percentiles is asserted in FuncSpec.
+    */
+  def approxPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+          .as("ap50_qty"),
+        percentile_approx(col("l_quantity"), lit(0.9), lit(10000))
+          .as("ap90_qty"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("ap50_price"))
+      .orderBy("l_returnflag")
+
   /** As-of join: each purchase enriched with the user's latest signup
     * at-or-before the purchase time (composed single-shuffle form,
     * [[graft.ops.Ops.asofJoin]]; the oracle uses DuckDB's native

@@ -263,6 +263,48 @@ object TrainingQueries {
       minQuality = 0.2, chunkSize = 32, stride = 24)
       .orderBy("doc_id", "chunk_id")
 
+  /** Dedup clustering: near-dup pairs (n-gram Jaccard ≥ 0.8) →
+    * transitive closure via [[graft.graph.ConnectedComponents]] → one
+    * kept representative (minimum doc_id) per cluster; singletons keep
+    * themselves. This is the step that turns PAIRS into the actual
+    * drop-list a curation pipeline applies.
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    import graft.graph.ConnectedComponents
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramJaccard(docs, threshold = 0.8)
+    val comps = ConnectedComponents.run(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+    docs.join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"),
+        (coalesce(col("component"), col("doc_id")) === col("doc_id"))
+          .as("is_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget document packing (training-batch construction):
+    * within each source, documents are packed in doc_id order into
+    * consecutive bins by cumulative token count — bin = ⌊(cumsum−1)/B⌋,
+    * so a bin can overflow by at most its last document (contiguous
+    * packing, the deterministic oracle-able form; true first-fit
+    * bin-packing is order-dependent and engine-unportable). One window
+    * pass per source partition — at 100 TB the partition key (source)
+    * bounds each window's sort.
+    */
+  def pack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+      .withColumn("bin",
+        floor((sum("n_tokens").over(w) - 1) / lit(256)).cast("long"))
+      .select("doc_id", "source", "n_tokens", "bin")
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic (stopword-profile argmax). Heuristic scoring
     * → tested in TextSpec, aggregate shape here: predicted language
     * distribution.

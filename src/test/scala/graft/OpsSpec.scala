@@ -100,6 +100,49 @@ class OpsSpec extends SparkSpec {
     assert(fast === naive)
   }
 
+  test("topKPerGroup matches per-group sort-take") {
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+    val got = Ops.topKPerGroup(df, 2, Seq("o_orderstatus"),
+      col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderstatus", "o_orderkey")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = df.collect()
+      .map(r => (r.getAs[String]("o_orderstatus"),
+        r.getAs[Long]("o_orderkey"), r.getAs[Double]("o_totalprice")))
+      .groupBy(_._1).toSeq.flatMap { case (st, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(2).map(t => (st, t._2)).toSeq
+      }.toSet
+    assert(got === want)
+  }
+
+  test("rangeJoinBinned matches the naive theta-join") {
+    val rnd = new scala.util.Random(99)
+    val points = (1 to 300).map(i => (i.toLong, rnd.nextDouble() * 1000))
+      .toDF("pid", "p")
+    val intervals = (1 to 40).map { i =>
+      val lo = rnd.nextDouble() * 900
+      (i.toLong, lo, lo + rnd.nextDouble() * 150)
+    }.toDF("iid", "lo", "hi")
+    val fast = Ops.rangeJoinBinned(points, intervals, "p", "lo", "hi", 50.0)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val naive = points.join(intervals,
+      col("p").between(col("lo"), col("hi")))
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exactly once per matching pair — compare as sorted multisets
+    assert(fast.sorted.toSeq === naive.sorted.toSeq)
+  }
+
+  test("rangeJoinBinned plans an equi-join, not a nested-loop product") {
+    val points = Seq((1L, 5.0)).toDF("pid", "p")
+    val intervals = Seq((1L, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    val plan = Ops.rangeJoinBinned(points, intervals, "p", "lo", "hi", 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("set ops: except/intersect/union-distinct") {
     val a = Seq(1, 2, 3, 3).toDF("k")
     val b = Seq(3, 4).toDF("k")

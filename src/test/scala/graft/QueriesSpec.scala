@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{FuncQueries, TrainingQueries}
+
+/** Accuracy and invariant tests for query entries whose contract is not
+  * SQL-oracle-expressible: approximate sketches (engine-specific
+  * algorithms) and the packing/clustering invariants.
+  */
+class QueriesSpec extends SparkSpec {
+
+  test("approx_count_distinct within 5% of exact per group") {
+    val exact = FuncQueries.countDistinctAgg(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = FuncQueries.approxDistinct(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"group $k: approx ${approx(k)} vs exact $n")
+    }
+  }
+
+  test("approx percentiles within 10% of exact percentiles per group") {
+    val exact = FuncQueries.percentiles(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val approx = FuncQueries.approxPercentile(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(approx.keySet === exact.keySet)
+    def close(a: Double, e: Double): Boolean =
+      math.abs(a - e) <= math.max(1.0, math.abs(e) * 0.10)
+    exact.foreach { case (k, (p50q, p90q, p50p)) =>
+      val (a50q, a90q, a50p) = approx(k)
+      assert(close(a50q, p50q) && close(a90q, p90q) && close(a50p, p50p),
+        s"group $k: approx ($a50q,$a90q,$a50p) vs exact ($p50q,$p90q,$p50p)")
+    }
+  }
+
+  test("pack: bins are contiguous per source and respect the budget rule") {
+    val got = TrainingQueries.pack(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(got.length.toLong === docs) // every doc packed exactly once
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      // bin ids are non-decreasing in doc order and start at bin of first
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sorted.toSeq)
+      // recompute the cumulative rule
+      var cum = 0L
+      sorted.foreach { case (_, _, n, bin) =>
+        cum += n
+        assert(bin === math.floor((cum - 1).toDouble / 256).toLong)
+      }
+    }
+  }
+
+  test("dedup clusters: pairs co-cluster, non-pairs of kept docs differ") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = graft.dedup.Dedup.ngramJaccard(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = TrainingQueries.dedupClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every near-dup pair lands in the same cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster label is a member of the cluster and is its minimum
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min === label)
+    }
+  }
+}
