@@ -60,6 +60,8 @@ object SparkEntry {
     "q_histogram"      -> (FuncQueries.histogram _),
     "q_tfidf"          -> (TrainingQueries.tfidf _),
     "q_cube"           -> (FuncQueries.cubeAgg _),
+    "q_grouping_sets"  -> (FuncQueries.groupingSets _),
+    "q_window_range"   -> (FuncQueries.windowRangeFrame _),
     "q_count_distinct" -> (FuncQueries.countDistinctAgg _),
     "q_approx_distinct" -> (FuncQueries.approxDistinct _),
     "q_approx_percentile" -> (FuncQueries.approxPercentile _),
@@ -375,6 +377,24 @@ object SparkEntry {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST,
         |  l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | count(*) AS n_rows,
+        | CAST(grouping(l_returnflag) AS BIGINT) AS flag_rolled
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | CAST(count(*) OVER w AS BIGINT) AS n_90d,
+        | round(sum(o_totalprice) OVER w, 2) AS spend_90d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |  RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps

@@ -105,6 +105,28 @@ object ScaleProbe {
         graft.sim.Similarity.assignCells(embX(k),
           emb.filter(col("vec_id") < 20)).count())
     }
+    // Round-2 additions: connected components (iterative joins — cost
+    // is rounds x edges, rounds = cluster diameter, NOT corpus size)
+    // and the binned range join (equi-join on the bin grid — candidate
+    // volume is bin-occupancy-bounded, not |points| x |intervals|).
+    for (k <- Seq(1, 4, 16)) {
+      println(s"=== graph/range scale x$k ===")
+      // synthetic near-dup edges: per replica, chains of 4 docs — edge
+      // count scales linearly with k, diameter stays constant
+      val edges = docsX(k).select((col("doc_id") / 4).cast("long").as("src"),
+        col("doc_id").as("dst"))
+      time("connected components")(
+        graft.graph.ConnectedComponents.run(edges).count())
+      val pts = docsX(k).select(col("doc_id").as("pid"),
+        (pmod(col("doc_id") * 7919L, lit(100000L))).cast("double").as("p"))
+      val iv = (0 until 1000).map { i =>
+        (i.toLong, i * 100.0, i * 100.0 + 500.0)
+      }
+      import spark.implicits._
+      val ivDf = iv.toDF("iid", "lo", "hi")
+      time("binned range join")(
+        Ops.rangeJoinBinned(pts, ivDf, "p", "lo", "hi", 100.0).count())
+    }
     spark.stop()
   }
 }

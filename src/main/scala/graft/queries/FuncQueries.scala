@@ -220,6 +220,40 @@ object FuncQueries {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Explicit GROUPING SETS — the general form rollup/cube are sugar
+    * for: exactly the (flag, status) and (status) levels, nothing else
+    * (one Expand node feeding one hash aggregate; levels are computed
+    * in a single pass, not one scan per set). `grouping()` marks the
+    * rolled-up cells so an all-NULL data value can't masquerade as a
+    * subtotal row.
+    */
+  def groupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"),
+        grouping(col("l_returnflag")).cast("long").as("flag_rolled"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Window with a RANGE frame over a real ordering column: for each
+    * order, spend and count across the SAME customer's orders within
+    * the preceding 90 days (value-based frame — ROWS can't express
+    * this; the frame boundary is data, not position).
+    */
+  def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+      .rangeBetween(-90L * 86400, 0)
+    Tables.orders(s, d)
+      .withColumn("n_90d", count(lit(1)).over(w).cast("long"))
+      .withColumn("spend_90d", round(sum("o_totalprice").over(w), 2))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "n_90d", "spend_90d")
+      .orderBy("o_orderkey")
+  }
+
   /** Exact distinct-count aggregate per group (expands to two-phase
     * aggregation; the approximate path is approxDistinct below).
     */

@@ -102,6 +102,76 @@ object Streams {
       }
   }
 
+  /** Open-session state for [[closedSessions]] (epoch millis). */
+  case class SessState(start: Long, end: Long, n: Long, total: Double)
+
+  /** A completed session emitted by [[closedSessions]]. */
+  case class SessionOut(user_id: Long, s_start: java.sql.Timestamp,
+                        s_end: java.sql.Timestamp, n_events: Long,
+                        session_value: Double)
+
+  /** Gap-based sessionization with COMPLETED-session emission
+    * (`flatMapGroupsWithState` + event-time timeout) — the custom-state
+    * generalization of [[sessionCounts]]: rather than the built-in
+    * session_window aggregate, the operator owns its state machine, so
+    * it can emit a session exactly once, the moment it is known closed
+    * (either a later in-batch event opens the next session, or the
+    * watermark passes `end + gap` and the timeout fires).
+    *
+    * State per user = ONE open session (start, end, n, sum) — bounded
+    * by user cardinality, evicted on timeout; at 100 TB/day the state
+    * store shards by user like any keyed shuffle. Events are processed
+    * in event-time order within each micro-batch; late events older
+    * than the watermark are dropped by the watermark contract (same as
+    * the built-in session window).
+    */
+  def closedSessions(events: DataFrame, gapMinutes: Int = 30,
+                     watermark: String = "10 minutes")
+                    (implicit spark: SparkSession)
+  : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermark)
+      .selectExpr("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state) =>
+          def out(s: SessState) = SessionOut(uid,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+            s.n, math.rint(s.total * 100) / 100)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(out(s))
+          } else {
+            val closed = scala.collection.mutable.ListBuffer.empty[SessState]
+            var cur = state.getOption
+            rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, v) =>
+              val t = ts.getTime
+              cur match {
+                case Some(s) if t <= s.end + gapMs =>
+                  cur = Some(SessState(s.start, math.max(s.end, t),
+                    s.n + 1, s.total + v))
+                case Some(s) =>
+                  closed += s
+                  cur = Some(SessState(t, t, 1, v))
+                case None =>
+                  cur = Some(SessState(t, t, 1, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.iterator.map(out)
+          }
+      }
+  }
+
   /** Watermarked stream-stream inner join: match each right event to
     * left events of the same key within `[left.ts, left.ts + maxDelay]`
     * — e.g. purchases attributed to the preceding view. BOTH sides

@@ -70,6 +70,37 @@ class ScaleSpec extends SparkSpec {
       "GreaterThan(o_totalprice,100000.0)"), plan)
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions") {
+    // fact partitioned by year on disk; the selective dim filter is only
+    // known at runtime -> the scan must carry a dynamicpruning partition
+    // filter (subquery/broadcast reuse), not read all partitions
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // dim must be a real scan with a surviving selective filter — an
+    // in-memory LocalRelation gets its filter constant-folded away and
+    // DPP's selectivity check sees nothing to prune with
+    val dimDir = Files.createTempDirectory("graft_dpp_dim").toString
+    (1992 to 2005).map(y => (y, if (y == 1995) "hit" else "miss"))
+      .toDF("d_year", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val q = fact.join(dim, col("o_year") === col("d_year"))
+      .filter(col("tag") === "hit")
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter on the fact scan:\n$plan")
+    // and the result matches the statically-pruned equivalent
+    val want = fact.filter(col("o_year") === 1995)
+      .agg(count(lit(1)), sum("o_totalprice")).collect()(0)
+    val got = q.collect()(0)
+    assert(got.getLong(0) === want.getLong(0))
+    assert(got.getDouble(1) === want.getDouble(1))
+  }
+
   test("top-k compiles to TakeOrderedAndProject, not a total sort") {
     val or = spark.read.parquet(s"$sfDir/orders.parquet")
     val plan = physical(Ops.topK(or, 10, col("o_totalprice").desc))

@@ -170,6 +170,44 @@ class StreamsSpec extends SparkSpec {
     assert(fps.distinct.length === 3)
   }
 
+  test("flatMapGroupsWithState emits each closed session exactly once") {
+    import spark.implicits._
+    implicit val s = spark
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val dir = Files.createTempDirectory("sessions_landing").toString
+    // three files -> three micro-batches (maxFilesPerTrigger=1, mtime
+    // order). Batch 1: user 1 has two sessions (gap 30m) — the second
+    // event at 01:00 closes the first IN-batch. Batches 2-3: user 999
+    // advances the watermark so user 1's open session times out; 999's
+    // own 05:00 session closes in-batch at 10:00; the 10:00 session
+    // stays open (never emitted).
+    Seq((1L, ts("2026-01-01 00:00:00"), 1.0),
+        (1L, ts("2026-01-01 00:10:00"), 2.0),
+        (1L, ts("2026-01-01 01:00:00"), 4.0))
+      .toDF("user_id", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    Seq((999L, ts("2026-01-01 05:00:00"), 8.0))
+      .toDF("user_id", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/f2")
+    Seq((999L, ts("2026-01-01 10:00:00"), 16.0))
+      .toDF("user_id", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/f3")
+    val schema = spark.read.parquet(s"$dir/f1").schema
+    val stream = Streams.fileSource(spark, s"$dir/*", schema,
+      maxFilesPerTrigger = Some(1))
+    Streams.runAvailableNow(Streams.closedSessions(stream).toDF(),
+      "closed_sessions_test")
+    val got = spark.table("closed_sessions_test")
+      .select("user_id", "s_start", "s_end", "n_events", "session_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got === Set(
+      (1L, ts("2026-01-01 00:00:00"), ts("2026-01-01 00:10:00"), 2L, 3.0),
+      (1L, ts("2026-01-01 01:00:00"), ts("2026-01-01 01:00:00"), 1L, 4.0),
+      (999L, ts("2026-01-01 05:00:00"), ts("2026-01-01 05:00:00"), 1L, 8.0)))
+  }
+
   test("foreachBatch recompute sees every micro-batch (reference ST3)") {
     val schema = Tables.events(spark, sfDir).schema
     val stream = Streams.fileSource(spark, landingDir, schema,
