@@ -73,6 +73,8 @@ object SparkEntry {
     "q_date_arith"     -> (FuncQueries.dateArith _),
     "q_set_intersect"  -> (FuncQueries.setIntersect _),
     "q_from_json"      -> (FuncQueries.fromJson _),
+    "q_variant"        -> (FuncQueries.variantJson _),
+    "q_hll_union"      -> (FuncQueries.hllSketchUnion _),
     "q_media_features" -> (TrainingQueries.mediaFeatures _),
     // training-data pipeline surface (north star)
     "q_dedup_exact"    -> (TrainingQueries.dedupExact _),
@@ -462,6 +464,10 @@ object SparkEntry {
         |ORDER BY custkey""".stripMargin,
     "q_from_json" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_variant" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k,
+        | CAST(props->>'$.missing' AS BIGINT) AS k_missing
         |FROM events ORDER BY event_id""".stripMargin,
     "q_media_features" ->
       """SELECT doc_id AS media_id, 'fake/utf8' AS format,

@@ -291,6 +291,40 @@ object FuncQueries {
           .as("ap50_price"))
       .orderBy("l_returnflag")
 
+  /** Semi-structured access through the VARIANT type (Spark 4):
+    * `parse_json` once into a binary variant, then typed path
+    * extraction — the modern replacement for per-path
+    * `get_json_object` re-parsing (one parse amortizes across any
+    * number of paths; at 100 TB that is the difference between one
+    * and N JSON scans of every value). A missing path extracts as
+    * NULL, matching the coercion policy.
+    */
+  def variantJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+      expr("variant_get(parse_json(props), '$.missing', 'bigint')")
+        .as("k_missing"))
+      .orderBy("event_id")
+
+  /** Mergeable distinct-count sketches (`hll_sketch_agg` /
+    * `hll_union_agg`): partial sketches built per (flag, status) then
+    * UNIONED to the flag level — the pre-aggregation pattern that makes
+    * 100 TB distinct-counting cheap (sketch tables are tiny,
+    * re-unionable across partitions/days without touching raw data,
+    * which plain `approx_count_distinct` results are not). Sketch
+    * bytes are engine-specific → rows-only; accuracy vs exact is
+    * asserted in QueriesSpec.
+    */
+  def hllSketchUnion(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(expr("hll_sketch_agg(l_partkey)").as("__sk"))
+      .groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(__sk))")
+        .cast("long").as("approx_parts"))
+      .orderBy("l_returnflag")
+
   /** As-of join: each purchase enriched with the user's latest signup
     * at-or-before the purchase time (composed single-shuffle form,
     * [[graft.ops.Ops.asofJoin]]; the oracle uses DuckDB's native

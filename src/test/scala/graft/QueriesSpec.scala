@@ -39,6 +39,20 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("hll sketch-union estimate within 5% of exact per flag") {
+    val exact = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = FuncQueries.hllSketchUnion(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"flag $k: sketch ${approx(k)} vs exact $n")
+    }
+  }
+
   test("pack: bins are contiguous per source and respect the budget rule") {
     val got = TrainingQueries.pack(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
