@@ -102,6 +102,51 @@ object Streams {
       }
   }
 
+  /** [[UserStat]] running totals as a Spark 4 `StatefulProcessor` —
+    * the `transformWithState` successor to [[runningUserTotals]]'s
+    * `mapGroupsWithState`: state lives in NAMED typed variables on the
+    * processor handle (here one `ValueState[(count, sum)]` per user)
+    * instead of a single opaque blob, composes with timers/TTL, and
+    * requires the RocksDB state store provider (the disk-backed store
+    * that holds 100 TB/day state without executor-heap pressure).
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), UserStat] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                                 timers: TimerValues): Iterator[UserStat] = {
+      var (n, t) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { r => n += 1; t += r._2 }
+      totals.update((n, t))
+      Iterator.single(UserStat(key, n, math.rint(t * 100) / 100))
+    }
+  }
+
+  /** [[runningUserTotals]] via `transformWithState` (see
+    * [[RunningTotalsProcessor]]). Caller must run with
+    * `spark.sql.streaming.stateStore.providerClass` set to the RocksDB
+    * provider — transformWithState refuses the default HDFS-backed
+    * store.
+    */
+  def runningUserTotalsTws(events: DataFrame)
+                          (implicit spark: SparkSession)
+  : org.apache.spark.sql.Dataset[UserStat] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Open-session state for [[closedSessions]] (epoch millis). */
   case class SessState(start: Long, end: Long, n: Long, total: Double)
 

@@ -83,6 +83,37 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState running totals match batch aggregation") {
+    implicit val s = spark
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val schema = Tables.events(spark, sfDir).schema
+      val stream = Streams.fileSource(spark, landingDir, schema)
+      val q = Streams.runningUserTotalsTws(stream)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("user_totals_tws")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val streamed = spark.table("user_totals_tws").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val batch = Tables.events(spark, sfDir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(streamed === batch)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("checkpoint gives exactly-once file processing across restarts (ST4)") {
     val schema = Tables.events(spark, sfDir).schema
     val ckpt = Files.createTempDirectory("ckpt").toString
