@@ -91,6 +91,23 @@ object Readers {
       .select("r.*")
   }
 
+  /** Line-delimited JSON with RECORD-level null-on-error: PERMISSIVE
+    * mode parks unparseable lines in `_corrupt_record` (schema fields
+    * null) instead of failing the scan (FAILFAST) or silently dropping
+    * them (DROPMALFORMED) — the record-level analog of the cell-level
+    * `try_cast` policy, and the shape a 100 TB ingest needs: one bad
+    * line must neither kill a 10-hour job nor vanish unaudited.
+    * Callers route `_corrupt_record IS NOT NULL` rows to a quarantine
+    * sink and drop the column on the clean path.
+    */
+  def readJsonlTolerant(spark: SparkSession, path: String,
+                        schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** Fuzzy column resolution, mirroring the reference's case-insensitive
     * substring detection of the Year/Population columns
     * (`report_processor.py:84-93`). Reference iterates all columns and the

@@ -50,7 +50,14 @@ object TrainingPipeline {
       else scored.filter(col("lang_pred").isin(langs: _*))
     // exact dedup: one shuffle keyed by fingerprint
     val exact = Dedup.exact(inLang)
-    // near-dup: inverted-index candidates, drop the larger id per pair
+    // near-dup: inverted-index candidates, drop the larger id per pair.
+    // Pair-based dropping is deliberately single-pass (no iteration on
+    // the curation hot path): it guarantees no surviving PAIR exceeds
+    // the threshold. When exactly-one-per-transitive-cluster semantics
+    // are required (chains a~b~c where a,c were never a candidate
+    // pair), run graph.ConnectedComponents over these pairs instead —
+    // TrainingQueries.dedupClusters is that composition, verified
+    // against a recursive-closure oracle.
     val dropIds = Dedup.ngramJaccard(exact, threshold = nearDupThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
     val unique = exact.join(dropIds, Seq("doc_id"), "left_anti")

@@ -129,6 +129,28 @@ class IoSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
   }
 
+  test("tolerant jsonl read quarantines corrupt lines, keeps good rows") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("jsonl").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in.jsonl"),
+      """{"id": 1, "v": "a"}
+        |{"id": 2, "v": "b"}
+        |{this is not json
+        |{"id": 3, "v": "c"}
+        |also not json
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    val rows = graft.io.Readers
+      .readJsonlTolerant(spark, s"$dir/in.jsonl", schema).collect()
+    val good = rows.filter(_.isNullAt(2))
+    val bad = rows.filter(!_.isNullAt(2))
+    assert(good.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(bad.length === 2) // every corrupt line audited, none dropped
+    assert(bad.forall(_.isNullAt(0))) // schema fields null on bad rows
+  }
+
   test("timestamped path + json sink + record sink") {
     val out = Sinks.timestampedPath(
       Files.createTempDirectory("sink").toString, "population_data_", ".json")
