@@ -42,6 +42,7 @@ object SparkEntry {
     "q_star_join"    -> (CoreQueries.starJoin _),
     "q_topk_group"   -> (CoreQueries.topKPerGroup _),
     "q_range_join"   -> (CoreQueries.rangeJoinBands _),
+    "q_join_salted"  -> (CoreQueries.joinSalted _),
     // scalar functions / semi-structured / events (SURVEY §2.8–2.9)
     "q_string_funcs"   -> (FuncQueries.stringFuncs _),
     "q_date_funcs"     -> (FuncQueries.dateFuncs _),
@@ -292,6 +293,13 @@ object SparkEntry {
         |FROM part JOIN bands
         |  ON p_retailprice BETWEEN band_lo AND band_hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_salted" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, flag_avg_disc
+        |FROM lineitem JOIN (
+        |  SELECT l_returnflag AS rf,
+        |    round(avg(l_discount), 6) AS flag_avg_disc
+        |  FROM lineitem GROUP BY 1) ON l_returnflag = rf
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS name_upper,
         | lower(p_brand) AS brand_lower,

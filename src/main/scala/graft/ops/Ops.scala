@@ -113,6 +113,30 @@ object Ops {
       .agg(sum(col("__partial")).as(alias))
   }
 
+  /** Skew-resistant equi-join: salt the (skewed) fact side, replicate
+    * the dimension side across all `saltBuckets` salt values, join on
+    * (key, salt). A key holding 30% of the fact lands on ONE reducer in
+    * a plain shuffle join; salted, it spreads over `saltBuckets`
+    * reducers at the cost of `saltBuckets`× the dim shuffle volume —
+    * the classic trade when the dim is small-ish but too big (or too
+    * dynamic) to broadcast and AQE's skew split doesn't apply (e.g.
+    * bucketed/pre-partitioned inputs, or stream-static joins where AQE
+    * is unavailable). Result is identical to `fact.join(dim, key)`.
+    *
+    * Fact salt is `pmod(hash(key, spark_partition_id()), n)` —
+    * deterministic within a run and independent of row content, same
+    * rationale as [[saltedGroupedSum]].
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltBuckets: Int = 16,
+                 joinType: String = "inner"): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(col(key), spark_partition_id()), lit(saltBuckets)))
+    val repDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedFact.join(repDim, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
   /** As-of (backward) join: for each left row, the single latest right
     * row with `right.ts <= left.ts` on the same key — the canonical
     * time-series enrichment Spark lacks as a built-in.

@@ -265,6 +265,23 @@ object CoreQueries {
       .orderBy("band_brand")
   }
 
+  /** Skew-resistant salted equi-join ([[Ops.saltedJoin]]): every
+    * lineitem enriched with its return-flag's average discount. The
+    * join key has 3 distinct values (extreme skew by construction) —
+    * salting spreads each hot key over 16 reducers. Result is
+    * identical to the plain join, which IS the oracle.
+    */
+  def joinSalted(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val dim = li.groupBy("l_returnflag")
+      .agg(round(avg("l_discount"), 6).as("flag_avg_disc"))
+    Ops.saltedJoin(
+      li.select("l_orderkey", "l_linenumber", "l_returnflag"),
+      dim, "l_returnflag")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "flag_avg_disc")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Multi-way join: region → nation → customer → orders rollup, the
     * star-schema path. nation/region are tiny → broadcast both; the only
     * shuffle is the final per-nation aggregate.

@@ -143,6 +143,24 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("saltedJoin == plain join, including left-join null rows") {
+    val fact = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d")).toDF("k", "v")
+    val dim = Seq((1, 10.0), (2, 20.0)).toDF("k", "w")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    for (jt <- Seq("inner", "left")) {
+      val salted = norm(Ops.saltedJoin(fact, dim, "k", 4, jt)
+        .select("k", "v", "w"))
+      val plain = norm(fact.join(dim, Seq("k"), jt).select("k", "v", "w"))
+      assert(salted.map(t => (t._1, t._2)) === plain.map(t => (t._1, t._2)),
+        s"join type $jt keys")
+      assert(salted.zip(plain).forall { case (a, b) =>
+        (a._3.isNaN && b._3.isNaN) || a._3 == b._3 }, s"join type $jt values")
+    }
+  }
+
   test("set ops: except/intersect/union-distinct") {
     val a = Seq(1, 2, 3, 3).toDF("k")
     val b = Seq(3, 4).toDF("k")

@@ -107,6 +107,53 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("no query plans a pair-product join except the documented ones") {
+    // The plan-shape gate for the whole declared surface: every
+    // SparkEntry query must join through equi-keys (hash/sort-merge/
+    // broadcast-hash), never a CartesianProduct or
+    // BroadcastNestedLoopJoin — the shapes that die at 100 TB.
+    // Documented exceptions: q_emb_neardup (the O(n²) small-corpus
+    // oracle baseline for the LSH path), q_knn_brute (bounded broadcast
+    // cross product: |queries| × corpus by design), q_knn_ivf (two
+    // BOUNDED broadcast fan-outs: the 1-row centroid-array frame and
+    // the |queries| × |centroids| probe ranking — the corpus-side
+    // candidate join itself is equi on the cell id), q_cross_join
+    // (explicit small×small cross join).
+    val allowed = Set("q_emb_neardup", "q_knn_brute", "q_knn_ivf",
+      "q_cross_join")
+    // 1-row-frame fan-outs (a global aggregate cross-joined back in,
+    // e.g. tfidf's corpus count, assignCells' collected centroid array)
+    // also plan as BNLJ but are ×1 by construction — recognizable
+    // because the build side is an aggregate with no grouping keys
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !allowed(name) =>
+        val qe = fn(spark, sfDir).queryExecution
+        qe.executedPlan.collect {
+          case j: BroadcastNestedLoopJoinExec
+              if !isOneRowPlan(j.buildSide match {
+                case BuildLeft => j.left
+                case BuildRight => j.right
+              }) => s"$name: BNLJ\n$j"
+          case c: CartesianProductExec => s"$name: CartesianProduct\n$c"
+        }
+      case _ => Nil
+    }
+    assert(violations.isEmpty, violations.mkString("\n\n"))
+  }
+
+  /** A physical plan guaranteed to produce at most one row: a global
+    * (no grouping keys) final aggregate, however it is wrapped
+    * (exchange/shuffle-read/AQE nodes between).
+    */
+  private def isOneRowPlan(p: SparkPlan): Boolean = {
+    val aggs = p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    aggs.nonEmpty && aggs.forall(_.groupingExpressions.isEmpty)
+  }
+
   test("argmax input aggregates before the window (no raw-fact window)") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val yearly = li.groupBy(col("l_suppkey"),
