@@ -129,6 +129,38 @@ class IoSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
   }
 
+  test("z-ordered write bounds per-file ranges in BOTH dimensions") {
+    import graft.io.Clustering
+    // independent uniform dims: a plain sort on one leaves the other
+    // full-range per file; z-order must bound both
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 4000).map(_ =>
+      (rnd.nextInt(100000).toLong, rnd.nextInt(100000).toLong))
+      .toDF("a", "b")
+    def avgFileSpan(dir: String, c: String): Double = {
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).as("span"))
+        .collect().map(_.getLong(1).toDouble)
+      spans.sum / spans.length
+    }
+    val zDir = Files.createTempDirectory("zorder").toString
+    Clustering.writeZOrdered(df, zDir, "a", "b", numFiles = 16)
+    val aDir = Files.createTempDirectory("asort").toString
+    df.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(aDir)
+    // single-dim sort: 'a' narrow, 'b' full-range (~100k)
+    assert(avgFileSpan(aDir, "a") < 20000.0)
+    assert(avgFileSpan(aDir, "b") > 80000.0)
+    // z-order: BOTH dims bounded well below full range
+    assert(avgFileSpan(zDir, "a") < 50000.0,
+      s"z-order file span a = ${avgFileSpan(zDir, "a")}")
+    assert(avgFileSpan(zDir, "b") < 50000.0,
+      s"z-order file span b = ${avgFileSpan(zDir, "b")}")
+    // and the data round-trips unchanged
+    assert(spark.read.parquet(zDir).count() === 4000)
+  }
+
   test("tolerant jsonl read quarantines corrupt lines, keeps good rows") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("jsonl").toString
