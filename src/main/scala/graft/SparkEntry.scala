@@ -75,6 +75,7 @@ object SparkEntry {
     "q_set_intersect"  -> (FuncQueries.setIntersect _),
     "q_from_json"      -> (FuncQueries.fromJson _),
     "q_variant"        -> (FuncQueries.variantJson _),
+    "q_subquery"       -> (FuncQueries.correlatedSubquery _),
     "q_hll_union"      -> (FuncQueries.hllSketchUnion _),
     "q_media_features" -> (TrainingQueries.mediaFeatures _),
     // training-data pipeline surface (north star)
@@ -477,6 +478,12 @@ object SparkEntry {
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k,
         | CAST(props->>'$.missing' AS BIGINT) AS k_missing
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_subquery" ->
+      """SELECT c_custkey, c_name,
+        | (SELECT max(o_totalprice) FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey) AS max_order_price
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin,
     "q_media_features" ->
       """SELECT doc_id AS media_id, 'fake/utf8' AS format,
         | CAST(strlen(text) AS BIGINT) AS n_bytes

@@ -291,6 +291,25 @@ object FuncQueries {
           .as("ap50_price"))
       .orderBy("l_returnflag")
 
+  /** Correlated scalar subquery through the SQL entry point — the one
+    * query deliberately written as `spark.sql(...)` rather than the
+    * DataFrame API, proving both front ends target the same Catalyst
+    * plans. The correlated subquery decorrelates to an aggregate +
+    * left join (no per-row re-execution — check the plan: one
+    * HashAggregate over orders, one join), identical to what the
+    * DataFrame spelling would produce.
+    */
+  def correlatedSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey, c_name,
+        |  (SELECT max(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_order_price
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Semi-structured access through the VARIANT type (Spark 4):
     * `parse_json` once into a binary variant, then typed path
     * extraction — the modern replacement for per-path
