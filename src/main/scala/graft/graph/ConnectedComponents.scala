@@ -47,24 +47,35 @@ object ConnectedComponents {
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    // Convergence detection without a labels-vs-labels compare join:
+    // min-propagation is monotone (labels only ever DECREASE), so the
+    // label sum strictly decreases every non-converged round and is
+    // stable exactly at the fixpoint. decimal(38,0) so huge id sums
+    // cannot overflow (sum of 10^12 ids × 2^63 fits in 38 digits).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    var changed = 1L
-    while (iter < maxIter && changed > 0) {
-      val neighborMin = sym
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // one keyed join + one aggregate per round: neighbors' labels and
+      // each node's own label union-fold through the same min — the
+      // symmetric edge list guarantees every node reaches the aggregate
+      val stepped = sym
         .join(labels, sym("a") === labels("id"))
-        .groupBy(col("b").as("nid"))
-        .agg(min("component").as("ncomp"))
-      val stepped = labels
-        .join(neighborMin, labels("id") === neighborMin("nid"), "left")
-        .select(col("id"), col("component").as("__old"),
-          least(col("component"), coalesce(col("ncomp"), col("component")))
-            .as("component"))
-        .localCheckpoint(true) // cut lineage BEFORE both uses below
-      changed = stepped.filter(col("component") =!= col("__old")).count()
-      labels = stepped.select("id", "component")
+        .select(col("b").as("id"), col("component"))
+        .union(labels)
+        .groupBy("id")
+        .agg(min("component").as("component"))
+        .localCheckpoint(true) // cut lineage each round
+      val s = labelSum(stepped)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = stepped
       iter += 1
     }
-    if (changed > 0) throw new IllegalStateException(
+    if (!converged) throw new IllegalStateException(
       s"connected components did not converge in $maxIter rounds " +
         "(graph diameter exceeds maxIter)")
     labels
