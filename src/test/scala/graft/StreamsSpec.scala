@@ -239,6 +239,35 @@ class StreamsSpec extends SparkSpec {
       (999L, ts("2026-01-01 05:00:00"), ts("2026-01-01 05:00:00"), 1L, 8.0)))
   }
 
+  test("incremental materialized aggregate: converges, idempotent on rerun") {
+    import graft.stream.IncrementalView
+    val schema = Tables.events(spark, sfDir).schema
+    val viewDir = Files.createTempDirectory("inc_view").toString
+    val ckpt = Files.createTempDirectory("inc_ckpt").toString
+    def runOnce(): Unit = {
+      val q = IncrementalView.groupedSumSink(
+        Streams.fileSource(spark, landingDir, schema,
+          maxFilesPerTrigger = Some(1)), viewDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    def snapshot() = IncrementalView.read(spark, viewDir, "user_id", "total")
+      .collect().map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 100))
+      .toMap
+    val got = snapshot()
+    val want = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(sum("value").as("t")).collect()
+      .map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 100)).toMap
+    assert(got === want)
+    val version = IncrementalView.latest(viewDir)
+    runOnce() // same checkpoint, no new files: nothing reapplied
+    assert(snapshot() === want)
+    assert(IncrementalView.latest(viewDir) === version)
+  }
+
   test("foreachBatch recompute sees every micro-batch (reference ST3)") {
     val schema = Tables.events(spark, sfDir).schema
     val stream = Streams.fileSource(spark, landingDir, schema,
