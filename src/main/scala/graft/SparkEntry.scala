@@ -43,6 +43,10 @@ object SparkEntry {
     "q_topk_group"   -> (CoreQueries.topKPerGroup _),
     "q_range_join"   -> (CoreQueries.rangeJoinBands _),
     "q_join_salted"  -> (CoreQueries.joinSalted _),
+    "q_except_all"   -> (CoreQueries.exceptAll _),
+    "q_intersect_all" -> (CoreQueries.intersectAll _),
+    "q_union_evolve" -> (CoreQueries.unionEvolve _),
+    "q_nullsafe_join" -> (CoreQueries.nullSafeJoin _),
     // scalar functions / semi-structured / events (SURVEY §2.8–2.9)
     "q_string_funcs"   -> (FuncQueries.stringFuncs _),
     "q_date_funcs"     -> (FuncQueries.dateFuncs _),
@@ -293,6 +297,31 @@ object SparkEntry {
         | round(avg(p_retailprice), 6) AS avg_in_band
         |FROM part JOIN bands
         |  ON p_retailprice BETWEEN band_lo AND band_hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_except_all" ->
+      """SELECT l_suppkey AS suppkey FROM lineitem
+        |EXCEPT ALL
+        |SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY suppkey""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |INTERSECT ALL
+        |SELECT l_suppkey AS suppkey FROM lineitem WHERE l_linestatus = 'F'
+        |ORDER BY suppkey""".stripMargin,
+    "q_union_evolve" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST(NULL AS VARCHAR) AS o_orderpriority
+        |FROM orders WHERE year(o_orderdate) = 1995
+        |UNION ALL
+        |SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+        |  o_orderpriority
+        |FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_nullsafe_join" ->
+      """SELECT COALESCE(ck, -1) AS nation_key, count(*) AS n_pairs
+        |FROM (SELECT nullif(c_nationkey, 3) AS ck FROM customer) c
+        |JOIN (SELECT nullif(s_nationkey, 3) AS sk FROM supplier) s
+        |ON ck IS NOT DISTINCT FROM sk
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_salted" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, flag_avg_disc

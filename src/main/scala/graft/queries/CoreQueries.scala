@@ -282,6 +282,62 @@ object CoreQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** §2.7 multiset EXCEPT ALL: per-supplier lineitem multiplicity minus
+    * the 'R'-flagged multiplicity — duplicates preserved (each suppkey
+    * appears n_total − n_R times), which DISTINCT except cannot express.
+    */
+  def exceptAll(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.select(col("l_suppkey").as("suppkey"))
+      .exceptAll(li.filter(col("l_returnflag") === "R")
+        .select(col("l_suppkey").as("suppkey")))
+      .orderBy("suppkey")
+  }
+
+  /** §2.7 multiset INTERSECT ALL: per-supplier min(multiplicity in 'R',
+    * multiplicity in 'F'-status) copies survive.
+    */
+  def intersectAll(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_returnflag") === "R")
+      .select(col("l_suppkey").as("suppkey"))
+      .intersectAll(li.filter(col("l_linestatus") === "F")
+        .select(col("l_suppkey").as("suppkey")))
+      .orderBy("suppkey")
+  }
+
+  /** Schema-evolution union (`unionByName(allowMissingColumns)`): two
+    * projections with different column sets union by NAME, absent
+    * columns null-filled — the operation every long-lived dataset needs
+    * when new fields appear mid-history. The two year slices have
+    * disjoint keys, so the output order is total.
+    */
+  def unionEvolve(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val v1 = o.filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val v2 = o.filter(year(col("o_orderdate")) === 1996)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of vanishing — the semantics CDC diffs
+    * need when the business key is nullable. Still a hash-partitioned
+    * equi-join (EqualNullSafe is a valid join key), NOT a nested loop.
+    */
+  def nullSafeJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(expr("nullif(c_nationkey, 3)").as("ck"))
+    val sp = Tables.supplier(s, d)
+      .select(expr("nullif(s_nationkey, 3)").as("sk"))
+    c.join(sp, col("ck") <=> col("sk"))
+      .groupBy(coalesce(col("ck"), lit(-1L)).as("nation_key"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("nation_key")
+  }
+
   /** Multi-way join: region → nation → customer → orders rollup, the
     * star-schema path. nation/region are tiny → broadcast both; the only
     * shuffle is the final per-nation aggregate.
