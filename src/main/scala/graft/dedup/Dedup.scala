@@ -7,7 +7,11 @@ import org.apache.spark.sql.functions._
 import graft.text.TextAnalysis
 
 /** Deduplication operators for the training-data surface: exact,
-  * n-gram-Jaccard (inverted-index join), MinHash+LSH, and SimHash.
+  * n-gram-Jaccard (inverted-index join), MinHash+LSH (Broder, "On the
+  * resemblance and containment of documents", 1997), and SimHash
+  * (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", STOC 2002; Manku et al., "Detecting near-duplicates
+  * for web crawling", WWW 2007 for the Hamming block trick).
   *
   * Scale design (the 100 TB stance):
   *  - NOTHING here is O(n²) over the corpus. Near-dup candidate

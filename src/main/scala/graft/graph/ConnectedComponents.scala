@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   *  - Rounds needed = graph diameter. Near-dup clusters are dense
   *    (diameter 2–4 even for huge clusters), so propagation converges
   *    in a handful of rounds; the O(log n) large-star/small-star
-  *    variant only pays off on long-chain graphs, which dedup edges
-  *    are not.
+  *    variant (Kiveris et al., "Connected components in MapReduce and
+  *    beyond", SoCC 2014) only pays off on long-chain graphs, which
+  *    dedup edges are not.
   *  - Lineage is cut with `localCheckpoint` each round — without it
   *    the plan doubles per iteration and the optimizer re-walks the
   *    whole history (classic iterative-Spark trap).

@@ -60,6 +60,30 @@ object IncrementalView {
             org.apache.spark.sql.types.DoubleType))))
   }
 
+  /** Delete snapshots older than the `keep` most recent (the committed
+    * pointer target is always retained). Run on a lag so concurrent
+    * readers resolving an older pointer finish first — same contract
+    * as table-format VACUUM.
+    */
+  def vacuum(dir: String, keep: Int = 2): Unit = {
+    val d = Paths.get(dir)
+    if (Files.exists(d)) {
+      val keepSet = latest(dir).map(_._1).toSet
+      val versions = Files.list(d).iterator()
+      val named = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+      versions.forEachRemaining { p =>
+        if (p.getFileName.toString.startsWith("v")) named += p
+      }
+      named.sortBy(p => p.getFileName.toString.drop(1).toLong)
+        .dropRight(keep)
+        .filterNot(p => keepSet(p.getFileName.toString))
+        .foreach { p =>
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        }
+    }
+  }
+
   /** Attach the incremental grouped-sum sink to `stream`. The
     * maintained table is `keyCol, aggCol` = running sum of `valueCol`
     * per key.

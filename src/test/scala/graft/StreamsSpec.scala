@@ -266,6 +266,9 @@ class StreamsSpec extends SparkSpec {
     runOnce() // same checkpoint, no new files: nothing reapplied
     assert(snapshot() === want)
     assert(IncrementalView.latest(viewDir) === version)
+    // vacuum drops old snapshots but never the committed one
+    IncrementalView.vacuum(viewDir, keep = 1)
+    assert(snapshot() === want)
   }
 
   test("foreachBatch recompute sees every micro-batch (reference ST3)") {
