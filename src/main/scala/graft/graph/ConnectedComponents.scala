@@ -54,8 +54,11 @@ object ConnectedComponents {
     // stable exactly at the fixpoint. decimal(38,0) so huge id sums
     // cannot overflow (sum of 10^12 ids × 2^63 fits in 38 digits).
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)")).as("s"))
-        .collect()(0).getDecimal(0)
+      // sum over an EMPTY frame is NULL — map to 0 so a no-edge input
+      // converges on the first round instead of NPEing the comparison
+      Option(df.agg(sum(col("component").cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

@@ -130,6 +130,11 @@ object Ops {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltBuckets: Int = 16,
                  joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports fact-preserving join types only, not " +
+        s"'$joinType': right/full joins would surface each unmatched " +
+        "dim row once per salt replica")
     val saltedFact = fact.withColumn("__salt",
       pmod(hash(col(key), spark_partition_id()), lit(saltBuckets)))
     val repDim = dim.withColumn("__salt",

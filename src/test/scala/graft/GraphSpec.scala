@@ -46,6 +46,13 @@ class GraphSpec extends SparkSpec {
     assert(componentsOf(edges) === wantCanon)
   }
 
+  test("empty edge list yields empty labeling, no error") {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("src", LongType), StructField("dst", LongType))))
+    assert(ConnectedComponents.run(empty).count() === 0)
+  }
+
   test("non-convergence within maxIter fails loud") {
     // a 12-node path needs ~11 min-propagation rounds; cap at 3
     val chain = (1L until 12L).map(i => (i, i + 1))
