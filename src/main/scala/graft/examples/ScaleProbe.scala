@@ -111,10 +111,16 @@ object ScaleProbe {
     // volume is bin-occupancy-bounded, not |points| x |intervals|).
     for (k <- Seq(1, 4, 16)) {
       println(s"=== graph/range scale x$k ===")
-      // synthetic near-dup edges: per replica, chains of 4 docs — edge
-      // count scales linearly with k, diameter stays constant
-      val edges = docsX(k).select((col("doc_id") / 4).cast("long").as("src"),
+      // synthetic near-dup edges: disjoint 4-doc STARS (hub = the
+      // group's first doc, spokes = the other three) — hub ids stay
+      // inside their own group, so components never chain: component
+      // count scales linearly with k while diameter stays 2. (A
+      // floor(id/4)->id hub scheme would put hubs inside OTHER groups
+      // and collapse everything into one deep tree.)
+      val edges = docsX(k).select(
+        (col("doc_id") - pmod(col("doc_id"), lit(4L))).as("src"),
         col("doc_id").as("dst"))
+        .filter(col("src") =!= col("dst"))
       time("connected components")(
         graft.graph.ConnectedComponents.run(edges).count())
       val pts = docsX(k).select(col("doc_id").as("pid"),

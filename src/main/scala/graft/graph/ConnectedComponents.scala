@@ -60,6 +60,16 @@ object ConnectedComponents {
         .collect()(0).getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
+    // localCheckpoint pins each round's blocks in executor storage;
+    // superseded rounds are explicitly unpersisted below (their data
+    // lives only in those blocks — safe because once `stepped` is
+    // materialized nothing references the prior round again). The
+    // RETURNED labels stay cached deliberately: callers typically
+    // consume them several times (join back, count, write).
+    def checkpointedRdd(df: DataFrame) = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -76,9 +86,11 @@ object ConnectedComponents {
       val s = labelSum(stepped)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      checkpointedRdd(labels).foreach(_.unpersist(false))
       labels = stepped
       iter += 1
     }
+    checkpointedRdd(sym).foreach(_.unpersist(false))
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge in $maxIter rounds " +
         "(graph diameter exceeds maxIter)")

@@ -6,6 +6,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types.StructType
 
 /** Incrementally-maintained materialized aggregate: a `foreachBatch`
   * sink that keeps a parquet-backed grouped-sum table up to date as
@@ -28,7 +29,8 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *
   * At 100 TB the same scheme holds with two refinements the layout
   * already permits: partition the snapshot by a key range so a batch
-  * rewrites only touched partitions, and vacuum old versions on a lag.
+  * rewrites only touched partitions, and [[vacuum]] old versions on a
+  * lag.
   */
 object IncrementalView {
 
@@ -45,19 +47,42 @@ object IncrementalView {
     }
   }
 
-  /** Current materialized table (empty frame with the right schema if
-    * nothing committed yet).
+  /** Current materialized table; an empty frame with `schema` (the
+    * merged-table schema, derived by the caller from its aggregate —
+    * never hardcoded) when nothing has committed yet.
     */
-  def read(spark: SparkSession, dir: String, keyCol: String,
-           aggCol: String): DataFrame = latest(dir) match {
-    case Some((v, _)) => spark.read.parquet(s"$dir/$v")
-    case None =>
-      spark.createDataFrame(new java.util.ArrayList[Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(keyCol,
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField(aggCol,
-            org.apache.spark.sql.types.DoubleType))))
+  def read(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    latest(dir) match {
+      case Some((v, _)) => spark.read.parquet(s"$dir/$v")
+      case None =>
+        spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    }
+
+  /** Apply ONE micro-batch to the materialized table — the unit the
+    * sink delegates to, public so the idempotence guard is directly
+    * testable. Returns true when applied, false when skipped as
+    * already-applied (redelivery).
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, dir: String,
+                 keyCol: String, valueCol: String, aggCol: String): Boolean = {
+    val applied = latest(dir).map(_._2)
+    if (applied.exists(_ >= batchId)) false
+    else {
+      val spark = batch.sparkSession
+      val partial = batch.groupBy(col(keyCol))
+        .agg(sum(col(valueCol)).as(aggCol))
+      val merged = read(spark, dir, partial.schema)
+        .unionByName(partial)
+        .groupBy(col(keyCol))
+        .agg(sum(col(aggCol)).as(aggCol))
+      val v = s"v$batchId"
+      merged.write.mode("overwrite").parquet(s"$dir/$v")
+      // pointer swap LAST — readers never see a partial snapshot
+      Files.createDirectories(Paths.get(dir))
+      Files.write(pointerPath(dir),
+        s"$v:$batchId".getBytes(StandardCharsets.UTF_8))
+      true
+    }
   }
 
   /** Delete snapshots older than the `keep` most recent (the committed
@@ -69,17 +94,19 @@ object IncrementalView {
     val d = Paths.get(dir)
     if (Files.exists(d)) {
       val keepSet = latest(dir).map(_._1).toSet
-      val versions = Files.list(d).iterator()
       val named = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
-      versions.forEachRemaining { p =>
+      val listing = Files.list(d)
+      try listing.iterator().forEachRemaining { p =>
         if (p.getFileName.toString.startsWith("v")) named += p
-      }
+      } finally listing.close()
       named.sortBy(p => p.getFileName.toString.drop(1).toLong)
         .dropRight(keep)
         .filterNot(p => keepSet(p.getFileName.toString))
         .foreach { p =>
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(f => Files.delete(f))
+          finally walk.close()
         }
     }
   }
@@ -95,25 +122,7 @@ object IncrementalView {
   : DataStreamWriter[Row] =
     stream.writeStream.outputMode("update").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val applied = latest(dir).map(_._2)
-        if (applied.exists(_ >= batchId)) {
-          // redelivery after a crash: already applied, skip (idempotence)
-          ()
-        } else {
-          val partial = batch.groupBy(col(keyCol))
-            .agg(sum(col(valueCol)).as(aggCol))
-          val merged = read(spark, dir, keyCol, aggCol)
-            .unionByName(partial)
-            .groupBy(col(keyCol))
-            .agg(sum(col(aggCol)).as(aggCol))
-          val v = s"v$batchId"
-          merged.write.mode("overwrite").parquet(s"$dir/$v")
-          // pointer swap LAST — readers never see a partial snapshot
-          Files.createDirectories(Paths.get(dir))
-          Files.write(pointerPath(dir),
-            s"$v:$batchId".getBytes(StandardCharsets.UTF_8))
-          ()
-        }
+        applyBatch(batch, batchId, dir, keyCol, valueCol, aggCol)
+        ()
     }
 }

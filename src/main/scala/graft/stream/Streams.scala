@@ -147,8 +147,11 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
-  /** Open-session state for [[closedSessions]] (epoch millis). */
+  /** One session interval in [[closedSessions]] state (epoch millis). */
   case class SessState(start: Long, end: Long, n: Long, total: Double)
+
+  /** [[closedSessions]] per-user state: ALL not-yet-closed sessions. */
+  case class SessBuf(sessions: Seq[SessState])
 
   /** A completed session emitted by [[closedSessions]]. */
   case class SessionOut(user_id: Long, s_start: java.sql.Timestamp,
@@ -158,17 +161,28 @@ object Streams {
   /** Gap-based sessionization with COMPLETED-session emission
     * (`flatMapGroupsWithState` + event-time timeout) — the custom-state
     * generalization of [[sessionCounts]]: rather than the built-in
-    * session_window aggregate, the operator owns its state machine, so
-    * it can emit a session exactly once, the moment it is known closed
-    * (either a later in-batch event opens the next session, or the
-    * watermark passes `end + gap` and the timeout fires).
+    * session_window aggregate, the operator owns its state machine and
+    * emits each session exactly once.
     *
-    * State per user = ONE open session (start, end, n, sum) — bounded
-    * by user cardinality, evicted on timeout; at 100 TB/day the state
-    * store shards by user like any keyed shuffle. Events are processed
-    * in event-time order within each micro-batch; late events older
-    * than the watermark are dropped by the watermark contract (same as
-    * the built-in session window).
+    * Correctness contract: a session is emitted ONLY once the
+    * watermark has passed `end + gap` — the earliest moment no
+    * in-order event can still extend or merge it. (Emitting as soon as
+    * a later in-batch event opens the next session would be wrong: an
+    * above-watermark event in a LATER batch may fall inside the
+    * already-emitted session's gap window and should have extended or
+    * bridged it.) Consequently state holds a LIST of undecided
+    * sessions per user; each batch folds valid events in (sorting by
+    * event time, merging any sessions they bridge, extending starts
+    * backward as well as ends forward), then closes every session
+    * whose `end + gap ≤ watermark`. The event-time timeout is set to
+    * the earliest undecided `end + gap` so closure also happens when
+    * the user goes quiet. Events older than the watermark are dropped
+    * explicitly (flatMapGroupsWithState does NOT filter late input
+    * itself, unlike the built-in session window).
+    *
+    * State per user = the undecided sessions inside one gap horizon —
+    * bounded by watermark delay / gap, not stream length; at
+    * 100 TB/day the state store shards by user like any keyed shuffle.
     */
   def closedSessions(events: DataFrame, gapMinutes: Int = 30,
                      watermark: String = "10 minutes")
@@ -182,38 +196,33 @@ object Streams {
       .selectExpr("user_id", "ts", "value")
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessState, SessionOut](
+      .flatMapGroupsWithState[SessBuf, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (uid, rows, state) =>
           def out(s: SessState) = SessionOut(uid,
             new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
             s.n, math.rint(s.total * 100) / 100)
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(out(s))
-          } else {
-            val closed = scala.collection.mutable.ListBuffer.empty[SessState]
-            var cur = state.getOption
-            rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, v) =>
-              val t = ts.getTime
-              cur match {
-                case Some(s) if t <= s.end + gapMs =>
-                  cur = Some(SessState(s.start, math.max(s.end, t),
-                    s.n + 1, s.total + v))
-                case Some(s) =>
-                  closed += s
-                  cur = Some(SessState(t, t, 1, v))
-                case None =>
-                  cur = Some(SessState(t, t, 1, v))
+          val wm = state.getCurrentWatermarkMs()
+          // fold sessions + valid new events (each a 1-event session)
+          // into gap-merged intervals: sort by start, coalesce
+          val fresh = rows.filter(_._2.getTime >= wm)
+            .map { case (_, ts, v) => SessState(ts.getTime, ts.getTime, 1, v) }
+          val pieces = state.getOption.map(_.sessions).getOrElse(Nil) ++ fresh
+          val merged = pieces.sortBy(s => (s.start, s.end))
+            .foldLeft(List.empty[SessState]) { (acc, s) =>
+              acc match {
+                case h :: t if s.start <= h.end + gapMs =>
+                  SessState(h.start, math.max(h.end, s.end),
+                    h.n + s.n, h.total + s.total) :: t
+                case _ => s :: acc
               }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            closed.iterator.map(out)
-          }
+            }.reverse
+          val (closed, open) = merged.partition(_.end + gapMs <= wm)
+          if (open.nonEmpty) {
+            state.update(SessBuf(open))
+            state.setTimeoutTimestamp(open.map(_.end + gapMs).min)
+          } else state.remove()
+          closed.iterator.map(out)
       }
   }
 

@@ -124,13 +124,23 @@ class ScaleSpec extends SparkSpec {
     // 1-row-frame fan-outs (a global aggregate cross-joined back in,
     // e.g. tfidf's corpus count, assignCells' collected centroid array)
     // also plan as BNLJ but are ×1 by construction — recognizable
-    // because the build side is an aggregate with no grouping keys
+    // because the build side is an aggregate with no grouping keys.
+    //
+    // AQE must be OFF in the planning session: with it on,
+    // executedPlan is an AdaptiveSparkPlanExec LEAF that collect()
+    // cannot traverse — the gate would inspect nothing and pass
+    // vacuously (caught by mutation-testing the allowed set).
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !allowed(name) =>
-        val qe = fn(spark, sfDir).queryExecution
-        qe.executedPlan.collect {
+        val plan = fn(s2, sfDir).queryExecution.executedPlan
+        assert(!plan.isInstanceOf[
+          org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec],
+          "gate self-check: plan must not be AQE-wrapped")
+        plan.collect {
           case j: BroadcastNestedLoopJoinExec
               if !isOneRowPlan(j.buildSide match {
                 case BuildLeft => j.left

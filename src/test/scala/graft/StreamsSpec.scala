@@ -207,10 +207,10 @@ class StreamsSpec extends SparkSpec {
     def ts(t: String) = java.sql.Timestamp.valueOf(t)
     val dir = Files.createTempDirectory("sessions_landing").toString
     // three files -> three micro-batches (maxFilesPerTrigger=1, mtime
-    // order). Batch 1: user 1 has two sessions (gap 30m) — the second
-    // event at 01:00 closes the first IN-batch. Batches 2-3: user 999
-    // advances the watermark so user 1's open session times out; 999's
-    // own 05:00 session closes in-batch at 10:00; the 10:00 session
+    // order). Batch 1: user 1 has two sessions (gap 30m). Sessions
+    // close only when the WATERMARK passes end+gap: user 1's close via
+    // timeout as user 999's batches advance the watermark; 999's 05:00
+    // session closes in the trailing no-data batch; the 10:00 session
     // stays open (never emitted).
     Seq((1L, ts("2026-01-01 00:00:00"), 1.0),
         (1L, ts("2026-01-01 00:10:00"), 2.0),
@@ -239,6 +239,37 @@ class StreamsSpec extends SparkSpec {
       (999L, ts("2026-01-01 05:00:00"), ts("2026-01-01 05:00:00"), 1L, 8.0)))
   }
 
+  test("closedSessions merges a cross-batch bridging event, never splits") {
+    import spark.implicits._
+    implicit val s = spark
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val dir = Files.createTempDirectory("sessions_bridge").toString
+    // Batch 1: two provisional sessions 35m apart (gap 30m). Batch 2:
+    // an above-watermark event at 02:28 lands in the FIRST session's
+    // gap window and bridges both into one — emitting the first
+    // session before the watermark passed end+gap would have split
+    // what is semantically one session.
+    Seq((7L, ts("2026-01-01 02:00:00"), 1.0),
+        (7L, ts("2026-01-01 02:35:00"), 2.0))
+      .toDF("user_id", "ts", "value").coalesce(1).write.parquet(s"$dir/f1")
+    Seq((7L, ts("2026-01-01 02:28:00"), 4.0))
+      .toDF("user_id", "ts", "value").coalesce(1).write.parquet(s"$dir/f2")
+    Seq((8L, ts("2026-01-01 09:00:00"), 8.0))
+      .toDF("user_id", "ts", "value").coalesce(1).write.parquet(s"$dir/f3")
+    val schema = spark.read.parquet(s"$dir/f1").schema
+    Streams.runAvailableNow(
+      Streams.closedSessions(Streams.fileSource(spark, s"$dir/*", schema,
+        maxFilesPerTrigger = Some(1))).toDF(),
+      "bridge_sessions_test")
+    val got = spark.table("bridge_sessions_test")
+      .select("user_id", "s_start", "s_end", "n_events", "session_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got === Set(
+      (7L, ts("2026-01-01 02:00:00"), ts("2026-01-01 02:35:00"), 3L, 7.0)))
+  }
+
   test("incremental materialized aggregate: converges, idempotent on rerun") {
     import graft.stream.IncrementalView
     val schema = Tables.events(spark, sfDir).schema
@@ -254,7 +285,12 @@ class StreamsSpec extends SparkSpec {
       q.awaitTermination()
     }
     runOnce()
-    def snapshot() = IncrementalView.read(spark, viewDir, "user_id", "total")
+    val viewSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("total",
+        org.apache.spark.sql.types.DoubleType)))
+    def snapshot() = IncrementalView.read(spark, viewDir, viewSchema)
       .collect().map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 100))
       .toMap
     val got = snapshot()
@@ -266,9 +302,29 @@ class StreamsSpec extends SparkSpec {
     runOnce() // same checkpoint, no new files: nothing reapplied
     assert(snapshot() === want)
     assert(IncrementalView.latest(viewDir) === version)
+    // redelivery guard, exercised DIRECTLY: re-applying an old batchId
+    // (the crash-between-sink-and-checkpoint case) must be a no-op —
+    // the stream rerun above never reaches foreachBatch at all
+    val staleBatch = Tables.events(spark, sfDir).limit(100)
+    assert(!IncrementalView.applyBatch(staleBatch, batchId = 0,
+      viewDir, "user_id", "value", "total"))
+    assert(snapshot() === want)
+    assert(IncrementalView.latest(viewDir) === version)
+    // a genuinely NEW batch id applies incrementally
+    val extra = IncrementalView.latest(viewDir).get._2 + 1
+    assert(IncrementalView.applyBatch(staleBatch, extra,
+      viewDir, "user_id", "value", "total"))
+    val bumped = staleBatch.groupBy("user_id").agg(sum("value").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val after = snapshot()
+    bumped.foreach { case (u, v) =>
+      // cent-scaled compare with 1-cent tolerance (float sum order)
+      assert(math.abs(after(u) - (want(u) + v * 100)) <= 1.0,
+        s"user $u incremental re-merge")
+    }
     // vacuum drops old snapshots but never the committed one
     IncrementalView.vacuum(viewDir, keep = 1)
-    assert(snapshot() === want)
+    assert(snapshot() === after)
   }
 
   test("foreachBatch recompute sees every micro-batch (reference ST3)") {
