@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.Ops
+
+/** Generator-driven property tests (ScalaCheck `Gen` with a fixed seed
+  * for reproducibility; one Spark job evaluates each whole generated
+  * batch — per-case jobs would be prohibitively slow).
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("morton interleave is a bijection on 16-bit pairs") {
+    val pairs = sample(Gen.listOfN(300,
+      Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L))), 11L)
+    def mortonRef(a: Long, b: Long): Long =
+      (0 until 16).map(j => (((a >> j) & 1L) << (2 * j)) |
+        (((b >> j) & 1L) << (2 * j + 1))).reduce(_ | _)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.io.Clustering.mortonInterleave(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, z) =>
+      assert(z === mortonRef(a, b), s"morton($a, $b)")
+    }
+    // bijective on the sampled set: distinct inputs -> distinct codes
+    assert(got.map(_._3).distinct.length === pairs.distinct.length)
+  }
+
+  test("splitBucket matches the direct Knuth formula, in [0, 100)") {
+    // ids across the full non-negative range INCLUDING values where the
+    // direct multiply would overflow a signed 64-bit (the split-multiply
+    // spelling must still match the mathematical mod-2^32 result)
+    val ids = sample(Gen.listOfN(200, Gen.oneOf(
+      Gen.chooseNum(0L, 1000000L),
+      Gen.chooseNum(0L, Long.MaxValue))), 22L)
+    val got = ids.toDF("id")
+      .select(col("id"),
+        graft.queries.TrainingQueries.splitBucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      val want = BigInt(id).mod(BigInt(2).pow(32)) * BigInt(2654435761L)
+      val bucket = (want.mod(BigInt(2).pow(32)) % 100).toLong
+      assert(got(id) === bucket, s"splitBucket($id)")
+      assert(got(id) >= 0 && got(id) < 100)
+    }
+  }
+
+  test("argMax returns the max row with min tiebreak for random groups") {
+    val rows = sample(Gen.listOfN(400, Gen.zip(
+      Gen.chooseNum(0, 10), Gen.chooseNum(0, 50), Gen.chooseNum(0, 5))), 33L)
+      .map { case (k, t, v) => (s"k$k", t, v.toDouble) }
+    val got = Ops.argMax(rows.toDF("k", "t", "v"), "k", "v", "t")
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(2))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val maxV = g.map(_._3).max
+      val wantT = g.filter(_._3 == maxV).map(_._2).min
+      assert(got(k) === ((wantT, maxV)), s"group $k")
+    }
+  }
+
+  test("saltedGroupedSum == groupedSum under generated skew") {
+    // hot-key-heavy distribution: ~80% of rows share one key
+    val rows = sample(Gen.listOfN(500, Gen.frequency(
+      4 -> Gen.const("hot"), 1 -> Gen.oneOf("a", "b", "c"))
+      .flatMap(k => Gen.chooseNum(0, 1000).map(v => (k, v.toDouble)))), 44L)
+    for (buckets <- Seq(1, 4, 32)) {
+      val plain = Ops.groupedSum(rows.toDF("k", "v"), Seq("k"), "v", "s")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val salted = Ops.saltedGroupedSum(rows.toDF("k", "v"), Seq("k"), "v",
+        "s", saltBuckets = buckets)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(plain === salted, s"saltBuckets=$buckets")
+    }
+  }
+
+  test("fingerprint is invariant under case and whitespace mutations") {
+    val texts = sample(Gen.listOfN(80, Gen.nonEmptyListOf(
+      Gen.oneOf("alpha", "Beta", "GAMMA", "delta4"))
+      .map(_.mkString(" "))), 55L)
+    // mutate: random case flips + whitespace padding/runs
+    val mutated = texts.zipWithIndex.map { case (t, i) =>
+      val spaced = t.replace(" ", if (i % 2 == 0) "   " else "\t ")
+      val cased = if (i % 3 == 0) spaced.toUpperCase else spaced.toLowerCase
+      (t, s"  $cased ")
+    }
+    val got = mutated.toDF("orig", "mut")
+      .select(
+        graft.text.TextAnalysis.fingerprint(col("orig")).as("f1"),
+        graft.text.TextAnalysis.fingerprint(col("mut")).as("f2"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+}
