@@ -36,6 +36,49 @@ object TrainingPipeline {
     * Output: (doc_id, chunk_id, chunk_text, chunk_tokens, lang_pred,
     * quality_score, split).
     */
+  /** Observed variant of [[curate]]: attaches `Observation`s at the
+    * three attrition points (post-quality/language filter, post exact
+    * dedup, post near-dup drop) so one execution of the curation plan
+    * also yields the stage-level audit counts a production pipeline
+    * logs — `observe()` piggybacks `CollectMetrics` on the existing
+    * pass, so at 100 TB the audit costs NO extra scan (vs. a
+    * `count()` per stage, which would re-execute the lineage three
+    * times). Read the observations AFTER an action on the returned
+    * frame: `obs("kept_quality").get("n")`.
+    */
+  def curateObserved(docs: DataFrame,
+                     minQuality: Double = 0.2,
+                     langs: Seq[String] = Nil,
+                     nearDupThreshold: Double = 0.8,
+                     chunkSize: Int = 64, stride: Int = 48,
+                     trainPct: Int = 90)
+  : (DataFrame, Map[String, org.apache.spark.sql.Observation]) = {
+    import org.apache.spark.sql.Observation
+    val obs = Map(
+      "kept_quality" -> Observation("kept_quality"),
+      "kept_exact" -> Observation("kept_exact"),
+      "kept_neardup" -> Observation("kept_neardup"))
+    val scored = TextAnalysis.languageId(TextAnalysis.qualityMetrics(docs))
+      .filter(col("quality_score") >= minQuality)
+    val inLang =
+      (if (langs.isEmpty) scored
+       else scored.filter(col("lang_pred").isin(langs: _*)))
+        .observe(obs("kept_quality"), count(lit(1)).as("n"))
+    val exact = Dedup.exact(inLang)
+      .observe(obs("kept_exact"), count(lit(1)).as("n"))
+    val dropIds = Dedup.ngramJaccard(exact, threshold = nearDupThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val unique = exact.join(dropIds, Seq("doc_id"), "left_anti")
+      .observe(obs("kept_neardup"), count(lit(1)).as("n"))
+    val bucket = TrainingQueries.splitBucket(col("doc_id"))
+    val out = TextAnalysis.chunkTokens(unique, chunkSize, stride)
+      .withColumn("split",
+        when(bucket < trainPct, "train").otherwise("test"))
+      .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens",
+        "lang_pred", "quality_score", "split")
+    (out, obs)
+  }
+
   def curate(docs: DataFrame,
              minQuality: Double = 0.2,
              langs: Seq[String] = Nil,

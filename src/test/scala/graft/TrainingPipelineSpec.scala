@@ -50,6 +50,24 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(got.toSeq === want)
   }
 
+  test("observed curation: audit counts match recomputed stage counts") {
+    val (out, obs) = TrainingPipeline.curateObserved(docs,
+      minQuality = 0.2, chunkSize = 32, stride = 24)
+    out.write.mode("overwrite").format("noop").save() // one action
+    val kept = obs.view.mapValues(_.get("n").asInstanceOf[Long]).toMap
+    // attrition is monotone through the stages
+    assert(kept("kept_quality") >= kept("kept_exact"))
+    assert(kept("kept_exact") >= kept("kept_neardup"))
+    // the final stage count equals the surviving distinct documents
+    val survivors = curated.select("doc_id").distinct().count()
+    assert(kept("kept_neardup") === survivors,
+      s"observed ${kept("kept_neardup")} vs recomputed $survivors")
+    // and the quality stage matches an independent recount
+    val q = TextAnalysis.languageId(TextAnalysis.qualityMetrics(docs))
+      .filter(col("quality_score") >= 0.2).count()
+    assert(kept("kept_quality") === q)
+  }
+
   test("split is deterministic and ~90/10 by document") {
     val again = TrainingPipeline.curate(docs,
       minQuality = 0.2, chunkSize = 32, stride = 24)
