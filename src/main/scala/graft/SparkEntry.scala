@@ -98,6 +98,8 @@ object SparkEntry {
     "q_term_freq"      -> (TrainingQueries.termFreq _),
     "q_top_bigrams"    -> (TrainingQueries.topBigrams _),
     "q_text_quality"   -> (TrainingQueries.textQuality _),
+    "q_quality_model"  -> (TrainingQueries.qualityModel _),
+    "q_quantize"       -> (TrainingQueries.quantize _),
     "q_fingerprint"    -> (TrainingQueries.fingerprints _),
     "q_repetition"     -> (TrainingQueries.repetition _),
     "q_chunks"         -> (TrainingQueries.chunks _),
@@ -605,6 +607,26 @@ object SparkEntry {
         |     WHEN mean_token_len < 2.0 OR mean_token_len > 12.0 THEN 0.5
         |     ELSE 0.0 END) * 0.5),
         |   0.0), 6) AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_quality_model" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |   CAST(len(toks) AS BIGINT) AS n_tokens,
+        |   round(len(regexp_extract_all(text, '[^\w\s]')) /
+        |     nullif(CAST(length(text) AS DOUBLE), 0.0), 6) AS punct_ratio,
+        |   round(len(list_filter(toks, x -> x IN
+        |     ('the','a','an','and','or','of','to','in','is','it'))) /
+        |     nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS stopword_ratio
+        |  FROM t)
+        |SELECT doc_id,
+        | round(1.0 / (1.0 + exp(-(-1.0
+        |   + 2.5 * least(n_tokens / 64.0, 1.0)
+        |   - 3.0 * punct_ratio
+        |   + 1.5 * stopword_ratio))), 6) AS model_score
         |FROM m ORDER BY doc_id""".stripMargin,
     "q_train_test_split" ->
       """SELECT doc_id,

@@ -229,6 +229,30 @@ object TrainingQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** Model-based quality scoring (sigmoid of weight·features — the
+    * classifier-filter inference shape; weights are codegen-folded
+    * literals, the way broadcast model coefficients reach executors).
+    */
+  def qualityModel(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.modelQualityScore(
+      TextAnalysis.qualityMetrics(Tables.documents(s, d)))
+      .select("doc_id", "model_score")
+      .orderBy("doc_id")
+
+  /** Int8 embedding quantization summary: per-vector scale + integer
+    * L1 norm (exact) + dimensionality. Quantized dot products are the
+    * 4×-smaller ANN storage path; rounding parity across engines is
+    * not contractual (half-up boundary cases) → rows-only; cosine
+    * preservation is asserted in SimilaritySpec.
+    */
+  def quantize(s: SparkSession, d: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        round(col("qscale"), 6).as("qscale"),
+        expr("aggregate(qvec, 0L, (a, q) -> a + abs(q))").as("q_l1"),
+        size(col("qvec")).cast("long").as("dim"))
+      .orderBy("vec_id")
+
   /** Token-repetition quality signal per document. */
   def repetition(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

@@ -273,6 +273,34 @@ object Similarity {
     df.select(col(idCol), bucket.as("bucket"))
   }
 
+  /** Symmetric per-vector int8 quantization: `scale = max|x| / 127`,
+    * `q_i = round(x_i / scale)` clamped to [-127, 127] — the standard
+    * ANN storage compression (4× smaller than float32, dot products
+    * stay integer until the final per-pair rescale). Adds
+    * `qvec: array<int>` (8-bit range, int storage keeps the arithmetic
+    * expression-friendly) and `qscale: double`; a zero vector gets
+    * scale 0 and an all-zero qvec. Narrow map, no shuffle.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    df
+      .withColumn("__absmax", expr(
+        s"aggregate($vecCol, CAST(0.0 AS DOUBLE), " +
+          "(m, x) -> greatest(m, abs(cast(x AS DOUBLE))))"))
+      .withColumn("qscale", col("__absmax") / lit(127.0))
+      .withColumn("qvec", expr(
+        s"""CASE WHEN __absmax = 0.0 THEN transform($vecCol, x -> 0)
+           |ELSE transform($vecCol, x -> CAST(greatest(-127.0, least(127.0,
+           |  round(cast(x AS DOUBLE) * 127.0 / __absmax))) AS INT))
+           |END""".stripMargin))
+      .drop("__absmax")
+
+  /** Reconstruct approximate float vectors from [[quantizeInt8]]
+    * output: `x̂_i = q_i · qscale`.
+    */
+  def dequantizeInt8(df: DataFrame, outCol: String = "dvec"): DataFrame =
+    df.withColumn(outCol,
+      expr("transform(qvec, q -> cast(q AS DOUBLE) * qscale)"))
+
   /** 1-row peek at the embedding dimensionality (when the caller didn't
     * pass `dim`). An EMPTY corpus yields a 1-dim placeholder — every
     * downstream result is empty anyway, and throwing

@@ -91,6 +91,22 @@ object TextAnalysis {
       lit(0.0)), 6)
   }
 
+  /** Model-based quality scoring — the batch-inference shape a
+    * classifier-filtered pipeline (fastText/DCLM-style) runs: sigmoid
+    * of a weight·feature dot product. The weights here are fixed
+    * literals; a real model's coefficients reach executors exactly the
+    * same way (driver-side constants folded into codegen — broadcast
+    * in spirit, no lookup join, no UDF). Input must already carry the
+    * [[qualityMetrics]] columns. Purely arithmetic → engine-portable.
+    */
+  def modelQualityScore(df: DataFrame): DataFrame = {
+    val z = lit(-1.0) +
+      least(col("n_tokens").cast("double") / 64.0, lit(1.0)) * 2.5 -
+      col("punct_ratio") * 3.0 +
+      col("stopword_ratio") * 1.5
+    df.withColumn("model_score", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
+  }
+
   /** Token-repetition ratio (Gopher-style repetition quality signal):
     * fraction of tokens that are repeats of an earlier token,
     * `1 − |distinct tokens| / |tokens|`. Narrow map — array ops only.

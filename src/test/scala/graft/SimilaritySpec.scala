@@ -81,6 +81,30 @@ class SimilaritySpec extends SparkSpec {
       s"banded LSH must never plan a pair product:\n$plan")
   }
 
+  test("int8 quantization: bounded error, cosine preserved, zero-safe") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = Similarity.dequantizeInt8(Similarity.quantizeInt8(emb))
+    // element-wise error bound: |x - q*scale| <= scale/2 (+ float eps)
+    val maxRelErr = q.select(expr(
+      """max(aggregate(zip_with(embedding, dvec,
+        |  (x, d) -> abs(cast(x AS DOUBLE) - d)), 0D,
+        |  (m, e) -> greatest(m, e)) / nullif(qscale, 0D))""".stripMargin))
+      .collect()(0).getDouble(0)
+    assert(maxRelErr <= 0.5 + 1e-9, s"max err / scale = $maxRelErr")
+    // cosine between original and dequantized stays ~1
+    val minCos = q.select(min(
+      graft.functions.VectorFunctions.array_cosine(
+        expr("transform(embedding, x -> cast(x AS DOUBLE))"), col("dvec"))))
+      .collect()(0).getDouble(0)
+    assert(minCos >= 0.999, s"min cosine after quantization = $minCos")
+    // zero vector: scale 0, all-zero qvec, no division error
+    val z = Similarity.quantizeInt8(
+      Seq((0L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+      .collect()(0)
+    assert(z.getDouble(z.fieldIndex("qscale")) === 0.0)
+    assert(z.getSeq[Int](z.fieldIndex("qvec")).forall(_ == 0))
+  }
+
   test("LSH buckets: similar vectors collide more than dissimilar ones") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val buckets = Similarity.cosineLshBuckets(emb, planes = 8)
