@@ -9,6 +9,28 @@ import org.apache.spark.sql.functions._
   */
 object Catalog {
 
+  /** Recursive driver-side listing as raw tuples
+    * `(name, path, length, modTimeMs)` — shared by [[listFiles]] and
+    * the DataSource V2 connector ([[graft.sources.CatalogSource]]).
+    */
+  def listRaw(dir: String,
+              conf: org.apache.hadoop.conf.Configuration)
+  : Seq[(String, String, Long, Long)] = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path)) Seq.empty
+    else {
+      val it = fs.listFiles(path, true)
+      val buf = scala.collection.mutable.ArrayBuffer[(String, String, Long, Long)]()
+      while (it.hasNext) {
+        val f = it.next()
+        buf += ((f.getPath.getName, f.getPath.toString, f.getLen,
+          f.getModificationTime))
+      }
+      buf.toSeq
+    }
+  }
+
   /** List a directory (recursively) as a DataFrame
     * `(name, path, length, mod_time)` — the engine-side equivalent of
     * the reference's `get_s3_files()` LIST → `{key: etag}`
@@ -18,19 +40,8 @@ object Catalog {
     */
   def listFiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val path = new Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = if (fs.exists(path)) {
-      val it = fs.listFiles(path, true)
-      val buf = scala.collection.mutable.ArrayBuffer[(String, String, Long, Long)]()
-      while (it.hasNext) {
-        val f = it.next()
-        buf += ((f.getPath.getName, f.getPath.toString, f.getLen,
-          f.getModificationTime))
-      }
-      buf.toSeq
-    } else Seq.empty
-    files.toDF("name", "path", "length", "mod_time")
+    listRaw(dir, spark.sparkContext.hadoopConfiguration)
+      .toDF("name", "path", "length", "mod_time")
   }
 
   /** Distributed content hashing: read each listed file as binary and

@@ -82,21 +82,11 @@ private[sources] class CatalogScan(path: String, required: StructType)
     s"graft-catalog $path readSchema=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val files =
-      if (!fs.exists(p)) Array.empty[(String, String, Long, Long)]
-      else {
-        val it = fs.listFiles(p, true)
-        val buf = scala.collection.mutable.ArrayBuffer
-          .empty[(String, String, Long, Long)]
-        while (it.hasNext) {
-          val f = it.next()
-          buf += ((f.getPath.getName, f.getPath.toString, f.getLen,
-            f.getModificationTime))
-        }
-        buf.toArray
-      }
+    // driver-side: reuse the shared recursive listing with the active
+    // session's hadoop conf (fs settings, credentials)
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val files = graft.io.Catalog.listRaw(path, conf).toArray
     val slices = math.max(1, math.min(4, files.length))
     (0 until slices).map(i => FilesPartition(
       files.zipWithIndex.collect { case (f, j) if j % slices == i => f }))

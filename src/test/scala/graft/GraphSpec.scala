@@ -39,11 +39,10 @@ class GraphSpec extends SparkSpec {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(ra max rb) = ra min rb
     }
+    // union-by-min keeps the minimum member as every root, so find(x)
+    // is already the canonical (min) component label
     val want = parent.keys.map(x => x -> find(x)).toMap
-    // canonical label = min member per root
-    val byRoot = want.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
-    val wantCanon = want.map { case (x, r) => x -> byRoot(r) }
-    assert(componentsOf(edges) === wantCanon)
+    assert(componentsOf(edges) === want)
   }
 
   test("empty edge list yields empty labeling, no error") {

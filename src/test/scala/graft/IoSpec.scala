@@ -153,10 +153,9 @@ class IoSpec extends SparkSpec {
     assert(avgFileSpan(aDir, "a") < 20000.0)
     assert(avgFileSpan(aDir, "b") > 80000.0)
     // z-order: BOTH dims bounded well below full range
-    assert(avgFileSpan(zDir, "a") < 50000.0,
-      s"z-order file span a = ${avgFileSpan(zDir, "a")}")
-    assert(avgFileSpan(zDir, "b") < 50000.0,
-      s"z-order file span b = ${avgFileSpan(zDir, "b")}")
+    val (zA, zB) = (avgFileSpan(zDir, "a"), avgFileSpan(zDir, "b"))
+    assert(zA < 50000.0, s"z-order file span a = $zA")
+    assert(zB < 50000.0, s"z-order file span b = $zB")
     // and the data round-trips unchanged
     assert(spark.read.parquet(zDir).count() === 4000)
   }
