@@ -55,6 +55,7 @@ object SparkEntry {
     "q_md5"            -> (FuncQueries.md5Hash _),
     "q_json_extract"   -> (FuncQueries.jsonExtract _),
     "q_events_hourly"  -> (FuncQueries.eventsHourly _),
+    "q_sliding_hourly" -> (FuncQueries.slidingHourly _),
     "q_sessionize"     -> (FuncQueries.sessionize _),
     "q_case_union"     -> (FuncQueries.caseUnion _),
     "q_semi_join"      -> (FuncQueries.semiJoin _),
@@ -67,6 +68,7 @@ object SparkEntry {
     "q_cube"           -> (FuncQueries.cubeAgg _),
     "q_grouping_sets"  -> (FuncQueries.groupingSets _),
     "q_window_range"   -> (FuncQueries.windowRangeFrame _),
+    "q_ignore_nulls"   -> (FuncQueries.ignoreNullsWindow _),
     "q_count_distinct" -> (FuncQueries.countDistinctAgg _),
     "q_approx_distinct" -> (FuncQueries.approxDistinct _),
     "q_approx_percentile" -> (FuncQueries.approxPercentile _),
@@ -381,6 +383,13 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sliding_hourly" ->
+      """SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900 - k * 900)
+        |   AS TIMESTAMP) AS w_start,
+        | event_type, count(*) AS n_events,
+        | round(sum(value), 2) AS sum_value
+        |FROM events, unnest([0, 1, 2, 3]) AS t(k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, value, ts,
@@ -437,6 +446,17 @@ object SparkEntry {
         |  ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
         |  RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_ignore_nulls" ->
+      """SELECT event_id, user_id,
+        | CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v_ok,
+        | round(last_value(CASE WHEN event_type = 'error' THEN NULL
+        |   ELSE value END IGNORE NULLS) OVER w, 2) AS v_filled,
+        | round(first_value(CASE WHEN event_type = 'error' THEN NULL
+        |   ELSE value END IGNORE NULLS) OVER w, 2) AS v_first
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps

@@ -273,6 +273,45 @@ object FuncQueries {
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** Sliding event-time windows in BATCH form (1-hour window hopping
+    * every 15 minutes): each event lands in exactly 4 overlapping
+    * windows — `window(ts, dur, hop)` plans one Expand (×4 fan-out) +
+    * one keyed aggregate, the same shape the streaming variant
+    * ([[graft.stream.Streams.slidingCounts]]) runs incrementally. The
+    * oracle reproduces Spark's epoch-aligned window grid explicitly.
+    */
+  def slidingHourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  /** IGNORE NULLS window navigation: carry the last non-null
+    * observation forward (gap-filling — the time-series imputation the
+    * as-of join builds on) and fetch the first non-null per partition.
+    * Null `prev` seeds from events whose own value is null: here the
+    * nullable column is derived (`value` nulled on 'error' events) so
+    * the fill is observable against the oracle.
+    */
+  def ignoreNullsWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("v_ok",
+        when(col("event_type") === "error", lit(null).cast("double"))
+          .otherwise(col("value")))
+      .withColumn("v_filled",
+        round(last(col("v_ok"), ignoreNulls = true).over(w), 2))
+      .withColumn("v_first",
+        round(first(col("v_ok"), ignoreNulls = true).over(w), 2))
+      .select("event_id", "user_id", "v_ok", "v_filled", "v_first")
+      .orderBy("event_id")
+  }
+
   /** Approximate percentile sketch (GK/KLL-family `percentile_approx`)
     * — the mergeable-quantile path for 100 TB where exact per-group
     * sort-percentiles ([[percentiles]]) get expensive. Sketch
