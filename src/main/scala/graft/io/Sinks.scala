@@ -38,6 +38,35 @@ object Sinks {
       .parquet(dir)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetFileBytes` files — the standing maintenance op behind
+    * every streaming/incremental sink (each micro-batch writes at
+    * least one file per partition; a day of 1-minute batches leaves
+    * thousands of KB-sized files whose per-file open/footer cost
+    * dominates scans at 100 TB). Target count is derived from the
+    * CURRENT on-disk byte size (listing metadata only, no data read),
+    * written to a temp dir then atomically swapped via rename so a
+    * concurrent reader sees old or new, never a partial mix.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = Catalog.listRaw(dir, conf)
+      .filter(_._1.endsWith(".parquet")).map(_._3).sum
+    val nFiles = math.max(1L,
+      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = s"$dir.__compact_tmp"
+    spark.read.parquet(dir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(s"$dir.__compact_old")
+    fs.rename(p, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    fs.delete(old, true)
+  }
+
   /** S11 record sink: rows as JSON strings (the reference's
     * `to_dict('records')` log emission, `report_processor.py:186`).
     */

@@ -182,6 +182,22 @@ class IoSpec extends SparkSpec {
     assert(bad.forall(_.isNullAt(0))) // schema fields null on bad rows
   }
 
+  test("compaction collapses a many-file dir, preserves data exactly") {
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    val df = spark.range(0, 10000).selectExpr("id", "id * 2 AS v")
+    df.repartition(64).write.parquet(dir) // the small-file problem
+    def parquetFiles() = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles() === 64)
+    val before = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    Sinks.compact(spark, dir) // tiny data -> one target file
+    assert(parquetFiles() === 1, s"expected 1 file, got ${parquetFiles()}")
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(after === before)
+  }
+
   test("timestamped path + json sink + record sink") {
     val out = Sinks.timestampedPath(
       Files.createTempDirectory("sink").toString, "population_data_", ".json")
