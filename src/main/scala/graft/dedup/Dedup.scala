@@ -37,6 +37,20 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Quality-aware representative selection: given per-doc cluster
+    * labels ([[graft.graph.ConnectedComponents]] output joined back,
+    * or exact-dup fingerprints) and a score column, keep the HIGHEST
+    * scoring document per cluster (ties → smallest id) — the keep
+    * policy real curation uses instead of keep-lowest-id: when near
+    * duplicates differ (boilerplate stripped vs not, truncated vs
+    * full), the kept copy should be the best one, not the first
+    * crawled. One [[graft.ops.Ops.argMax]] window keyed by cluster.
+    */
+  def keepRepresentatives(df: DataFrame, clusterCol: String,
+                          scoreCol: String,
+                          idCol: String = "doc_id"): DataFrame =
+    graft.ops.Ops.argMax(df, clusterCol, scoreCol, idCol)
+
   /** Word k-shingles (k consecutive tokens joined by one space),
     * distinct per document. Exploded representation: `(id, shingle)`.
     */

@@ -81,4 +81,19 @@ class DedupSpec extends SparkSpec {
     val recall = truth.count(pairs.contains).toDouble / truth.size
     assert(recall >= 0.5, s"simhash recall $recall over ${truth.size}")
   }
+
+  test("keepRepresentatives keeps the best-scoring doc per cluster") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L, 0.3), (2L, 10L, 0.9), (3L, 10L, 0.9), // cluster 10
+      (4L, 40L, 0.5),                                 // singleton
+      (5L, 50L, 0.1), (6L, 50L, 0.2)                  // cluster 50
+    ).toDF("doc_id", "cluster_id", "quality_score")
+    val kept = Dedup
+      .keepRepresentatives(docs, "cluster_id", "quality_score")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // cluster 10: 2 beats 1 on score, beats 3 on id tie; 4 survives;
+    // cluster 50: 6 wins on score
+    assert(kept === Seq(2L, 4L, 6L))
+  }
 }
