@@ -10,12 +10,20 @@ import org.apache.spark.sql.SparkSession
   *
   * {{{
   * {"metric":"total","value":<sum of per-query best walls>,"unit":"sec",
-  *  "queries":{name: best-of-N wall sec, ...}, "sf": dir,
-  *  "iters":N, "method":"min_of_iters",
-  *  "errors":{name: message, ...},               // only failed queries
-  *  "detail":{name:{"wall":[per-iter sec...],
-  *                  "run_ms":…,"cpu_ms":…,"gc_ms":…,"tasks":…}, ...}}
+  *  "queries":{name: best-of-N wall sec, ...},   // HEADLINE subset only
+  *  "sf": dir, "n_queries":<all queries timed>, "iters":N,
+  *  "method":"min_of_iters", "detail_file":"bench_detail.json",
+  *  "errors":{name: message, ...}}               // only failed queries
   * }}}
+  *
+  * The stdout line is deliberately COMPACT (~1 KB): the driver captures
+  * only the tail of the build output (observed: last 2000 chars), and
+  * rounds 1–2 both recorded `parsed: null` because the full 87-query
+  * line (~14 KB with per-iteration detail) started before that window.
+  * `value` still totals ALL queries; the `queries` map carries a fixed
+  * headline subset for trend comparison, and the COMPLETE per-query
+  * walls + task metrics go to `detail_file` (written in the working
+  * directory, i.e. the repo root when run via sbt).
   *
   * Round-2 redesign, after BENCH_r01's instability (per-query swings up
   * to ~50× between driver/judge runs, stalls landing on RANDOM queries):
@@ -100,6 +108,19 @@ object Bench {
   private def jsonNum(d: Double): String =
     if (d.isNaN || d.isInfinite) "null" else f"$d%.6f"
 
+  /** Fixed headline subset for the compact stdout line: the scans,
+    * shuffles, and joins that dominate cost plus one representative per
+    * operator family. Fixed (not "top-k slowest") so the per-round
+    * trend in BENCH_r{N}.json compares the same queries every round.
+    */
+  private val headline: Seq[String] = Seq(
+    "q_curate", "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash",
+    "q_dedup_simhash", "q_dedup_clusters", "q_emb_neardup_lsh",
+    "q_knn_brute", "q_knn_ivf", "q_centroid", "q_tfidf", "q_lang_id",
+    "q_token_counts", "q_chunks", "q_pack", "q_agg_sum", "q_join_salted",
+    "q_star_join", "q_window", "q_sessionize", "q_events_hourly",
+    "q_unpivot", "q_subquery", "q_topk_group")
+
   private def jsonStr(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
@@ -156,22 +177,37 @@ object Bench {
       }
 
     val total = results.map(_._2.best).sum
-    val qs = results.map { case (k, r) => s"${jsonStr(k)}:${jsonNum(r.best)}" }
+    val byName = results.toMap
+    val qs = headline.flatMap(k => byName.get(k).map(r =>
+        s"${jsonStr(k)}:${jsonNum(r.best)}"))
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, r) if r.err.isDefined =>
       s"${jsonStr(k)}:${jsonStr(r.err.get)}" }
     val detail = results.map { case (k, r) =>
       val walls = r.walls.map(jsonNum).mkString("[", ",", "]")
       s"${jsonStr(k)}:{" +
-        s""""wall":$walls,"run_ms":${r.metrics(0)},""" +
+        s""""best":${jsonNum(r.best)},"wall":$walls,""" +
+        s""""run_ms":${r.metrics(0)},""" +
         s""""cpu_ms":${r.metrics(1)},"gc_ms":${r.metrics(2)},""" +
         s""""tasks":${r.metrics(3)}}"""
     }.mkString("{", ",", "}")
     val errPart =
       if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":${jsonStr(sfDir)},"iters":$iters,"method":"min_of_iters"""" +
-      errPart + s""","detail":$detail}""")
+    val detailFile = "bench_detail.json"
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":${jsonStr(sfDir)},"n_queries":${results.size},""" +
+      s""""iters":$iters,"method":"min_of_iters",""" +
+      s""""detail_file":${jsonStr(detailFile)}""" + errPart + "}"
+    // Complete per-query record (all queries, per-iteration walls, task
+    // metrics) — too big for the driver's stdout tail window, so it
+    // goes to a file the judge can read from the repo root.
+    val pw = new java.io.PrintWriter(detailFile, "UTF-8")
+    try pw.println(
+      s"""{"total":$total,"sf":${jsonStr(sfDir)},"iters":$iters,""" +
+      s""""detail":$detail$errPart}""")
+    finally pw.close()
+    println(line)
     spark.stop()
     if (results.exists(_._2.err.isDefined)) System.err.println(
       s"[bench] ${errs.size} queries FAILED — see errors key")
