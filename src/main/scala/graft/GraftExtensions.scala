@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{ArrayCosine, ArrayDot}
+import graft.functions.{ArrayCosine, ArrayDot, UnicodeNfc}
 
 /** `SparkSessionExtensions` hook: registers the graft native functions
   * so SQL users get `array_dot`/`array_cosine` without touching the
@@ -24,5 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[ArrayCosine].getName, "array_cosine"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           ArrayCosine(exprs(0), exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("unicode_nfc"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[UnicodeNfc].getName, "unicode_nfc"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          UnicodeNfc(exprs(0))))
   }
 }

@@ -109,7 +109,11 @@ object SparkEntry {
     "q_curate"         -> (TrainingQueries.curate _),
     "q_dedup_clusters" -> (TrainingQueries.dedupClusters _),
     "q_pack"           -> (TrainingQueries.pack _),
-    "q_lang_id"        -> (TrainingQueries.langId _)
+    "q_lang_id"        -> (TrainingQueries.langId _),
+    "q_weighted_sample" -> (TrainingQueries.weightedSample _),
+    "q_contamination"  -> (TrainingQueries.contamination _),
+    "q_strip_markup"   -> (TrainingQueries.stripMarkup _),
+    "q_normalize_nfc"  -> (TrainingQueries.normalizeNfc _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -763,6 +767,70 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(email_free, '\d{4,}')) AS BIGINT)
         |   AS n_long_nums,
         | regexp_replace(email_free, '\d{4,}', '<NUM>', 'g') AS redacted
-        |FROM ef ORDER BY doc_id""".stripMargin
+        |FROM ef ORDER BY doc_id""".stripMargin,
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars, sample_key FROM (
+        |  SELECT doc_id, n_chars,
+        |    round(ln((((doc_id * 2654435761) % 4294967296) + 0.5)
+        |      / 4294967296) / n_chars, 6) AS sample_key
+        |  FROM documents WHERE n_chars > 0
+        |  ORDER BY sample_key DESC, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+    "q_contamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |     for i in range(1, len(w) - 1)])) AS shingle
+        |  FROM tok),
+        |tagged AS (
+        |  SELECT doc_id, CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+        |    THEN 'train' ELSE 'test' END AS split FROM documents),
+        |train_sh AS (
+        |  SELECT DISTINCT shingle FROM sh JOIN tagged USING (doc_id)
+        |  WHERE split = 'train'),
+        |test_sh AS (
+        |  SELECT sh.doc_id, sh.shingle FROM sh JOIN tagged USING (doc_id)
+        |  WHERE split = 'test'),
+        |totals AS (SELECT doc_id, count(*) AS n_shingles FROM test_sh GROUP BY 1),
+        |shared AS (
+        |  SELECT doc_id, count(*) AS n_shared FROM test_sh
+        |  WHERE shingle IN (SELECT shingle FROM train_sh) GROUP BY 1)
+        |SELECT t.doc_id, t.n_shingles, coalesce(s.n_shared, 0) AS n_shared,
+        |  round(coalesce(s.n_shared, 0) / t.n_shingles, 6) AS contamination
+        |FROM totals t LEFT JOIN shared s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_strip_markup" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    '<html><p id="1">' || text || '</p>&nbsp;<br/></html>' AS page
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(page, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |    regexp_replace(page, '<[^>]*>', ' ', 'g') AS no_tags
+        |  FROM page)
+        |SELECT doc_id, n_tags,
+        |  CAST(len(regexp_extract_all(no_tags, '&[a-zA-Z]+;|&#[0-9]+;'))
+        |    AS BIGINT) AS n_entities,
+        |  md5(trim(regexp_replace(regexp_replace(no_tags,
+        |    '&[a-zA-Z]+;|&#[0-9]+;', ' ', 'g'), '\s+', ' ', 'g')))
+        |    AS clean_md5,
+        |  CAST(length(trim(regexp_replace(regexp_replace(no_tags,
+        |    '&[a-zA-Z]+;|&#[0-9]+;', ' ', 'g'), '\s+', ' ', 'g')))
+        |    AS BIGINT) AS clean_len
+        |FROM base ORDER BY doc_id""".stripMargin,
+    "q_normalize_nfc" ->
+      """WITH suf AS (
+        |  SELECT doc_id, text || ' Cafe' || chr(769) AS suffixed
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(nfc_normalize(suffixed)) AS nfc_md5,
+        |  CAST(length(nfc_normalize(suffixed)) AS BIGINT) AS nfc_len,
+        |  CAST(length(suffixed) - length(nfc_normalize(suffixed)) AS BIGINT)
+        |    AS n_composed
+        |FROM suf ORDER BY doc_id""".stripMargin
   )
 }

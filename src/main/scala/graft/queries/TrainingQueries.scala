@@ -338,4 +338,94 @@ object TrainingQueries {
       .groupBy("lang_pred")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang_pred")
+
+  /** Deterministic weighted sample without replacement (Efraimidis &
+    * Spirakis, "Weighted random sampling with a reservoir", IPL 2006):
+    * each doc gets key u^(1/w) — here compared in the equivalent
+    * ln(u)/w form — with u derived from the same engine-portable Knuth
+    * multiplicative hash as [[splitBucket]] (so the "randomness" is a
+    * pure function of doc_id: reruns and other engines agree), w =
+    * n_chars, and the sample is the top-100 keys. One TakeOrdered over
+    * a narrow map — no shuffle at any scale; on a cluster this is
+    * per-partition top-k + driver merge of k·partitions rows.
+    *
+    * The key is rounded to 6dp BEFORE ranking with doc_id as the tie
+    * break, so the selected set is stable across engines even at the
+    * cutoff boundary.
+    */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val m = lit(4294967296L)
+    val h = pmod(col("doc_id").cast("long") * lit(2654435761L), m)
+    val u = (h + lit(0.5)) / m
+    Tables.documents(s, d)
+      .filter(col("n_chars") > 0)
+      .withColumn("sample_key", round(log(u) / col("n_chars"), 6))
+      .orderBy(desc("sample_key"), col("doc_id"))
+      .limit(100)
+      .select("doc_id", "n_chars", "sample_key")
+      .orderBy("doc_id")
+  }
+
+  /** Train/test contamination audit (the decontamination step of an
+    * LLM data pipeline — GPT-3 appendix C / The Pile style n-gram
+    * overlap): for every TEST document, the fraction of its distinct
+    * trigram shingles that also appear anywhere in the TRAIN split.
+    * Candidate generation is a shingle-keyed LEFT SEMI join against the
+    * distinct'd train shingle set — never doc×doc; at 100 TB both
+    * sides partition by shingle and the train side has already been
+    * deduplicated by the aggregation, so the join is the same inverted
+    * index shape as [[graft.dedup.Dedup.ngramJaccard]] candidates.
+    */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val split = docs.select(col("doc_id"),
+      when(splitBucket(col("doc_id")) < 90, "train").otherwise("test")
+        .as("split"))
+    val sh = Dedup.shingles(docs).join(split, Seq("doc_id"))
+    val trainSh = sh.filter(col("split") === "train")
+      .select("shingle").distinct()
+    val testSh = sh.filter(col("split") === "test").select("doc_id", "shingle")
+    val totals = testSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val shared = testSh.join(trainSh, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    totals.join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contamination",
+        round(col("n_shared") / col("n_shingles"), 6))
+      .select("doc_id", "n_shingles", "n_shared", "contamination")
+      .orderBy("doc_id")
+  }
+
+  /** Markup strip over documents wrapped in synthetic HTML (the
+    * testdata is plain text, so the query constructs the markup it
+    * then removes — the REMOVAL is the operator under test).
+    */
+  def stripMarkup(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.stripMarkup(
+      Tables.documents(s, d).withColumn("page",
+        concat(lit("<html><p id=\"1\">"), col("text"),
+          lit("</p>&nbsp;<br/></html>"))),
+      textCol = "page")
+      .select(col("doc_id"), col("n_tags"), col("n_entities"),
+        md5(col("clean_text")).as("clean_md5"),
+        length(col("clean_text")).cast("long").as("clean_len"))
+      .orderBy("doc_id")
+
+  /** Unicode NFC normalization ([[graft.functions.UnicodeNfc]] native
+    * expression) — the text is suffixed with a DECOMPOSED "café" so the
+    * normalizer provably composes something (the fingerprints before /
+    * after normalization differ on every row).
+    */
+  def normalizeNfc(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextNormFunctions.unicode_nfc
+    val suffixed = concat(col("text"), lit(" Café"))
+    Tables.documents(s, d)
+      .withColumn("nfc_text", unicode_nfc(suffixed))
+      .select(col("doc_id"),
+        md5(col("nfc_text")).as("nfc_md5"),
+        length(col("nfc_text")).cast("long").as("nfc_len"),
+        (length(suffixed) - length(col("nfc_text"))).cast("long")
+          .as("n_composed"))
+      .orderBy("doc_id")
+  }
 }

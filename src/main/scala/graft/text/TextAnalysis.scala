@@ -167,6 +167,30 @@ object TextAnalysis {
       .withColumn("redacted", regexp_replace(emailFree, numRe, "<NUM>"))
   }
 
+  /** Markup/boilerplate strip (web-extraction cleanup before dedup and
+    * quality scoring): removes HTML-ish tags and character entities,
+    * collapses the leftover whitespace, and keeps audit counts of what
+    * was removed — the trafilatura-shaped step of a web-crawl pipeline
+    * reduced to its deterministic regex core. Pure `regexp_*`
+    * expressions: codegen'd, narrow, linear in input bytes at any
+    * scale.
+    *
+    * Output: input columns + `(n_tags, n_entities, clean_text)`.
+    */
+  def stripMarkup(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val tagRe = "<[^>]*>"
+    val entRe = "&[a-zA-Z]+;|&#[0-9]+;"
+    val noTags = regexp_replace(col(textCol), tagRe, " ")
+    // entities counted AFTER tag removal so an entity inside a tag
+    // attribute is part of the tag's removal, not double-counted
+    df.withColumn("n_tags",
+        size(regexp_extract_all(col(textCol), lit(tagRe), lit(0))).cast("long"))
+      .withColumn("n_entities",
+        size(regexp_extract_all(noTags, lit(entRe), lit(0))).cast("long"))
+      .withColumn("clean_text",
+        trim(regexp_replace(regexp_replace(noTags, entRe, " "), "\\s+", " ")))
+  }
+
   /** Language-ID: score each candidate language by the fraction of its
     * stopword profile present in the token set, pick the argmax
     * (deterministic tie-break: language code ascending). Pure expression

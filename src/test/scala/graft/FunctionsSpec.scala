@@ -90,4 +90,28 @@ class FunctionsSpec extends SparkSpec {
       assert(math.abs(got(i) - want(i)) < 1e-9)
     }
   }
+
+  test("unicode_nfc composes decomposed sequences; identity on NFC text") {
+    import graft.functions.TextNormFunctions.unicode_nfc
+    // "Cafe" + combining acute (U+0301): NFC composes to 4-cp "Café"
+    val df = Seq((1L, "Café"), (2L, "ascii only"), (3L, null))
+      .toDF("id", "t")
+    val got = df.select(col("id"), unicode_nfc(col("t")).as("n"),
+        length(unicode_nfc(col("t"))).as("len"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getString(1), r.getInt(2))))).toMap
+    assert(got(1L) === Some(("Café", 4)))
+    assert(got(2L) === Some(("ascii only", 10)))
+    assert(got(3L) === None)
+  }
+
+  test("unicode_nfc: SQL registration and codegen path agree with eval") {
+    graft.functions.TextNormFunctions.register(spark)
+    val r = spark.sql("SELECT unicode_nfc('Café' ) AS n").collect()(0)
+    assert(r.getString(0) === "Café")
+    // wide row forces whole-stage codegen; compare vs interpreted result
+    val df = spark.range(50).selectExpr(
+      "unicode_nfc(concat('Áx', id)) AS n")
+    assert(df.collect().forall(_.getString(0).startsWith("Áx")))
+  }
 }

@@ -49,4 +49,19 @@ class TextSpec extends SparkSpec {
     assert(fps(0) === fps(1))
     assert(fps(0) !== fps(2))
   }
+
+  test("stripMarkup removes tags/entities, collapses space, audits counts") {
+    val pages = Seq(
+      (0L, """<html><p class="x">Hello&nbsp;world</p> <br/>rest</html>"""),
+      (1L, "no markup at all"),
+      (2L, "a &lt; b &#65; c")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.stripMarkup(pages).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tags"), x.getAs[Long]("n_entities"),
+          x.getAs[String]("clean_text")))).toMap
+    assert(r(0L) === ((5L, 1L, "Hello world rest")))
+    assert(r(1L) === ((0L, 0L, "no markup at all")))
+    assert(r(2L) === ((0L, 2L, "a b c")))
+  }
 }
