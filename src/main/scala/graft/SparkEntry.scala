@@ -113,7 +113,8 @@ object SparkEntry {
     "q_weighted_sample" -> (TrainingQueries.weightedSample _),
     "q_contamination"  -> (TrainingQueries.contamination _),
     "q_strip_markup"   -> (TrainingQueries.stripMarkup _),
-    "q_normalize_nfc"  -> (TrainingQueries.normalizeNfc _)
+    "q_normalize_nfc"  -> (TrainingQueries.normalizeNfc _),
+    "q_rrf_fusion"     -> (TrainingQueries.rrfFusion _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -831,6 +832,37 @@ object SparkEntry {
         |  CAST(length(nfc_normalize(suffixed)) AS BIGINT) AS nfc_len,
         |  CAST(length(suffixed) - length(nfc_normalize(suffixed)) AS BIGINT)
         |    AS n_composed
-        |FROM suf ORDER BY doc_id""".stripMargin
+        |FROM suf ORDER BY doc_id""".stripMargin,
+    "q_rrf_fusion" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |cosr AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+        |l2r AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_distance(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])) ASC, c.vec_id) AS rank
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+        |u AS (
+        |  SELECT query_id, neighbor_id, 1.0::DOUBLE / (60 + rank) AS s
+        |  FROM cosr WHERE rank <= 10
+        |  UNION ALL
+        |  SELECT query_id, neighbor_id, 1.0::DOUBLE / (60 + rank)
+        |  FROM l2r WHERE rank <= 10),
+        |f AS (
+        |  SELECT query_id, neighbor_id, round(sum(s), 6) AS rrf_score,
+        |    count(*) AS n_systems
+        |  FROM u GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, rrf_score, n_systems,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_score DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM f
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
   )
 }

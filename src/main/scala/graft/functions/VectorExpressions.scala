@@ -161,6 +161,63 @@ case class ArrayCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Euclidean (L2) distance: sqrt(Σ (a_i − b_i)²); null on length
+  * mismatch. Null elements count as 0, matching [[ArrayDot]].
+  */
+case class ArrayL2(left: Expression, right: Expression)
+  extends VectorBinaryExpression {
+  override def prettyName: String = "array_l2"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (a.numElements() != b.numElements()) null
+    else {
+      val (lt, rt) = (elemType(left), elemType(right))
+      var acc = 0.0
+      var i = 0
+      val n = a.numElements()
+      while (i < n) {
+        val x = if (a.isNullAt(i)) 0.0 else get(a, i, lt)
+        val y = if (b.isNullAt(i)) 0.0 else get(b, i, rt)
+        val d = x - y
+        acc += d * d
+        i += 1
+      }
+      math.sqrt(acc)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (lt, rt) = (elemType(left), elemType(right))
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $a.isNullAt($i) ? 0.0 : ${getJava(a, i, lt)};
+         |    double $y = $b.isNullAt($i) ? 0.0 : ${getJava(b, i, rt)};
+         |    double $d = $x - $y;
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = java.lang.Math.sqrt($acc);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column wrappers + SQL registration. Spark 4 removed `Column.expr`
   * from the public surface; the classic `ExpressionUtils` bridge is the
   * supported way to cross Column ↔ Expression.
@@ -174,12 +231,17 @@ object VectorFunctions {
   def array_cosine(a: Column, b: Column): Column =
     toCol(ArrayCosine(toExpr(a), toExpr(b)))
 
-  /** Register `array_dot` / `array_cosine` for SQL use. */
+  def array_l2(a: Column, b: Column): Column =
+    toCol(ArrayL2(toExpr(a), toExpr(b)))
+
+  /** Register `array_dot` / `array_cosine` / `array_l2` for SQL use. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("array_dot",
       exprs => ArrayDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("array_cosine",
       exprs => ArrayCosine(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("array_l2",
+      exprs => ArrayL2(exprs(0), exprs(1)), "built-in")
   }
 }

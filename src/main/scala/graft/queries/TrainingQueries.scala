@@ -86,6 +86,23 @@ object TrainingQueries {
       bands = 16, rowsPerBand = 4)
       .orderBy("id_a", "id_b")
 
+  /** Hybrid-retrieval fusion: cosine top-10 and L2 top-10 legs over
+    * the same corpus (queries = vec_id < 10), merged by reciprocal-rank
+    * fusion, top-5 per query. Both legs are exact and deterministic, so
+    * the fused ranking oracles cleanly (DuckDB
+    * `list_cosine_similarity` / `list_distance`).
+    */
+  def rrfFusion(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 10)
+    val cos = Similarity.bruteForceTopK(emb, qs, k = 10)
+      .select("query_id", "neighbor_id", "rank")
+    val l2 = Similarity.bruteForceTopKL2(emb, qs, k = 10)
+      .select("query_id", "neighbor_id", "rank")
+    Similarity.rrfFuse(Seq(cos, l2), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-label centroid, element-wise (posexplode + grouped avg —
     * map-side partial aggregation keyed by (label, pos)).
     */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.{array_cosine, array_dot}
+import graft.functions.VectorFunctions.{array_cosine, array_dot, array_l2}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`), expression-only (codegen-friendly, no UDF).
@@ -65,6 +65,60 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("__cos"), 6).as("cosine"))
+  }
+
+  /** Exact Euclidean top-k: for every query row, the `k` nearest corpus
+    * rows by L2 distance (ties → smaller corpus id). Same broadcast +
+    * keyed-top-k shape as [[bruteForceTopK]]; the distance is the
+    * native codegen'd [[graft.functions.ArrayL2]] on the RAW vectors
+    * (no normalization — L2 is scale-sensitive by definition).
+    * Output: `(query_id, neighbor_id, rank, distance)`.
+    */
+  def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                       vecCol: String = "embedding",
+                       idCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__dist").asc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("__dist", array_l2(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("__dist"), 6).as("distance"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    * merge per-query rankings from several retrieval systems into one,
+    * scoring each (query, candidate) by Σ 1/(rrfK + rank) over the
+    * systems that returned it — the standard hybrid-search combiner
+    * (e.g. dense cosine + lexical or L2 legs) precisely because it
+    * needs no score calibration between systems, only ranks.
+    *
+    * Input frames each carry `(query_id, neighbor_id, rank)`. Output:
+    * `(query_id, neighbor_id, rrf_score, n_systems, rank)`, top `k`
+    * per query (ties → smaller neighbor_id).
+    *
+    * At 100 TB: a union of already-keyed rankings, one hash aggregate
+    * on (query_id, neighbor_id), one per-query window — partitioned by
+    * query throughout, WindowGroupLimit prunes to k map-side. The
+    * score is rounded BEFORE ranking so the fused order is
+    * engine-portable.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10,
+              rrfK: Double = 60.0): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val scored = rankings.map(_.select(col("query_id"), col("neighbor_id"),
+        (lit(1.0) / (lit(rrfK) + col("rank"))).as("__s")))
+      .reduce(_.unionByName(_))
+    val fused = scored.groupBy("query_id", "neighbor_id")
+      .agg(round(sum("__s"), 6).as("rrf_score"),
+        count(lit(1)).as("n_systems"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("neighbor_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 
   /** Deterministic coarse centroids: the corpus rows whose id is in

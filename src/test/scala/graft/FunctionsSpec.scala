@@ -91,6 +91,17 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("array_l2 computes euclidean distance; mismatch -> null") {
+    import graft.functions.VectorFunctions.array_l2
+    val got = vecs.select(col("id"), array_l2(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - math.sqrt(27.0)) < 1e-12) // 9+9+9
+    assert(math.abs(got(2L) - math.sqrt(2.0)) < 1e-12)
+    val mm = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+      .select(array_l2(col("a"), col("b"))).collect()(0)
+    assert(mm.isNullAt(0))
+  }
+
   test("unicode_nfc composes decomposed sequences; identity on NFC text") {
     import graft.functions.TextNormFunctions.unicode_nfc
     // "Cafe" + combining acute (U+0301): NFC composes to 4-cp "Café"

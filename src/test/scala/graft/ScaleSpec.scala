@@ -118,9 +118,11 @@ class ScaleSpec extends SparkSpec {
     // BOUNDED broadcast fan-outs: the 1-row centroid-array frame and
     // the |queries| × |centroids| probe ranking — the corpus-side
     // candidate join itself is equi on the cell id), q_cross_join
-    // (explicit small×small cross join).
+    // (explicit small×small cross join), q_rrf_fusion (two
+    // q_knn_brute-shaped legs: bounded |queries| × corpus broadcast
+    // products; the fusion itself is an equi-keyed agg + window).
     val allowed = Set("q_emb_neardup", "q_knn_brute", "q_knn_ivf",
-      "q_cross_join")
+      "q_cross_join", "q_rrf_fusion")
     // 1-row-frame fan-outs (a global aggregate cross-joined back in,
     // e.g. tfidf's corpus count, assignCells' collected centroid array)
     // also plan as BNLJ but are ×1 by construction — recognizable

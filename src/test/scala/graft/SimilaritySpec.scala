@@ -115,4 +115,35 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(buckets === again)
   }
+
+  test("RRF fusion: agreement dominates, self-fusion preserves order") {
+    import spark.implicits._
+    // system A and B agree on doc 10 at rank 1; disagree below
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((0L, 10L, 1L), (0L, 13L, 2L), (0L, 11L, 3L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val fused = Similarity.rrfFuse(Seq(a, b), k = 4).collect()
+      .map(r => r.getAs[Long]("rank") ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Long]("n_systems")))).toMap
+    assert(fused(1L) === ((10L, 2L)))  // both systems: 2/61
+    assert(fused(2L) === ((11L, 2L)))  // 1/62 + 1/63 beats single-system
+    // self-fusion keeps the input order
+    val self = Similarity.rrfFuse(Seq(a, a), k = 3).collect()
+      .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id"))
+    assert(self.toSeq === Seq(10L, 11L, 12L))
+  }
+
+  test("L2 top-k: nearest by euclidean distance with deterministic ties") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 2.0f)), (3L, Array(3.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") === 0L)
+    val got = Similarity.bruteForceTopKL2(corpus, qs, k = 2).collect()
+      .map(r => r.getAs[Long]("rank") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(got(1L) === 1L) // dist 1
+    assert(got(2L) === 2L) // dist 2
+  }
 }
