@@ -114,7 +114,8 @@ object SparkEntry {
     "q_contamination"  -> (TrainingQueries.contamination _),
     "q_strip_markup"   -> (TrainingQueries.stripMarkup _),
     "q_normalize_nfc"  -> (TrainingQueries.normalizeNfc _),
-    "q_rrf_fusion"     -> (TrainingQueries.rrfFusion _)
+    "q_rrf_fusion"     -> (TrainingQueries.rrfFusion _),
+    "q_kmeans_cells"   -> (TrainingQueries.kmeansCells _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same

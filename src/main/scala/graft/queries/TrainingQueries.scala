@@ -86,6 +86,20 @@ object TrainingQueries {
       bands = 16, rowsPerBand = 4)
       .orderBy("id_a", "id_b")
 
+  /** Trained coarse-quantizer cell occupancy: spherical k-means
+    * (k=16, 3 Lloyd iterations, deterministic seed) then one
+    * assignment pass — the IVF index-build shape. Iterative float
+    * training → no SQL oracle; Lloyd monotonicity + trained-IVF recall
+    * are asserted in SimilaritySpec.
+    */
+  def kmeansCells(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.kmeansCentroids(emb, k = 16, iters = 3)
+    Similarity.assignCells(emb, cents)
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("cell")
+  }
+
   /** Hybrid-retrieval fusion: cosine top-10 and L2 top-10 legs over
     * the same corpus (queries = vec_id < 10), merged by reciprocal-rank
     * fusion, top-5 per query. Both legs are exact and deterministic, so

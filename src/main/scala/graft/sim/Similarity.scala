@@ -164,16 +164,70 @@ object Similarity {
       .drop("__cents", "__best")
   }
 
-  /** IVF top-k: probe only the cells of the `nProbe` centroids nearest
-    * to each query. Returns the same schema as [[bruteForceTopK]];
-    * approximate (recall < 1 when the true neighbor lives in an
-    * unprobed cell).
+  /** Spherical k-means coarse-quantizer training (Lloyd iterations;
+    * Dhillon & Modha, "Concept decompositions for large sparse text
+    * data using clustering", Machine Learning 42, 2001): learns `k`
+    * unit centroids for [[ivfTopKWith]] instead of the id-seeded
+    * [[ivfTopK]] ones.
+    *
+    * Per iteration: assignment is the narrow broadcast argmax of
+    * [[assignCells]] (no shuffle), update is one posexplode +
+    * (cell, pos) grouped mean (one shuffle, map-side partial aggs).
+    * The k×dim double centroid matrix is collected to the driver each
+    * iteration — deliberately: that is MODEL state bounded by k·dim
+    * (~20×64 here), not data, and it must round-trip through the
+    * driver to become the next iteration's broadcast literal. Lloyd
+    * monotonically improves the spherical objective (mean max-cosine),
+    * asserted in SimilaritySpec. Empty cells keep their previous
+    * centroid. Init: the k smallest-id corpus vectors (deterministic —
+    * same rerun, same model).
+    *
+    * Output: `(idCol = cell id 0..k−1, vecCol = array<double> unit
+    * centroid)`.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame,
-              centroidIds: Seq[Long], k: Int = 5, nProbe: Int = 3,
-              vecCol: String = "embedding",
-              idCol: String = "vec_id"): DataFrame = {
-    val centroids = corpus.filter(col(idCol).isin(centroidIds: _*))
+  def kmeansCentroids(corpus: DataFrame, k: Int = 20, iters: Int = 5,
+                      vecCol: String = "embedding",
+                      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && iters >= 0, s"need k>=1, iters>=0: $k/$iters")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    // deterministic seed: k smallest ids
+    var cents: Seq[(Long, Array[Double])] = corpus
+      .orderBy(col(idCol).asc).limit(k)
+      .select(col(vecCol)).collect()
+      .zipWithIndex.map { case (r, i) =>
+        i.toLong -> unit(r.getSeq[Any](0).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray)
+      }.toSeq
+    for (_ <- 1 to iters) {
+      val cdf = cents.map { case (id, v) => (id, v.toSeq) }
+        .toDF(idCol, vecCol)
+      val means = assignCells(corpus, cdf, vecCol, idCol)
+        .select(col("cell"), posexplode(col("__unit")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg("v").as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> unit(rows.sortBy(_.getInt(1)).map(_.getDouble(2)))
+        }
+      cents = cents.map { case (id, old) => id -> means.getOrElse(id, old) }
+    }
+    cents.map { case (id, v) => (id, v.toSeq) }.toDF(idCol, vecCol)
+  }
+
+  /** [[ivfTopK]] with an explicit centroid frame (e.g. the trained
+    * output of [[kmeansCentroids]]) instead of corpus-row ids.
+    */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
+                  centroids: DataFrame, k: Int = 5, nProbe: Int = 3,
+                  vecCol: String = "embedding",
+                  idCol: String = "vec_id"): DataFrame = {
     val cells = assignCells(corpus, centroids, vecCol, idCol)
       .select(col(idCol).as("neighbor_id"), col("__unit").as("__cu"),
         col("cell"))
@@ -200,6 +254,21 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("__cos"), 6).as("cosine"))
+  }
+
+  /** IVF top-k: probe only the cells of the `nProbe` centroids nearest
+    * to each query. Returns the same schema as [[bruteForceTopK]];
+    * approximate (recall < 1 when the true neighbor lives in an
+    * unprobed cell). Centroids are the corpus rows in `centroidIds`
+    * (deterministic seeding for the oracle path); use
+    * [[kmeansCentroids]] + [[ivfTopKWith]] for trained centroids.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              centroidIds: Seq[Long], k: Int = 5, nProbe: Int = 3,
+              vecCol: String = "embedding",
+              idCol: String = "vec_id"): DataFrame = {
+    val centroids = corpus.filter(col(idCol).isin(centroidIds: _*))
+    ivfTopKWith(corpus, queries, centroids, k, nProbe, vecCol, idCol)
   }
 
   /** Embedding-cosine near-duplicate pairs, exact: every pair with

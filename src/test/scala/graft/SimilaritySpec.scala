@@ -116,6 +116,36 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets === again)
   }
 
+  test("kmeans training: Lloyd improves the objective; trained IVF recalls") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // spherical objective: mean over corpus of best cosine to a centroid
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      emb.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cents.select(col("embedding").as("__cent"))))
+        .groupBy("vec_id")
+        .agg(max(graft.functions.VectorFunctions.array_cosine(
+          col("embedding"), col("__cent"))).as("best"))
+        .agg(avg("best")).collect()(0).getDouble(0)
+    val init = Similarity.kmeansCentroids(emb, k = 16, iters = 0)
+    val trained = Similarity.kmeansCentroids(emb, k = 16, iters = 4)
+    assert(trained.count() === 16)
+    // unit-norm centroids
+    val norms = trained.select(
+      graft.functions.VectorFunctions.array_dot(
+        col("embedding"), col("embedding")).as("n2")).collect()
+    assert(norms.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+    val (o0, o4) = (objective(init), objective(trained))
+    assert(o4 >= o0 - 1e-9, s"Lloyd objective regressed: $o0 -> $o4")
+    // trained centroids drive IVF to reasonable recall
+    val qs = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, qs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopKWith(emb, qs, trained, k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"trained-IVF recall $recall")
+  }
+
   test("RRF fusion: agreement dominates, self-fusion preserves order") {
     import spark.implicits._
     // system A and B agree on doc 10 at rank 1; disagree below
