@@ -133,6 +133,15 @@ object ScaleProbe {
       time("binned range join")(
         Ops.rangeJoinBinned(pts, ivDf, "p", "lo", "hi", 100.0).count())
     }
+    // Round-3: prefix-filtered n-gram Jaccard (SSJoin/All-Pairs). The
+    // replicated corpus gives every doc k-1 EXACT copies, so the true
+    // pair set grows k² — per-found-pair cost is the honest linearity
+    // measure, same framing as the LSH row above.
+    for (k <- Seq(1, 4, 16)) {
+      println(s"=== ngram near-dup scale: docs x$k (${5000 * k} docs) ===")
+      time("ngramJaccard prefix-filtered")(
+        graft.dedup.Dedup.ngramJaccard(docsX(k), threshold = 0.8).count())
+    }
     spark.stop()
   }
 }
