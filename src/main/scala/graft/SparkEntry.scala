@@ -115,7 +115,8 @@ object SparkEntry {
     "q_strip_markup"   -> (TrainingQueries.stripMarkup _),
     "q_normalize_nfc"  -> (TrainingQueries.normalizeNfc _),
     "q_rrf_fusion"     -> (TrainingQueries.rrfFusion _),
-    "q_kmeans_cells"   -> (TrainingQueries.kmeansCells _)
+    "q_kmeans_cells"   -> (TrainingQueries.kmeansCells _),
+    "q_dedup_incremental" -> (TrainingQueries.dedupIncremental _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -864,6 +865,19 @@ object SparkEntry {
         |    ORDER BY rrf_score DESC, neighbor_id) AS BIGINT) AS rank
         |FROM f
         |QUALIFY rank <= 5
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |old_idx AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 < 4),
+        |batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 = 4),
+        |first_in_batch AS (
+        |  SELECT doc_id, fp FROM batch
+        |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+        |SELECT doc_id, fp FROM first_in_batch
+        |WHERE fp NOT IN (SELECT fp FROM old_idx)
+        |ORDER BY doc_id""".stripMargin
   )
 }

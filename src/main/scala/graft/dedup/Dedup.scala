@@ -37,6 +37,29 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Incremental exact dedup — the production steady-state shape: an
+    * ARRIVING batch is deduplicated (a) within itself (first id per
+    * fingerprint wins) and (b) against the existing corpus via its
+    * fingerprint INDEX, without rescanning the corpus. At 100 TB the
+    * index is the thing you keep (one md5 per unique doc, ~1/3000th of
+    * the data); each ingest is then one window over the batch plus one
+    * fp-keyed left-anti join against the index — batch-sized work, not
+    * corpus-sized. Survivors' fingerprints are the index delta to
+    * union back (`unionByName`) for the next batch.
+    *
+    * `index` needs only an `fp` column (extra columns are dropped).
+    */
+  def exactIncremental(batch: DataFrame, index: DataFrame,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol).asc)
+    batch.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .join(index.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+  }
+
   /** Quality-aware representative selection: given per-doc cluster
     * labels ([[graft.graph.ConnectedComponents]] output joined back,
     * or exact-dup fingerprints) and a score column, keep the HIGHEST

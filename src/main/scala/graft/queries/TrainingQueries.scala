@@ -86,6 +86,23 @@ object TrainingQueries {
       bands = 16, rowsPerBand = 4)
       .orderBy("id_a", "id_b")
 
+  /** Incremental exact dedup: docs with `doc_id % 5 < 4` play the
+    * already-ingested corpus (as a fingerprint index), the rest arrive
+    * as the new batch — kept = first-in-batch per fingerprint AND not
+    * in the index. Scale-free split predicate so the same query shape
+    * runs at any sf.
+    */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val old = docs.filter(pmod(col("doc_id"), lit(5L)) < 4)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 4)
+    val index = old
+      .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+    Dedup.exactIncremental(batch, index)
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+  }
+
   /** Trained coarse-quantizer cell occupancy: spherical k-means
     * (k=16, 3 Lloyd iterations, deterministic seed) then one
     * assignment pass — the IVF index-build shape. Iterative float

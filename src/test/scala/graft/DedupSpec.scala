@@ -24,6 +24,23 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(0L, 1L, 3L, 4L)) // 2 deduped into 0
   }
 
+  test("exactIncremental: dedupes within batch and against the index; idempotent") {
+    val index = Dedup.exact(docs)
+      .select(col("fp"))  // fingerprints of the existing corpus
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of corpus 0
+      (11L, "brand new content one"),
+      (12L, "Brand  NEW content one"),                      // in-batch dup of 11
+      (13L, "brand new content two")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.exactIncremental(batch, index)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(11L, 13L))
+    // idempotence: replaying the batch against the UPDATED index keeps nothing
+    val updated = index.unionByName(kept.select("fp"))
+    assert(Dedup.exactIncremental(batch, updated).count() === 0L)
+  }
+
   test("shingles: sliding trigrams, distinct, short docs yield none") {
     val sh = Dedup.shingles(docs, k = 3).collect()
       .map(r => r.getLong(0) -> r.getString(1))
