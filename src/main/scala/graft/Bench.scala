@@ -183,6 +183,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, r) if r.err.isDefined =>
       s"${jsonStr(k)}:${jsonStr(r.err.get)}" }
+    // stdout line must stay inside the driver's ~2000-char tail window
+    // even when queries fail: at most 3 errors inline, each truncated;
+    // the full messages are in the detail file.
+    val errsBrief = results.collect { case (k, r) if r.err.isDefined =>
+      s"${jsonStr(k)}:${jsonStr(r.err.get.take(60))}" }
     val detail = results.map { case (k, r) =>
       val walls = r.walls.map(jsonNum).mkString("[", ",", "]")
       s"${jsonStr(k)}:{" +
@@ -193,21 +198,33 @@ object Bench {
     }.mkString("{", ",", "}")
     val errPart =
       if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
+    val errPartBrief =
+      if (errsBrief.isEmpty) ""
+      else s""","n_errors":${errsBrief.size},"errors":""" +
+        errsBrief.take(3).mkString("{", ",", "}")
     val detailFile = "bench_detail.json"
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":${jsonStr(sfDir)},"n_queries":${results.size},""" +
       s""""iters":$iters,"method":"min_of_iters",""" +
-      s""""detail_file":${jsonStr(detailFile)}""" + errPart + "}"
-    // Complete per-query record (all queries, per-iteration walls, task
-    // metrics) — too big for the driver's stdout tail window, so it
-    // goes to a file the judge can read from the repo root.
-    val pw = new java.io.PrintWriter(detailFile, "UTF-8")
-    try pw.println(
-      s"""{"total":$total,"sf":${jsonStr(sfDir)},"iters":$iters,""" +
-      s""""detail":$detail$errPart}""")
-    finally pw.close()
+      s""""detail_file":${jsonStr(detailFile)}""" + errPartBrief + "}"
+    // The stdout line is the primary contract — print it FIRST so a
+    // detail-file write failure (non-writable cwd) can't discard the
+    // whole bench after every query already ran.
     println(line)
+    // Complete per-query record (all queries, per-iteration walls, task
+    // metrics, untruncated errors) — too big for the driver's stdout
+    // tail window, so it goes to a file the judge can read.
+    try {
+      val pw = new java.io.PrintWriter(detailFile, "UTF-8")
+      try pw.println(
+        s"""{"total":$total,"sf":${jsonStr(sfDir)},"iters":$iters,""" +
+        s""""detail":$detail$errPart}""")
+      finally pw.close()
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] detail file write failed: $e")
+    }
     spark.stop()
     if (results.exists(_._2.err.isDefined)) System.err.println(
       s"[bench] ${errs.size} queries FAILED — see errors key")

@@ -876,8 +876,8 @@ object SparkEntry {
         |first_in_batch AS (
         |  SELECT doc_id, fp FROM batch
         |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
-        |SELECT doc_id, fp FROM first_in_batch
-        |WHERE fp NOT IN (SELECT fp FROM old_idx)
+        |SELECT doc_id, fp FROM first_in_batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM old_idx o WHERE o.fp = b.fp)
         |ORDER BY doc_id""".stripMargin
   )
 }

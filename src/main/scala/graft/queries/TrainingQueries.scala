@@ -194,12 +194,18 @@ object TrainingQueries {
     * Shared by [[trainTestSplit]] and [[TrainingPipeline.curate]] so
     * the two splits can never drift apart.
     */
-  def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  /** `(id mod 2³²) · 2654435761 mod 2³²` with the overflow-safe SPLIT
+    * multiply (see [[splitBucket]]'s doc). The shared hash under
+    * [[splitBucket]] and [[weightedSample]].
+    */
+  def knuthHash32(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val m = lit(4294967296L)
     val b = pmod(id.cast("long"), m)
-    pmod(pmod(pmod(b * lit(40503L), m) * lit(65536L) + b * lit(31153L), m),
-      lit(100L))
+    pmod(pmod(b * lit(40503L), m) * lit(65536L) + b * lit(31153L), m)
   }
+
+  def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(knuthHash32(id), lit(100L))
 
   /** Deterministic train/test split: multiplicative (Knuth) hash of the
     * id into 100 buckets, 90/10 split. Pure BIGINT arithmetic so any
@@ -402,9 +408,9 @@ object TrainingQueries {
     * cutoff boundary.
     */
   def weightedSample(s: SparkSession, d: String): DataFrame = {
-    val m = lit(4294967296L)
-    val h = pmod(col("doc_id").cast("long") * lit(2654435761L), m)
-    val u = (h + lit(0.5)) / m
+    // overflow-safe shared hash (see knuthHash32: a direct
+    // id * 2654435761L multiply throws under ANSI at 100 TB id ranges)
+    val u = (knuthHash32(col("doc_id")) + lit(0.5)) / lit(4294967296L)
     Tables.documents(s, d)
       .filter(col("n_chars") > 0)
       .withColumn("sample_key", round(log(u) / col("n_chars"), 6))

@@ -195,14 +195,17 @@ object Similarity {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n > 0) v.map(_ / n) else v
     }
-    // deterministic seed: k smallest ids
+    // deterministic seed: k smallest ids with non-null vectors (null
+    // elements read as 0.0, matching ArrayDot/ArrayL2 semantics)
     var cents: Seq[(Long, Array[Double])] = corpus
+      .filter(col(vecCol).isNotNull)
       .orderBy(col(idCol).asc).limit(k)
       .select(col(vecCol)).collect()
       .zipWithIndex.map { case (r, i) =>
         i.toLong -> unit(r.getSeq[Any](0).map {
           case f: Float => f.toDouble
           case d: Double => d
+          case null => 0.0
         }.toArray)
       }.toSeq
     for (_ <- 1 to iters) {
