@@ -131,6 +131,51 @@ object Bench {
     case c => c.toString
   } + "\""
 
+  val detailFile = "bench_detail.json"
+
+  /** Build (compact stdout line, full detail JSON). The line MUST stay
+    * inside the driver's tail-capture window (~2000 chars observed)
+    * under ALL conditions — including mass query failure — or the
+    * round records `parsed: null`; BenchSpec asserts the bound.
+    */
+  def renderOutputs(results: Seq[(String, QueryResult)], sfDir: String,
+                    iters: Int): (String, String) = {
+    val total = results.map(_._2.best).sum
+    val byName = results.toMap
+    val qs = headline.flatMap(k => byName.get(k).map(r =>
+        s"${jsonStr(k)}:${jsonNum(r.best)}"))
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, r) if r.err.isDefined =>
+      s"${jsonStr(k)}:${jsonStr(r.err.get)}" }
+    // stdout line must hold the window even when queries fail: at most
+    // 3 errors inline, each truncated; full messages in the detail file
+    val errsBrief = results.collect { case (k, r) if r.err.isDefined =>
+      s"${jsonStr(k)}:${jsonStr(r.err.get.take(60))}" }
+    val detail = results.map { case (k, r) =>
+      val walls = r.walls.map(jsonNum).mkString("[", ",", "]")
+      s"${jsonStr(k)}:{" +
+        s""""best":${jsonNum(r.best)},"wall":$walls,""" +
+        s""""run_ms":${r.metrics(0)},""" +
+        s""""cpu_ms":${r.metrics(1)},"gc_ms":${r.metrics(2)},""" +
+        s""""tasks":${r.metrics(3)}}"""
+    }.mkString("{", ",", "}")
+    val errPart =
+      if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
+    val errPartBrief =
+      if (errsBrief.isEmpty) ""
+      else s""","n_errors":${errsBrief.size},"errors":""" +
+        errsBrief.take(3).mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":${jsonStr(sfDir)},"n_queries":${results.size},""" +
+      s""""iters":$iters,"method":"min_of_iters",""" +
+      s""""detail_file":${jsonStr(detailFile)}""" + errPartBrief + "}"
+    val detailJson =
+      s"""{"total":$total,"sf":${jsonStr(sfDir)},"iters":$iters,""" +
+      s""""detail":$detail$errPart}"""
+    (line, detailJson)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -176,38 +221,7 @@ object Bench {
         name -> runQuery(spark, listener, iters)(() => fn(spark, sfDir).count())
       }
 
-    val total = results.map(_._2.best).sum
-    val byName = results.toMap
-    val qs = headline.flatMap(k => byName.get(k).map(r =>
-        s"${jsonStr(k)}:${jsonNum(r.best)}"))
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, r) if r.err.isDefined =>
-      s"${jsonStr(k)}:${jsonStr(r.err.get)}" }
-    // stdout line must stay inside the driver's ~2000-char tail window
-    // even when queries fail: at most 3 errors inline, each truncated;
-    // the full messages are in the detail file.
-    val errsBrief = results.collect { case (k, r) if r.err.isDefined =>
-      s"${jsonStr(k)}:${jsonStr(r.err.get.take(60))}" }
-    val detail = results.map { case (k, r) =>
-      val walls = r.walls.map(jsonNum).mkString("[", ",", "]")
-      s"${jsonStr(k)}:{" +
-        s""""best":${jsonNum(r.best)},"wall":$walls,""" +
-        s""""run_ms":${r.metrics(0)},""" +
-        s""""cpu_ms":${r.metrics(1)},"gc_ms":${r.metrics(2)},""" +
-        s""""tasks":${r.metrics(3)}}"""
-    }.mkString("{", ",", "}")
-    val errPart =
-      if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
-    val errPartBrief =
-      if (errsBrief.isEmpty) ""
-      else s""","n_errors":${errsBrief.size},"errors":""" +
-        errsBrief.take(3).mkString("{", ",", "}")
-    val detailFile = "bench_detail.json"
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":${jsonStr(sfDir)},"n_queries":${results.size},""" +
-      s""""iters":$iters,"method":"min_of_iters",""" +
-      s""""detail_file":${jsonStr(detailFile)}""" + errPartBrief + "}"
+    val (line, detailJson) = renderOutputs(results, sfDir, iters)
     // The stdout line is the primary contract — print it FIRST so a
     // detail-file write failure (non-writable cwd) can't discard the
     // whole bench after every query already ran.
@@ -217,16 +231,15 @@ object Bench {
     // tail window, so it goes to a file the judge can read.
     try {
       val pw = new java.io.PrintWriter(detailFile, "UTF-8")
-      try pw.println(
-        s"""{"total":$total,"sf":${jsonStr(sfDir)},"iters":$iters,""" +
-        s""""detail":$detail$errPart}""")
+      try pw.println(detailJson)
       finally pw.close()
     } catch {
       case e: Exception =>
         System.err.println(s"[bench] detail file write failed: $e")
     }
     spark.stop()
-    if (results.exists(_._2.err.isDefined)) System.err.println(
-      s"[bench] ${errs.size} queries FAILED — see errors key")
+    val nErrs = results.count(_._2.err.isDefined)
+    if (nErrs > 0) System.err.println(
+      s"[bench] $nErrs queries FAILED — see errors key")
   }
 }

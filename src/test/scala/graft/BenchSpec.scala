@@ -43,4 +43,29 @@ class BenchSpec extends SparkSpec {
     assert(r.best > 0 && r.best === r.walls.min)
     assert(r.metrics(3) > 0, "best iteration should have run Spark tasks")
   }
+
+  test("stdout line stays inside the driver tail window, even on mass failure") {
+    // every SparkEntry query name, all failing with long messages — the
+    // worst case for line growth (r01/r02 recorded parsed:null because
+    // the line outgrew the ~2000-char capture window)
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      name -> Bench.QueryResult(1.234567, Seq(1.234567, 2.345678, 3.456789),
+        Array(11L, 22L, 33L, 44L),
+        Some("ExceptionWithAVeryLongName: " + ("x" * 280)))
+    }
+    val (line, detailJson) = Bench.renderOutputs(results, "/root/testdata/sf0.1", 3)
+    assert(line.length < 1900, s"line too long for tail capture: ${line.length}")
+    assert(!line.contains('\n'))
+    assert(line.startsWith("""{"metric":"total""""))
+    assert(line.endsWith("}"))
+    assert(line.contains(s""""n_queries":${results.size}"""))
+    assert(line.contains(s""""n_errors":${results.size}"""))
+    // untruncated messages live in the detail JSON, not the line
+    assert(detailJson.contains("x" * 280))
+    assert(!line.contains("x" * 280))
+    // healthy-path line is far smaller still
+    val ok = results.map { case (n, r) => n -> r.copy(err = None) }
+    val (line2, _) = Bench.renderOutputs(ok, "/root/testdata/sf0.1", 3)
+    assert(line2.length < 1200, s"healthy line: ${line2.length}")
+  }
 }
