@@ -115,11 +115,12 @@ object Bench {
     */
   private val headline: Seq[String] = Seq(
     "q_curate", "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash",
-    "q_dedup_simhash", "q_dedup_clusters", "q_emb_neardup_lsh",
-    "q_knn_brute", "q_knn_ivf", "q_centroid", "q_tfidf", "q_lang_id",
-    "q_token_counts", "q_chunks", "q_pack", "q_agg_sum", "q_join_salted",
-    "q_star_join", "q_window", "q_sessionize", "q_events_hourly",
-    "q_unpivot", "q_subquery", "q_topk_group")
+    "q_dedup_simhash", "q_dedup_clusters", "q_dedup_incremental",
+    "q_emb_neardup_lsh", "q_knn_brute", "q_knn_ivf", "q_kmeans_cells",
+    "q_rrf_fusion", "q_contamination", "q_centroid", "q_tfidf",
+    "q_lang_id", "q_token_counts", "q_chunks", "q_pack", "q_agg_sum",
+    "q_join_salted", "q_star_join", "q_window", "q_sessionize",
+    "q_events_hourly", "q_unpivot", "q_subquery", "q_topk_group")
 
   private def jsonStr(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
