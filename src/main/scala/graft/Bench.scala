@@ -13,7 +13,11 @@ import org.apache.spark.sql.SparkSession
   *  "queries":{name: best-of-N wall sec, ...},   // HEADLINE subset only
   *  "sf": dir, "n_queries":<all queries timed>, "iters":N,
   *  "method":"min_of_iters", "detail_file":"bench_detail.json",
-  *  "errors":{name: message, ...}}               // only failed queries
+  *  "n_errors":N,                                // only when queries failed
+  *  "errors":{name: msg, ...}}  // at most 3 inline, each reduced to
+  *                              // printable ASCII and cut to 60 chars;
+  *                              // untruncated messages are in the
+  *                              // detail file's errors key
   * }}}
   *
   * The stdout line is deliberately COMPACT (~1 KB): the driver captures
@@ -106,7 +110,11 @@ object Bench {
   }
 
   private def jsonNum(d: Double): String =
-    if (d.isNaN || d.isInfinite) "null" else f"$d%.6f"
+    if (d.isNaN || d.isInfinite) "null"
+    // Locale.ROOT: the f-interpolator uses the default locale, which
+    // can emit comma decimals (invalid JSON) on non-English JVMs
+    else String.format(java.util.Locale.ROOT, "%.6f",
+      java.lang.Double.valueOf(d))
 
   /** Fixed headline subset for the compact stdout line: the scans,
     * shuffles, and joins that dominate cost plus one representative per
@@ -146,12 +154,19 @@ object Bench {
     val qs = headline.flatMap(k => byName.get(k).map(r =>
         s"${jsonStr(k)}:${jsonNum(r.best)}"))
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, r) if r.err.isDefined =>
-      s"${jsonStr(k)}:${jsonStr(r.err.get)}" }
+    // single source of truth for failures; line and detail derive from it
+    val failures: Seq[(String, String)] =
+      results.collect { case (k, r) if r.err.isDefined => k -> r.err.get }
+    val errs = failures.map { case (k, m) => s"${jsonStr(k)}:${jsonStr(m)}" }
     // stdout line must hold the window even when queries fail: at most
-    // 3 errors inline, each truncated; full messages in the detail file
-    val errsBrief = results.collect { case (k, r) if r.err.isDefined =>
-      s"${jsonStr(k)}:${jsonStr(r.err.get.take(60))}" }
+    // 3 errors inline, each reduced to printable ASCII BEFORE the
+    // 60-char cut so jsonStr escaping cannot expand past the budget
+    // (control chars escape 6x; surrogate pairs must not be split);
+    // full messages live in the detail file.
+    def brief(m: String): String =
+      m.filter(c => c >= ' ' && c <= '~' && c != '"' && c != '\\').take(60)
+    val errsBrief = failures.map { case (k, m) =>
+      s"${jsonStr(k)}:${jsonStr(brief(m))}" }
     val detail = results.map { case (k, r) =>
       val walls = r.walls.map(jsonNum).mkString("[", ",", "]")
       s"${jsonStr(k)}:{" +
@@ -230,11 +245,12 @@ object Bench {
     // Complete per-query record (all queries, per-iteration walls, task
     // metrics, untruncated errors) — too big for the driver's stdout
     // tail window, so it goes to a file the judge can read.
-    try {
-      val pw = new java.io.PrintWriter(detailFile, "UTF-8")
-      try pw.println(detailJson)
-      finally pw.close()
-    } catch {
+    // Files.write THROWS on I/O errors (PrintWriter only sets an
+    // internal flag, silently truncating the file on a full disk)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(detailFile),
+      (detailJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
       case e: Exception =>
         System.err.println(s"[bench] detail file write failed: $e")
     }

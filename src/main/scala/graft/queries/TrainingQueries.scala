@@ -184,19 +184,14 @@ object TrainingQueries {
       .orderBy("media_id")
   }
 
-  /** Engine-portable Knuth split bucket in [0, 100):
-    * `((id mod 2³²) · 2654435761) mod 2³² mod 100`, computed with a
-    * SPLIT multiply (2654435761 = 40503·65536 + 31153) so the Long
-    * product cannot overflow — a direct `id * 2654435761L` THROWS under
-    * ANSI mode once id ≥ ~3.47e9, exactly the id range a 100 TB corpus
-    * reaches. Identical values to the direct form wherever that form
-    * doesn't overflow (the DuckDB oracle keeps the direct spelling).
-    * Shared by [[trainTestSplit]] and [[TrainingPipeline.curate]] so
-    * the two splits can never drift apart.
-    */
-  /** `(id mod 2³²) · 2654435761 mod 2³²` with the overflow-safe SPLIT
-    * multiply (see [[splitBucket]]'s doc). The shared hash under
-    * [[splitBucket]] and [[weightedSample]].
+  /** `(id mod 2³²) · 2654435761 mod 2³²` — the engine-portable Knuth
+    * multiplicative hash, computed with a SPLIT multiply (2654435761 =
+    * 40503·65536 + 31153) so the Long product cannot overflow: a
+    * direct `id * 2654435761L` THROWS under ANSI mode once id ≥
+    * ~3.47e9, exactly the id range a 100 TB corpus reaches. Identical
+    * values to the direct form wherever that form doesn't overflow
+    * (the DuckDB oracles keep the direct spelling). The shared hash
+    * under [[splitBucket]] and [[weightedSample]].
     */
   def knuthHash32(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val m = lit(4294967296L)
@@ -204,6 +199,11 @@ object TrainingQueries {
     pmod(pmod(b * lit(40503L), m) * lit(65536L) + b * lit(31153L), m)
   }
 
+  /** Engine-portable Knuth split bucket in [0, 100):
+    * `knuthHash32(id) mod 100`. Shared by [[trainTestSplit]] and
+    * [[TrainingPipeline.curate]] so the two splits can never drift
+    * apart.
+    */
   def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(knuthHash32(id), lit(100L))
 

@@ -213,7 +213,11 @@ object Similarity {
         .toDF(idCol, vecCol)
       val means = assignCells(corpus, cdf, vecCol, idCol)
         .select(col("cell"), posexplode(col("__unit")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg("v").as("m"))
+        // null elements count as 0.0 in the mean, matching the
+        // assignment step's ArrayDot null-as-0 semantics (avg alone
+        // would SKIP them, and an all-null (cell,pos) would NPE the
+        // driver-side getDouble)
+        .groupBy("cell", "pos").agg(avg(coalesce(col("v"), lit(0.0))).as("m"))
         .collect()
         .groupBy(_.getLong(0))
         .map { case (cell, rows) =>
@@ -438,12 +442,6 @@ object Similarity {
     if (h.isEmpty) 1 else math.max(h(0).getInt(0), 1)
   }
 
-  /** Deterministic pseudo-random hyperplanes: component i of plane p is
-    * splitmix64(p‖i) mapped into [-0.5, 0.5). splitmix64 is the
-    * standard public-domain 64-bit finalizer (Steele et al., "Fast
-    * Splittable Pseudorandom Number Generators"). Driver-side on
-    * purpose — they depend only on (n, dim), never on data.
-    */
   /** Literal array column backed by `UnsafeArrayData` (primitive
     * doubles) instead of `lit(Array[Double])`'s `GenericArrayData`
     * (boxed `Object[]`): every element read in the hyperplane dot
@@ -461,6 +459,12 @@ object Similarity {
         org.apache.spark.sql.types.DoubleType, containsNull = false)))
   }
 
+  /** Deterministic pseudo-random hyperplanes: component i of plane p is
+    * splitmix64(p‖i) mapped into [-0.5, 0.5). splitmix64 is the
+    * standard public-domain 64-bit finalizer (Steele et al., "Fast
+    * Splittable Pseudorandom Number Generators"). Driver-side on
+    * purpose — they depend only on (n, dim), never on data.
+    */
   private def hyperplanes(n: Int, d: Int): IndexedSeq[Array[Double]] = {
     def mix(x0: Long): Long = {
       var z = x0 + 0x9e3779b97f4a7c15L

@@ -48,10 +48,12 @@ class BenchSpec extends SparkSpec {
     // every SparkEntry query name, all failing with long messages — the
     // worst case for line growth (r01/r02 recorded parsed:null because
     // the line outgrew the ~2000-char capture window)
+    // control-char-dense message: each raw char would escape to \uXXXX
+    // (6x) if it reached jsonStr before sanitization
+    val nasty = "\n\"\\" * 20 + ("x" * 280)
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> Bench.QueryResult(1.234567, Seq(1.234567, 2.345678, 3.456789),
-        Array(11L, 22L, 33L, 44L),
-        Some("ExceptionWithAVeryLongName: " + ("x" * 280)))
+        Array(11L, 22L, 33L, 44L), Some(nasty))
     }
     val (line, detailJson) = Bench.renderOutputs(results, "/root/testdata/sf0.1", 3)
     assert(line.length < 1900, s"line too long for tail capture: ${line.length}")
@@ -63,6 +65,8 @@ class BenchSpec extends SparkSpec {
     // untruncated messages live in the detail JSON, not the line
     assert(detailJson.contains("x" * 280))
     assert(!line.contains("x" * 280))
+    // inline errors were sanitized: no control chars or their escapes
+    assert(!line.contains("\\u0001") && !line.contains("\\n"))
     // healthy-path line is far smaller still
     val ok = results.map { case (n, r) => n -> r.copy(err = None) }
     val (line2, _) = Bench.renderOutputs(ok, "/root/testdata/sf0.1", 3)
