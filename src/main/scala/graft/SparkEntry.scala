@@ -116,7 +116,8 @@ object SparkEntry {
     "q_normalize_nfc"  -> (TrainingQueries.normalizeNfc _),
     "q_rrf_fusion"     -> (TrainingQueries.rrfFusion _),
     "q_kmeans_cells"   -> (TrainingQueries.kmeansCells _),
-    "q_dedup_incremental" -> (TrainingQueries.dedupIncremental _)
+    "q_dedup_incremental" -> (TrainingQueries.dedupIncremental _),
+    "q_char_entropy"   -> (TrainingQueries.charEntropy _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -878,6 +879,21 @@ object SparkEntry {
         |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
         |SELECT doc_id, fp FROM first_in_batch b
         |WHERE NOT EXISTS (SELECT 1 FROM old_idx o WHERE o.fp = b.fp)
+        |ORDER BY doc_id""".stripMargin,
+    "q_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(substring(text, 1, 1000), ''))
+        |    AS ch
+        |  FROM documents),
+        |freq AS (
+        |  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+        |  FROM chars GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY 1)
+        |SELECT f.doc_id,
+        |  round(-sum((c / n) * log2(c / n)), 6) AS char_entropy,
+        |  CAST(n AS BIGINT) AS n_chars_sampled
+        |FROM freq f JOIN tot USING (doc_id)
+        |GROUP BY f.doc_id, n
         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -86,6 +86,13 @@ object TrainingQueries {
       bands = 16, rowsPerBand = 4)
       .orderBy("id_a", "id_b")
 
+  /** Character-entropy quality signal over the documents table
+    * (1000-char prefix cap — see [[TextAnalysis.charEntropy]]).
+    */
+  def charEntropy(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.charEntropy(Tables.documents(s, d))
+      .orderBy("doc_id")
+
   /** Incremental exact dedup: docs with `doc_id % 5 < 4` play the
     * already-ingested corpus (as a fingerprint index), the rest arrive
     * as the new batch — kept = first-in-batch per fingerprint AND not

@@ -167,6 +167,37 @@ object TextAnalysis {
       .withColumn("redacted", regexp_replace(emailFree, numRe, "<NUM>"))
   }
 
+  /** Character-level Shannon entropy (gibberish / binary-junk quality
+    * signal): −Σ p(c)·log₂p(c) over the characters of the first
+    * `prefixLen` chars of the document. The prefix cap bounds the
+    * explode fan-out to `prefixLen` rows per document — at 100 TB the
+    * per-doc cost is a constant, and a quality heuristic on a 1000-char
+    * prefix separates text from junk as well as the full scan. Two
+    * keyed aggregations (doc×char counts, then per-doc entropy), no
+    * interpreted higher-order functions.
+    *
+    * Output: `(idCol, char_entropy, n_chars_sampled)`, one row per doc
+    * with non-empty text.
+    */
+  def charEntropy(df: DataFrame, prefixLen: Int = 1000,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val chars = df
+      .select(col(idCol),
+        explode(split(substring(col(textCol), 1, prefixLen), ""))
+          .as("ch"))
+      .filter(col("ch") =!= "") // Java split keeps a trailing empty
+    val freq = chars.groupBy(col(idCol), col("ch"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val tot = freq.groupBy(col(idCol)).agg(sum("c").as("n"))
+    freq.join(tot, Seq(idCol))
+      .groupBy(col(idCol), col("n"))
+      .agg(round(-sum((col("c") / col("n")) * log2(col("c") / col("n"))), 6)
+        .as("char_entropy"))
+      .select(col(idCol), col("char_entropy"),
+        col("n").cast("long").as("n_chars_sampled"))
+  }
+
   /** Markup/boilerplate strip (web-extraction cleanup before dedup and
     * quality scoring): removes HTML-ish tags and character entities,
     * collapses the leftover whitespace, and keeps audit counts of what

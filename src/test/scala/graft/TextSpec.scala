@@ -50,6 +50,23 @@ class TextSpec extends SparkSpec {
     assert(fps(0) !== fps(2))
   }
 
+  test("charEntropy: uniform text maxes, repeated char zeroes, prefix caps") {
+    val t = Seq(
+      (0L, "aaaa"),              // one symbol -> entropy 0
+      (1L, "abab"),              // two equiprobable -> 1 bit
+      (2L, "abcd"),              // four equiprobable -> 2 bits
+      (3L, "x" * 50)             // long run, prefix cap 10 -> 10 sampled
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.charEntropy(t, prefixLen = 10).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Double]("char_entropy"), x.getAs[Long]("n_chars_sampled"))))
+      .toMap
+    assert(r(0L) === ((0.0, 4L)))
+    assert(r(1L) === ((1.0, 4L)))
+    assert(r(2L) === ((2.0, 4L)))
+    assert(r(3L) === ((0.0, 10L)))
+  }
+
   test("stripMarkup removes tags/entities, collapses space, audits counts") {
     val pages = Seq(
       (0L, """<html><p class="x">Hello&nbsp;world</p> <br/>rest</html>"""),
