@@ -117,7 +117,8 @@ object SparkEntry {
     "q_rrf_fusion"     -> (TrainingQueries.rrfFusion _),
     "q_kmeans_cells"   -> (TrainingQueries.kmeansCells _),
     "q_dedup_incremental" -> (TrainingQueries.dedupIncremental _),
-    "q_char_entropy"   -> (TrainingQueries.charEntropy _)
+    "q_char_entropy"   -> (TrainingQueries.charEntropy _),
+    "q_heavy_hitters"  -> (TrainingQueries.heavyHitters _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same

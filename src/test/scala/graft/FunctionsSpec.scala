@@ -116,6 +116,34 @@ class FunctionsSpec extends SparkSpec {
     assert(got(3L) === None)
   }
 
+  test("MisraGries: superset of true heavy hitters, bounded undercount") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val toks = docs.select(explode(split(lower(trim(col("text"))), "\\s+"))
+        .as("tok"))
+      .filter(col("tok") =!= "")
+    val exact = toks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val k = 20
+    val sketch: Map[String, Long] = toks.select(col("tok")).as[String]
+      .select(new graft.functions.MisraGries(k).toColumn)
+      .collect()(0)
+    val thresh = n.toDouble / (k + 1)
+    // no false negatives above n/(k+1)
+    exact.foreach { case (t, c) =>
+      if (c > thresh) assert(sketch.contains(t),
+        s"heavy hitter '$t' (count $c > $thresh) missing from sketch")
+    }
+    // estimates never exceed truth; undercount bounded by n/(k+1)
+    sketch.foreach { case (t, est) =>
+      val truth = exact.getOrElse(t, 0L)
+      assert(est <= truth, s"'$t' est $est > true $truth")
+      assert(truth - est <= thresh + 1,
+        s"'$t' undercount ${truth - est} > $thresh")
+    }
+    assert(sketch.size <= k)
+  }
+
   test("unicode_nfc: SQL registration and codegen path agree with eval") {
     graft.functions.TextNormFunctions.register(spark)
     val r = spark.sql("SELECT unicode_nfc('Café' ) AS n").collect()(0)
