@@ -30,5 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[UnicodeNfc].getName, "unicode_nfc"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           UnicodeNfc(exprs(0))))
+    // whole-operator surface: plans the AsofJoinPlan logical node onto
+    // the sorted-merge AsofJoinExec
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -60,6 +60,7 @@ object SparkEntry {
     "q_case_union"     -> (FuncQueries.caseUnion _),
     "q_semi_join"      -> (FuncQueries.semiJoin _),
     "q_asof_join"      -> (FuncQueries.asofJoin _),
+    "q_asof_native"    -> (FuncQueries.asofJoinNative _),
     "q_percentiles"    -> (FuncQueries.percentiles _),
     "q_zscore"         -> (FuncQueries.zscore _),
     "q_corr"           -> (FuncQueries.corrAgg _),
@@ -202,6 +203,15 @@ object SparkEntry {
         |  PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, round(p.value, 2) AS value,
+        | s.signup_event_id
+        |FROM (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS signup_event_id
+        |      FROM events WHERE event_type = 'signup') s
+        |ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY event_id""".stripMargin,
+    "q_asof_native" ->
       """SELECT p.event_id, p.user_id, round(p.value, 2) AS value,
         | s.signup_event_id
         |FROM (SELECT event_id, user_id, ts, value FROM events

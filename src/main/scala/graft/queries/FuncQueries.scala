@@ -402,6 +402,26 @@ object FuncQueries {
       .orderBy("event_id")
   }
 
+  /** Same as-of semantics through the NATIVE operator
+    * ([[graft.plans.AsofJoinPlan]] → sorted-merge
+    * [[graft.plans.AsofJoinExec]]); shares q_asof_join's DuckDB ASOF
+    * oracle, so the custom physical operator is hash-verified against
+    * the same ground truth as the composed form.
+    */
+  def asofJoinNative(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("signup_event_id"))
+    graft.plans.AsofJoin.asof(purchases, signups, Seq("user_id"), "ts",
+        Seq("signup_event_id"))
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("value"), col("signup_event_id"))
+      .orderBy("event_id")
+  }
+
   /** Exact interpolated percentiles per group (Spark `percentile` ==
     * DuckDB `quantile_cont`).
     */
