@@ -47,6 +47,7 @@ object SparkEntry {
     "q_intersect_all" -> (CoreQueries.intersectAll _),
     "q_union_evolve" -> (CoreQueries.unionEvolve _),
     "q_nullsafe_join" -> (CoreQueries.nullSafeJoin _),
+    "q_bloom_join"   -> (CoreQueries.bloomJoin _),
     // scalar functions / semi-structured / events (SURVEY §2.8–2.9)
     "q_string_funcs"   -> (FuncQueries.stringFuncs _),
     "q_date_funcs"     -> (FuncQueries.dateFuncs _),
@@ -74,6 +75,7 @@ object SparkEntry {
     "q_approx_distinct" -> (FuncQueries.approxDistinct _),
     "q_approx_percentile" -> (FuncQueries.approxPercentile _),
     "q_latest_key"     -> (FuncQueries.latestKey _),
+    "q_stats_prune"    -> (FuncQueries.statsPrune _),
     "q_pivot"          -> (FuncQueries.pivotAgg _),
     "q_unpivot"        -> (FuncQueries.unpivotMeasures _),
     "q_rank"           -> (FuncQueries.rankFuncs _),
@@ -345,6 +347,17 @@ object SparkEntry {
         |FROM (SELECT nullif(c_nationkey, 3) AS ck FROM customer) c
         |JOIN (SELECT nullif(s_nationkey, 3) AS sk FROM supplier) s
         |ON ck IS NOT DISTINCT FROM sk
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stats_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice BETWEEN 100000.0 AND 150000.0
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_salted" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, flag_avg_disc

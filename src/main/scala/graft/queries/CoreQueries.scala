@@ -353,4 +353,23 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_orders"),
         round(sum("o_totalprice"), 2).as("revenue"))
       .orderBy("r_name", "n_name")
+
+  /** Runtime Bloom-pruned join: orders against the BUILDING-segment
+    * customers (1-in-5 selectivity). The Bloom sketch of the filtered
+    * dim keys drops ~80% of the fact side before the join shuffle —
+    * result identical to the plain join (no false negatives; the join
+    * removes false positives). See [[graft.ops.BloomPrune]] for the
+    * 100 TB rationale.
+    */
+  def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    graft.ops.BloomPrune.prunedJoin(
+        Tables.orders(s, d), dim, "o_custkey", "c_custkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_orderpriority")
+  }
 }

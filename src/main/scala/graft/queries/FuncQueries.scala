@@ -514,4 +514,18 @@ object FuncQueries {
         min("source").as("first_source"),
         count(lit(1)).as("n_docs"))
       .orderBy("lang")
+
+  /** File-level data skipping: build the per-file min/max index over
+    * orders, then answer a price range scan through it. Identical rows
+    * to the plain filter — the index only decides which FILES are
+    * opened (see [[graft.io.StatsIndex]] for the 100 TB rationale).
+    */
+  def statsPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = s"$d/orders.parquet"
+    val stats = graft.io.StatsIndex.build(s, dir, Seq("o_totalprice"))
+    graft.io.StatsIndex.prunedRead(s, dir, stats, "o_totalprice",
+        lit(100000.0), lit(150000.0))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
 }

@@ -198,6 +198,29 @@ class IoSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("stats index skips files outside the predicate range") {
+    import graft.io.StatsIndex
+    val dir = Files.createTempDirectory("statsidx").toString + "/t"
+    // 16 files with mostly-disjoint value ranges (range-partitioned
+    // write), so a narrow predicate can only touch a few of them
+    val df = (0 until 16000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    df.repartitionByRange(16, col("v")).write.parquet(dir)
+    val stats = StatsIndex.build(spark, dir, Seq("v"))
+    val nFiles = stats.count()
+    assert(nFiles >= 8, s"expected a multi-file table, got $nFiles files")
+    val cand = StatsIndex.candidateFiles(stats, "v", lit(3000.0), lit(4000.0))
+    assert(cand.nonEmpty && cand.length <= 3,
+      s"narrow range should touch few files, got ${cand.length} of $nFiles")
+    // identical rows to the plain filter
+    val got = StatsIndex.prunedRead(spark, dir, stats, "v",
+      lit(3000.0), lit(4000.0)).select("id").collect().map(_.getLong(0)).sorted
+    assert(got === (3000L to 4000L).toArray)
+    // empty-candidate range: schema preserved, zero rows, no crash
+    val none = StatsIndex.prunedRead(spark, dir, stats, "v",
+      lit(1e9), lit(2e9))
+    assert(none.columns.toSeq === Seq("id", "v") && none.count() === 0)
+  }
+
   test("timestamped path + json sink + record sink") {
     val out = Sinks.timestampedPath(
       Files.createTempDirectory("sink").toString, "population_data_", ".json")

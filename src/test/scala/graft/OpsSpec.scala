@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.Ops
+import graft.ops.{BloomPrune, Ops}
 
 /** Unit + property-style tests (seeded random cases) for the generic
   * operators (SURVEY.md §5).
@@ -167,5 +167,37 @@ class OpsSpec extends SparkSpec {
     assert(Ops.setMinus(a, b).collect().map(_.getInt(0)).toSet === Set(1, 2))
     assert(Ops.setIntersect(a, b).collect().map(_.getInt(0)).toSet === Set(3))
     assert(Ops.setUnionDistinct(a, b).collect().map(_.getInt(0)).toSet === Set(1, 2, 3, 4))
+  }
+
+  test("bloomPrunedJoin is result-identical to the plain equi-join") {
+    val fact = (0 until 2000).map(i => (i.toLong, (i % 500).toLong))
+      .toDF("id", "key")
+    val dim = (0 until 50).map(i => (i.toLong * 7, s"d$i"))
+      .toDF("dkey", "payload")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "key", "dkey", "payload").collect()
+        .map(_.toString).sorted.toSeq
+    assert(norm(BloomPrune.prunedJoin(fact, dim, "key", "dkey")) ===
+      norm(fact.join(dim, fact("key") === dim("dkey"))))
+  }
+
+  test("bloom probe keeps all matches and prunes the bulk of non-matches") {
+    val fact = (0L until 10000L).toDF("key")
+    val dim = (0L until 100L).toDF("dkey")
+    val bytes = dim.agg(BloomPrune.bloomAgg(col("dkey")).as("b"))
+      .head.getAs[Array[Byte]](0)
+    val kept = fact
+      .where(BloomPrune.mightContain(lit(bytes), col("key"))).count()
+    assert(kept >= 100, "a Bloom filter must have no false negatives")
+    // 8M bits for 100 items → fp rate ≈ 0; allow generous slack anyway
+    assert(kept < 500, s"pruning ineffective: kept $kept of 10000")
+  }
+
+  test("bloomPrunedJoin rejects fact-preserving outer join types") {
+    val fact = Seq((1L, 1L)).toDF("id", "key")
+    val dim = Seq((1L, "x")).toDF("dkey", "payload")
+    intercept[IllegalArgumentException] {
+      BloomPrune.prunedJoin(fact, dim, "key", "dkey", "left")
+    }
   }
 }
