@@ -121,7 +121,8 @@ object SparkEntry {
     "q_kmeans_cells"   -> (TrainingQueries.kmeansCells _),
     "q_dedup_incremental" -> (TrainingQueries.dedupIncremental _),
     "q_char_entropy"   -> (TrainingQueries.charEntropy _),
-    "q_heavy_hitters"  -> (TrainingQueries.heavyHitters _)
+    "q_heavy_hitters"  -> (TrainingQueries.heavyHitters _),
+    "q_cms_freq"       -> (TrainingQueries.cmsFreq _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same

@@ -104,6 +104,26 @@ object TrainingQueries {
       .orderBy(desc("est_count"), col("token"))
   }
 
+  /** Count-Min point-frequency estimates for a candidate key set: the
+    * sketch is built distributed over all lineitem rows (built-in
+    * `count_min_sketch` aggregate, mergeable partials), carried as a
+    * scalar subquery, and probed once per candidate supplier — the
+    * refine step of the MG-propose / CMS-refine heavy-hitter pipeline
+    * (see [[graft.functions.CmsEstimate]]). Estimates are within
+    * ε·N = 0.0005·|lineitem| of truth w.p. 0.99.
+    */
+  def cmsFreq(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CmsFunctions
+    val sketch = CmsFunctions.scalarSubquery(
+      Tables.lineitem(s, d).agg(expr(
+        "count_min_sketch(l_suppkey, cast(0.0005 as double), " +
+          "cast(0.99 as double), 42)")))
+    Tables.supplier(s, d).where(col("s_suppkey") <= 25)
+      .select(col("s_suppkey"),
+        CmsFunctions.cms_estimate(sketch, col("s_suppkey")).as("est_freq"))
+      .orderBy("s_suppkey")
+  }
+
   /** Character-entropy quality signal over the documents table
     * (1000-char prefix cap — see [[TextAnalysis.charEntropy]]).
     */

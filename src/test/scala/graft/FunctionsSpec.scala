@@ -153,4 +153,45 @@ class FunctionsSpec extends SparkSpec {
       "unicode_nfc(concat('Áx', id)) AS n")
     assert(df.collect().forall(_.getString(0).startsWith("Áx")))
   }
+
+  test("cms_estimate: overestimate-only within eps*N, long and string keys") {
+    import graft.functions.CmsFunctions._
+    // skewed long keys: key k occurs (k+1)*10 times, k in 0..49 → N=12750
+    val rows = (0 until 50).flatMap(k => Seq.fill((k + 1) * 10)(k.toLong))
+    val df = rows.toDF("k")
+    val sk = scalarSubquery(df.agg(expr(
+      "count_min_sketch(k, cast(0.001 as double), cast(0.99 as double), 7)")))
+    val est = spark.range(50).select(col("id"),
+        cms_estimate(sk, col("id")).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = rows.size
+    for (k <- 0 until 50) {
+      val truth = (k + 1) * 10
+      assert(est(k.toLong) >= truth, s"CMS must never underestimate (k=$k)")
+      assert(est(k.toLong) <= truth + (0.001 * n).ceil.toLong * 3,
+        s"estimate ${est(k.toLong)} too far above $truth (k=$k)")
+    }
+    // string keys route through the same bytes the aggregate ingested
+    val sdf = Seq("a", "a", "a", "b").toDF("t")
+    val ssk = scalarSubquery(sdf.agg(expr(
+      "count_min_sketch(t, cast(0.01 as double), cast(0.99 as double), 7)")))
+    val sEst = Seq("a", "b", "zzz").toDF("t")
+      .select(col("t"), cms_estimate(ssk, col("t")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sEst("a") >= 3 && sEst("b") >= 1)
+    // null value → null estimate
+    val nullEst = Seq(Option.empty[String]).toDF("t")
+      .select(cms_estimate(ssk, col("t"))).collect()(0)
+    assert(nullEst.isNullAt(0))
+  }
+
+  test("cms_estimate rejects a non-constant sketch argument") {
+    import graft.functions.CmsFunctions._
+    val df = Seq((Array[Byte](1, 2), 1L)).toDF("sk", "v")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(cms_estimate(col("sk"), col("v"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("constant") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
+  }
 }
