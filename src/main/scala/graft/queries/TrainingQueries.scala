@@ -104,6 +104,22 @@ object TrainingQueries {
       .orderBy(desc("est_count"), col("token"))
   }
 
+  /** Product-quantized ANN: train per-subspace codebooks (m=8 subspaces
+    * × 16 centroids over the 64-dim embeddings), encode the corpus to
+    * 8-byte codes, ADC top-5 by inner product for queries vec_id<10.
+    * Approximate → no SQL oracle; ADC-score exactness and recall vs the
+    * exact dot ranking are tested in SimilaritySpec. See
+    * [[graft.sim.ProductQuantizer]] for the IVFADC 100 TB story.
+    */
+  def pqTopK(s: SparkSession, d: String): DataFrame = {
+    import graft.sim.ProductQuantizer
+    val emb = Tables.embeddings(s, d)
+    val cb = ProductQuantizer.train(emb, m = 8, ksub = 16, iters = 2)
+    ProductQuantizer.topK(ProductQuantizer.encode(emb, cb),
+        emb.filter(col("vec_id") < 10), cb, k = 5, rerank = 25)
+      .orderBy("query_id", "rank")
+  }
+
   /** Count-Min point-frequency estimates for a candidate key set: the
     * sketch is built distributed over all lineitem rows (built-in
     * `count_min_sketch` aggregate, mergeable partials), carried as a

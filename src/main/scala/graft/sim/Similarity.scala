@@ -450,7 +450,7 @@ object Similarity {
     * unbox), but strictly less work per element and the right literal
     * representation for a hot loop.
     */
-  private def litVec(a: Array[Double]): org.apache.spark.sql.Column = {
+  private[sim] def litVec(a: Array[Double]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftshim.ColumnBridge.{column => toCol}
     toCol(org.apache.spark.sql.catalyst.expressions.Literal(
       org.apache.spark.sql.catalyst.expressions.UnsafeArrayData

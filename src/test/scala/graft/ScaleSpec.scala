@@ -120,9 +120,13 @@ class ScaleSpec extends SparkSpec {
     // candidate join itself is equi on the cell id), q_cross_join
     // (explicit small×small cross join), q_rrf_fusion (two
     // q_knn_brute-shaped legs: bounded |queries| × corpus broadcast
-    // products; the fusion itself is an equi-keyed agg + window).
+    // products; the fusion itself is an equi-keyed agg + window),
+    // q_pq_topk (ADC scan: same bounded |queries| × corpus broadcast
+    // shape as q_knn_brute, but each pair costs m code lookups instead
+    // of a d-dim dot — the compressed-scan variant, not a pair-product
+    // blowup).
     val allowed = Set("q_emb_neardup", "q_knn_brute", "q_knn_ivf",
-      "q_cross_join", "q_rrf_fusion")
+      "q_cross_join", "q_rrf_fusion", "q_pq_topk")
     // 1-row-frame fan-outs (a global aggregate cross-joined back in,
     // e.g. tfidf's corpus count, assignCells' collected centroid array)
     // also plan as BNLJ but are ×1 by construction — recognizable

@@ -176,4 +176,67 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1L) === 1L) // dist 1
     assert(got(2L) === 2L) // dist 2
   }
+
+  test("PQ: ADC score equals dot(query, reconstructed codes) exactly") {
+    import graft.sim.ProductQuantizer
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cb = ProductQuantizer.train(emb, m = 8, ksub = 16, iters = 2)
+    val codes = ProductQuantizer.encode(emb, cb)
+      .select("vec_id", "embedding", "pq_codes")
+      .where(col("vec_id") < 50).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getSeq[Int](2)))
+    val query = codes.find(_._1 == 0L).get._2
+    val adc = ProductQuantizer.topK(
+        ProductQuantizer.encode(emb, cb).where(col("vec_id") < 50),
+        emb.filter(col("vec_id") === 0L), cb, k = 49)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    for ((id, _, cs) <- codes if id != 0L) {
+      val recon = ProductQuantizer.reconstruct(cb, cs.map(c => c: Int))
+      val want = query.zip(recon).map { case (a, b) => a * b }.sum
+      assert(math.abs(adc(id) - want) < 1e-4,
+        s"vec $id: adc=${adc(id)} expected=$want")
+    }
+  }
+
+  test("PQ recall@5: pure ADC >= 0.15, exact re-rank >= 0.6; train deterministic") {
+    import graft.sim.ProductQuantizer
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val cb = ProductQuantizer.train(emb, m = 8, ksub = 16, iters = 2)
+    val cb2 = ProductQuantizer.train(emb, m = 8, ksub = 16, iters = 2)
+    assert(cb.flatten.flatMap(_.toSeq) === cb2.flatten.flatMap(_.toSeq),
+      "training must be deterministic")
+    // exact inner-product ranking (what ADC approximates)
+    val exact = {
+      import org.apache.spark.sql.expressions.Window
+      val c = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("__cv"))
+      val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("__qv"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("__dot").desc, col("neighbor_id").asc)
+      c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("__dot", graft.functions.VectorFunctions
+          .array_dot(col("__qv"), col("__cv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    }
+    val codes = ProductQuantizer.encode(emb, cb)
+    val total = exact.count().toDouble
+    // pure ADC: well above random (random recall@5 ≈ 5/n ≈ 0.01)
+    val adcHits = ProductQuantizer.topK(codes, queries, cb, k = 5)
+      .select("query_id", "neighbor_id").intersect(exact).count().toDouble
+    assert(adcHits / total >= 0.15,
+      s"pure-ADC recall ${adcHits / total} suspiciously low")
+    // ADC shortlist + exact re-rank: the production recipe
+    val rrHits = ProductQuantizer.topK(codes, queries, cb, k = 5,
+        rerank = 25)
+      .select("query_id", "neighbor_id").intersect(exact).count().toDouble
+    assert(rrHits / total >= 0.6,
+      s"rerank-25 recall ${rrHits / total} below 0.6")
+    assert(rrHits >= adcHits, "re-ranking must not lose recall")
+  }
 }
