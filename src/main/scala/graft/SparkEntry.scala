@@ -123,7 +123,8 @@ object SparkEntry {
     "q_char_entropy"   -> (TrainingQueries.charEntropy _),
     "q_heavy_hitters"  -> (TrainingQueries.heavyHitters _),
     "q_cms_freq"       -> (TrainingQueries.cmsFreq _),
-    "q_pq_topk"        -> (TrainingQueries.pqTopK _)
+    "q_pq_topk"        -> (TrainingQueries.pqTopK _),
+    "q_pq_ivf"         -> (TrainingQueries.pqIvf _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same

@@ -120,6 +120,22 @@ object TrainingQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVFADC: k-means coarse quantizer routes each query to its 4 best
+    * of 16 cells; only those cells' PQ codes are ADC-scanned (equi-join
+    * on cell), then the shortlist re-ranks exact. The full 100 TB ANN
+    * stack — coarse routing + compressed scan + exact tail — in one
+    * plan. Approximate → no SQL oracle; recall spec-tested.
+    */
+  def pqIvf(s: SparkSession, d: String): DataFrame = {
+    import graft.sim.{ProductQuantizer, Similarity}
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.kmeansCentroids(emb, k = 16, iters = 2)
+    val cb = ProductQuantizer.train(emb, m = 8, ksub = 16, iters = 2)
+    ProductQuantizer.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+        cents, cb, k = 5, nProbe = 4, rerank = 25)
+      .orderBy("query_id", "rank")
+  }
+
   /** Count-Min point-frequency estimates for a candidate key set: the
     * sketch is built distributed over all lineitem rows (built-in
     * `count_min_sketch` aggregate, mergeable partials), carried as a

@@ -146,26 +146,83 @@ object ProductQuantizer {
            idCol: String = "vec_id",
            codesCol: String = "pq_codes",
            rerank: Int = 0): DataFrame = {
-    val m = cb.length
-    val ksub = cb(0).length
-    val dsub = cb(0)(0).length
-    val lut = array((for (s <- 0 until m; c <- 0 until ksub) yield
-      array_dot(slice(col(vecCol), s * dsub + 1, dsub),
-        Similarity.litVec(cb(s)(c)))): _*)
     val withRerank = rerank > 0
     if (withRerank) require(corpusCodes.columns.contains(vecCol),
       s"rerank needs the raw '$vecCol' column on corpusCodes")
     val q = queries.select(
-      col(idCol).as("query_id") +: lut.as("__lut") +:
+      col(idCol).as("query_id") +: lutExpr(cb, vecCol).as("__lut") +:
         (if (withRerank) Seq(col(vecCol).as("__qv")) else Nil): _*)
     val cs = corpusCodes.select(
-      col(idCol).as("neighbor_id") +: col(codesCol) +:
+      col(idCol).as("neighbor_id") +: col(codesCol).as("__codes") +:
         (if (withRerank) Seq(col(vecCol).as("__cv")) else Nil): _*)
+    adcRank(cs.join(broadcast(q), col("query_id") =!= col("neighbor_id")),
+      k, rerank)
+  }
+
+  /** IVFADC (paper §V): route each query to its `nProbe` best cells,
+    * ADC-scan ONLY those cells' codes. The corpus-side candidate join
+    * is an EQUI-join on the cell id — at 100 TB, with the corpus
+    * written partitioned/bucketed by cell, each query batch touches
+    * `nProbe/k_cells` of the data and nothing else shuffles. This is
+    * the compressed-scan analogue of [[Similarity.ivfTopKWith]]
+    * (which scans raw floats in the probed cells).
+    *
+    * `centroids`: the coarse quantizer (e.g.
+    * [[Similarity.kmeansCentroids]] output). `rerank` as in [[topK]].
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                centroids: DataFrame, cb: Codebook,
+                k: Int = 5, nProbe: Int = 3, rerank: Int = 0,
+                vecCol: String = "embedding",
+                idCol: String = "vec_id"): DataFrame = {
+    val withRerank = rerank > 0
+    val codes = encode(
+      Similarity.assignCells(corpus, centroids, vecCol, idCol), cb, vecCol)
+    val cs = codes.select(
+      col(idCol).as("neighbor_id") +: col("pq_codes").as("__codes") +:
+        col("cell") +:
+        (if (withRerank) Seq(col(vecCol).as("__cv")) else Nil): _*)
+    // nProbe best cells per query (bounded |queries| × |centroids|
+    // broadcast ranking, same as ivfTopKWith), carrying the LUT along
+    val cu = Similarity.withUnit(centroids, vecCol)
+      .select(col(idCol).as("cell"), col("__unit").as("__cent_u"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("__csim").desc, col("cell").asc)
+    val qcells = queries
+      .select(col(idCol).as("query_id") +: col(vecCol).as("__q") +:
+        (if (withRerank) Seq(col(vecCol).as("__qv")) else Nil): _*)
+      .crossJoin(broadcast(cu))
+      .withColumn("__csim", array_dot(col("__q"), col("__cent_u")))
+      .withColumn("__r", row_number().over(wq))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id") +: col("cell") +:
+        lutExpr(cb, "__q").as("__lut") +:
+        (if (withRerank) Seq(col("__qv")) else Nil): _*)
+    adcRank(cs.join(broadcast(qcells), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id")), k, rerank)
+  }
+
+  /** Per-query lookup table: exact inner products of each query
+    * subvector against every centroid, flattened `[sub·ksub + code]`.
+    */
+  private def lutExpr(cb: Codebook, vecCol: String): Column = {
+    val ksub = cb(0).length
+    val dsub = cb(0)(0).length
+    array((for (s <- cb.indices; c <- 0 until ksub) yield
+      array_dot(slice(col(vecCol), s * dsub + 1, dsub),
+        Similarity.litVec(cb(s)(c)))): _*)
+  }
+
+  /** Shared scoring tail: ADC shortlist window, optional exact re-rank.
+    * `cand` carries (query_id, neighbor_id, __codes, __lut[, __qv,
+    * __cv]). Both windows partition by query_id: one shuffle total.
+    */
+  private def adcRank(cand: DataFrame, k: Int, rerank: Int): DataFrame = {
+    val withRerank = rerank > 0
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("__adc").desc, col("neighbor_id").asc)
-    val shortlist = cs
-      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("__adc", pq_adc(col(codesCol), col("__lut")))
+    val shortlist = cand
+      .withColumn("__adc", pq_adc(col("__codes"), col("__lut")))
       .withColumn("__r", row_number().over(wAdc))
       .filter(col("__r") <= (if (withRerank) math.max(rerank, k) else k))
     if (!withRerank)

@@ -32,7 +32,7 @@ object Similarity {
     s"sqrt(${dotExpr(a, a)})"
 
   /** Add a unit-normalized double copy of `vecCol` as `__unit`. */
-  private def withUnit(df: DataFrame, vecCol: String): DataFrame =
+  private[sim] def withUnit(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("__dvec", expr(s"transform($vecCol, x -> cast(x AS DOUBLE))"))
       .withColumn("__norm", expr(normExpr("__dvec")))
       .withColumn("__unit", expr(

@@ -125,8 +125,11 @@ class ScaleSpec extends SparkSpec {
     // shape as q_knn_brute, but each pair costs m code lookups instead
     // of a d-dim dot — the compressed-scan variant, not a pair-product
     // blowup).
+    // q_pq_ivf's only non-equi fan-outs are the same bounded ones as
+    // q_knn_ivf (1-row centroid array; |queries| × |centroids| probe
+    // ranking) — the corpus-side candidate join is equi on the cell id.
     val allowed = Set("q_emb_neardup", "q_knn_brute", "q_knn_ivf",
-      "q_cross_join", "q_rrf_fusion", "q_pq_topk")
+      "q_cross_join", "q_rrf_fusion", "q_pq_topk", "q_pq_ivf")
     // 1-row-frame fan-outs (a global aggregate cross-joined back in,
     // e.g. tfidf's corpus count, assignCells' collected centroid array)
     // also plan as BNLJ but are ×1 by construction — recognizable

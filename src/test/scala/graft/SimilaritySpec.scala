@@ -239,4 +239,47 @@ class SimilaritySpec extends SparkSpec {
       s"rerank-25 recall ${rrHits / total} below 0.6")
     assert(rrHits >= adcHits, "re-ranking must not lose recall")
   }
+
+  test("IVFADC: decent recall, corpus candidates join equi on cell") {
+    import graft.sim.ProductQuantizer
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val cents = Similarity.kmeansCentroids(emb, k = 16, iters = 2)
+    val cb = ProductQuantizer.train(emb, m = 8, ksub = 16, iters = 2)
+    val ivfadc = ProductQuantizer.ivfPqTopK(emb, queries, cents, cb,
+      k = 5, nProbe = 4, rerank = 25)
+    // recall vs exact dot ranking — IVF misses + PQ shortlist misses
+    // both in play, so the floor is lower than plain PQ+rerank
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id")
+    val pq = ivfadc.select("query_id", "neighbor_id")
+    // NOTE exact uses cosine; IVFADC ranks by dot. On this corpus norms
+    // are near-constant so the rankings are comparable — assert a
+    // modest floor, not equality.
+    val recall =
+      pq.intersect(exact).count().toDouble / exact.count().toDouble
+    assert(recall >= 0.3, s"IVFADC recall $recall below 0.3")
+    // plan shape: the corpus-side candidate join must be an equi-join
+    // with the cell id among its keys, never a nested-loop product.
+    // AQE off for the inspection session — with it on, executedPlan is
+    // an AdaptiveSparkPlanExec leaf that collect() cannot traverse
+    // (same caveat as ScaleSpec's gate).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val emb2 = s2.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents2 = s2.createDataFrame(cents.rdd, cents.schema)
+    val planDf = ProductQuantizer.ivfPqTopK(emb2,
+      emb2.filter(col("vec_id") < 10), cents2, cb,
+      k = 5, nProbe = 4, rerank = 25)
+    val equiJoins = planDf.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.leftKeys.map(_.sql).mkString(",")
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.leftKeys.map(_.sql).mkString(",")
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.leftKeys.map(_.sql).mkString(",")
+    }
+    assert(equiJoins.exists(_.contains("cell")),
+      s"expected a cell-keyed equi-join, saw: $equiJoins")
+  }
 }
