@@ -41,6 +41,27 @@ object StatsIndex {
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 
+  /** Incremental maintenance: index ONLY files not yet in `existing`
+    * and union with it. The new-file predicate is on
+    * `_metadata.file_path`, which Spark applies at file-listing time
+    * (metadata filters prune whole files before any footer/data read —
+    * SPARK-37768), so maintaining the index costs one scan of the NEW
+    * files, never a re-scan of the indexed ones. The already-indexed
+    * path list rides along as an `isin` filter: it is metadata-plane
+    * (1 entry per known file, same scale as the listing itself).
+    */
+  def update(spark: SparkSession, dir: String, existing: DataFrame,
+             cols: Seq[String]): DataFrame = {
+    val known = existing.select("file_path").collect().map(_.getString(0))
+    val fresh = spark.read.parquet(dir)
+      .where(!col("_metadata.file_path").isin(known.toIndexedSeq: _*))
+      .select(col("_metadata.file_path").as("file_path") +: cols.map(col): _*)
+      .groupBy("file_path")
+      .agg(count(lit(1)).as("n_rows"), cols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+    existing.unionByName(fresh)
+  }
+
   /** Files whose [min_c, max_c] envelope intersects [lo, hi]. A file of
     * all-null `c` has a null envelope and is (correctly) skipped — null
     * never satisfies a range predicate.

@@ -219,6 +219,36 @@ class IoSpec extends SparkSpec {
     val none = StatsIndex.prunedRead(spark, dir, stats, "v",
       lit(1e9), lit(2e9))
     assert(none.columns.toSeq === Seq("id", "v") && none.count() === 0)
+    // incremental maintenance: append files, update indexes only them
+    (16000 until 18000).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "v").repartitionByRange(2, col("v"))
+      .write.mode("append").parquet(dir)
+    val updated = StatsIndex.update(spark, dir, stats, Seq("v"))
+    val rebuilt = StatsIndex.build(spark, dir, Seq("v"))
+    assert(updated.orderBy("file_path").collect().map(_.toString).toSeq ===
+      rebuilt.orderBy("file_path").collect().map(_.toString).toSeq)
+    assert(updated.count() === nFiles + 2)
+  }
+
+  test("sharded export: deterministic placement, manifest audits output") {
+    import graft.io.ShardWriter
+    val dir = Files.createTempDirectory("shards").toString + "/t"
+    val df = (0 until 1000).map(i => (s"doc$i", i * 2)).toDF("doc_id", "v")
+    val m1 = ShardWriter.write(df, dir, 8, "doc_id").collect()
+    assert(m1.map(_.getAs[Int]("shard")).toSeq === (0 until 8))
+    assert(m1.map(_.getAs[Long]("n_rows")).sum === 1000L)
+    // balanced-ish: no shard more than 3x the mean
+    assert(m1.forall(_.getAs[Long]("n_rows") < 3 * 125))
+    // round-trip preserves the data
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 1000)
+    assert(back.select("doc_id", "v").exceptAll(df).count() === 0)
+    // rerun lands every row in the same shard: identical manifest
+    val m2 = ShardWriter.write(df, dir, 8, "doc_id").collect()
+    assert(m1.map(_.toString).toSeq === m2.map(_.toString).toSeq)
+    // shard readers prune: one shard dir holds exactly its manifest rows
+    val s0 = spark.read.parquet(dir).where(col("shard") === 0).count()
+    assert(s0 === m1.find(_.getAs[Int]("shard") == 0).get.getAs[Long]("n_rows"))
   }
 
   test("timestamped path + json sink + record sink") {
