@@ -48,6 +48,8 @@ object SparkEntry {
     "q_union_evolve" -> (CoreQueries.unionEvolve _),
     "q_nullsafe_join" -> (CoreQueries.nullSafeJoin _),
     "q_bloom_join"   -> (CoreQueries.bloomJoin _),
+    "q_bucketed_join" -> (CoreQueries.bucketedJoin _),
+    "q_regression"   -> (FuncQueries.regression _),
     // scalar functions / semi-structured / events (SURVEY §2.8–2.9)
     "q_string_funcs"   -> (FuncQueries.stringFuncs _),
     "q_date_funcs"     -> (FuncQueries.dateFuncs _),
@@ -362,6 +364,20 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_regression" ->
+      """SELECT l_returnflag,
+        | round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        | round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        | CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+        | round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+        | round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_y
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_salted" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, flag_avg_disc
         |FROM lineitem JOIN (

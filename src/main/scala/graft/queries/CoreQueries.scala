@@ -372,4 +372,33 @@ object CoreQueries {
         round(sum("o_totalprice"), 2).as("total_price"))
       .orderBy("o_orderpriority")
   }
+
+  /** Co-located join over bucketed tables (SURVEY §2.3 at scale): both
+    * sides are laid out with `bucketBy(8, custkey)` + `sortBy` once, then
+    * the join plans as SortMergeJoin with NO Exchange and NO Sort on
+    * either side — the per-query shuffle of the fact table is amortized
+    * into the write (see [[graft.io.Bucketing]]; shuffle-freedom is
+    * asserted in IoSpec, result parity against the plain shuffled join
+    * here). The dimension key is renamed to the fact key pre-write so
+    * the bucket columns unify under one join column.
+    */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val db = "graft_bkt"
+    val loc = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_bkt_wh").getPath
+    graft.io.Bucketing.ensureDatabase(s, db, loc)
+    graft.io.Bucketing.writeBucketed(
+      Tables.orders(s, d).select("o_custkey", "o_totalprice"),
+      s"$db.orders_bkt", "o_custkey", 8)
+    graft.io.Bucketing.writeBucketed(
+      Tables.customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment")),
+      s"$db.customer_bkt", "o_custkey", 8)
+    graft.io.Bucketing
+      .bucketedJoin(s, s"$db.orders_bkt", s"$db.customer_bkt", "o_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
 }

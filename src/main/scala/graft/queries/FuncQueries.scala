@@ -493,6 +493,28 @@ object FuncQueries {
         round(avg("l_quantity"), 6).as("avg_q"))
       .orderBy("l_returnflag")
 
+  /** Ordinary-least-squares aggregates per group (`regr_*` family):
+    * slope/intercept/R² of extendedprice regressed on quantity. Single
+    * pass, map-side partial aggregation like any declarative agg — the
+    * moment statistics (Σx, Σy, Σxy, Σx², n) combine associatively, so
+    * the plan is one shuffle on the group key at any scale. regr_count
+    * is cast to BIGINT on both sides (Spark returns long, DuckDB
+    * double).
+    */
+  def regression(s: SparkSession, d: String): DataFrame = {
+    val (y, x) = (col("l_extendedprice"), col("l_quantity"))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(regr_slope(y, x), 4).as("slope"),
+        round(regr_intercept(y, x), 4).as("intercept"),
+        round(regr_r2(y, x), 6).as("r2"),
+        regr_count(y, x).cast("long").as("n"),
+        round(regr_avgx(y, x), 6).as("avg_x"),
+        round(regr_avgy(y, x), 4).as("avg_y"))
+      .orderBy("l_returnflag")
+  }
+
   /** Histogram bucketing by arithmetic (portable width_bucket):
     * order totals in 50k-wide bins.
     */

@@ -251,6 +251,32 @@ class IoSpec extends SparkSpec {
     assert(s0 === m1.find(_.getAs[Int]("shard") == 0).get.getAs[Long]("n_rows"))
   }
 
+  test("bucketed join: no Exchange, no Sort, result matches shuffled join") {
+    import graft.io.Bucketing
+    import spark.implicits._
+    val db = "graft_bkt_spec"
+    val loc = Files.createTempDirectory("bkt_wh").toString
+    Bucketing.ensureDatabase(spark, db, loc)
+    val fact = (1L to 2000L).map(i => (i % 97, i.toDouble)).toDF("k", "v")
+    val dim = (0L until 97L).map(i => (i, s"g${i % 5}")).toDF("k", "name")
+    Bucketing.writeBucketed(fact, s"$db.fact_b", "k", 4)
+    Bucketing.writeBucketed(dim, s"$db.dim_b", "k", 4)
+    // keep the small side from broadcasting so the assert sees the
+    // sort-merge path the bucket layout is for
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.bucketedJoin(spark, s"$db.fact_b", s"$db.dim_b", "k")
+      assert(Bucketing.isShuffleFree(joined),
+        s"expected no Exchange:\n${joined.queryExecution.executedPlan}")
+      assert(!joined.queryExecution.executedPlan.toString.contains("Sort ["),
+        "bucket sortBy should satisfy the SMJ ordering requirement")
+      val viaShuffle = fact.join(dim, "k").agg(sum("v")).collect()(0).getDouble(0)
+      val viaBuckets = joined.agg(sum("v")).collect()(0).getDouble(0)
+      assert(viaBuckets === viaShuffle)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("timestamped path + json sink + record sink") {
     val out = Sinks.timestampedPath(
       Files.createTempDirectory("sink").toString, "population_data_", ".json")

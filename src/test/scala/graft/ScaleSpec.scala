@@ -27,6 +27,39 @@ class ScaleSpec extends SparkSpec {
     assert(plain === salted)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // One hot key holds half the fact rows: after the hash shuffle one
+    // partition dwarfs the median. With thresholds scaled down to test
+    // size, AQE's OptimizeSkewedJoin must split that partition into
+    // multiple tasks (duplicating the matching dim partition) — the
+    // runtime re-plan that, at 100 TB, keeps one straggler task from
+    // serializing the whole stage. The salted-join operator
+    // (Ops.saltedJoin) remains the WRITE-SIDE answer when key skew is
+    // known a priori; AQE is the runtime safety net for when it is not.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    import s2.implicits._
+    val fact = s2.range(0, 200000)
+      .select(when($"id" % 2 === 0, 0L).otherwise($"id" % 97 + 1).as("k"),
+        $"id".as("v"))
+    val dim = s2.range(0, 98).select($"id".as("k"), ($"id" * 2).as("w"))
+    val joined = fact.join(dim, "k")
+    // execute THIS DataFrame (count() would plan a different query) so
+    // the adaptive plan finalizes before inspection
+    assert(joined.collect().length === 200000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"))
+    assert(plan.contains("skew=true"),
+      s"expected OptimizeSkewedJoin to mark the join:\n$plan")
+  }
+
   test("bucketed tables join without exchange (co-located join)") {
     // warehouse.dir is static -> use the default warehouse with session-
     // local table names; disable broadcast so the join would otherwise

@@ -33,8 +33,10 @@ def main(sf_dir: str, out_dir: str) -> int:
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            want = norm(con.execute(sql).fetchdf())
             files = glob.glob(f"{out_dir}/{name}/*.parquet")
+            if not files:  # subset Verify run (SPARK_GRAFT_ONLY): skip
+                continue
+            want = norm(con.execute(sql).fetchdf())
             got = norm(pd.concat([pd.read_parquet(f) for f in files],
                                  ignore_index=True))
         except Exception as e:
