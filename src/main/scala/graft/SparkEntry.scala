@@ -103,6 +103,7 @@ object SparkEntry {
     "q_train_test_split" -> (TrainingQueries.trainTestSplit _),
     "q_stratified_sample" -> (TrainingQueries.stratifiedSample _),
     "q_term_freq"      -> (TrainingQueries.termFreq _),
+    "q_shingles"       -> (TrainingQueries.shingles _),
     "q_top_bigrams"    -> (TrainingQueries.topBigrams _),
     "q_text_quality"   -> (TrainingQueries.textQuality _),
     "q_quality_model"  -> (TrainingQueries.qualityModel _),
@@ -714,6 +715,20 @@ object SparkEntry {
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
         |  FROM documents)
         |GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 20""".stripMargin,
+    "q_shingles" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS w
+        |  FROM documents WHERE doc_id < 50),
+        |sh AS (
+        |  SELECT doc_id, unnest(
+        |    [{'pos': i - 1,
+        |      'shingle': w[i] || ' ' || w[i+1] || ' ' || w[i+2]}
+        |     for i in range(1, len(w) - 1)]) AS s
+        |  FROM tok)
+        |SELECT doc_id, CAST(s.pos AS INT) AS pos, s.shingle AS shingle
+        |FROM sh ORDER BY doc_id, pos""".stripMargin,
     "q_top_bigrams" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -321,6 +321,17 @@ object TrainingQueries {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(20)
 
+  /** Native UDTF surface (SURVEY §2.10): the [[graft.functions.TokenShingles]]
+    * Generator fans each document into positioned word trigrams in one
+    * pass — no intermediate shingle array per row.
+    */
+  def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .where(col("doc_id") < 50)
+      .select(col("doc_id"),
+        graft.functions.TokenShingles.tokenShingles(col("text"), 3))
+      .orderBy("doc_id", "pos")
+
   /** Top-10 bigram counts (shingle k=2 over the corpus). */
   def topBigrams(s: SparkSession, d: String): DataFrame =
     Dedup.shingles(Tables.documents(s, d), k = 2)

@@ -194,4 +194,34 @@ class FunctionsSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("constant") ||
       e.getMessage.toLowerCase.contains("data type mismatch"))
   }
+
+  test("token_shingles generator == split/transform/explode composition") {
+    import graft.functions.TokenShingles.tokenShingles
+    val df = Seq((1L, "  The quick  Brown fox jumps "), (2L, "a b"),
+      (3L, null.asInstanceOf[String]), (4L, "one two three")).toDF("id", "t")
+    val gen = df.select(col("id"), tokenShingles(col("t"), 3))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    val composed = df
+      .withColumn("toks", split(lower(trim(col("t"))), "\\s+"))
+      .withColumn("pos", explode(
+        transform(slice(col("toks"), lit(1),
+            greatest(size(col("toks")) - 2, lit(0))),
+          (_, i) => i)))
+      .select(col("id"), col("pos"),
+        concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(3))).as("shingle"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    assert(gen.toSeq === composed.toSeq)
+    assert(gen.count(_._1 == 1L) === 3) // 5 tokens -> 3 trigrams
+    assert(!gen.exists(t => t._1 == 2L || t._1 == 3L)) // short + null -> none
+  }
+
+  test("token_shingles works from SQL via LATERAL VIEW") {
+    graft.functions.TokenShingles.register(spark)
+    Seq((7L, "w x y z")).toDF("id", "t").createOrReplaceTempView("ts_docs")
+    val rows = spark.sql(
+      """SELECT id, s.pos, s.shingle
+        |FROM ts_docs LATERAL VIEW token_shingles(t, 2) s
+        |ORDER BY pos""".stripMargin).collect()
+    assert(rows.map(_.getString(2)).toSeq === Seq("w x", "x y", "y z"))
+  }
 }

@@ -274,6 +274,11 @@ class IoSpec extends SparkSpec {
       val viaShuffle = fact.join(dim, "k").agg(sum("v")).collect()(0).getDouble(0)
       val viaBuckets = joined.agg(sum("v")).collect()(0).getDouble(0)
       assert(viaBuckets === viaShuffle)
+      // bucketing also satisfies aggregation distribution: groupBy on
+      // the bucket key plans a single agg with no exchange
+      val agg = spark.table(s"$db.fact_b").groupBy("k").agg(sum("v"))
+      assert(Bucketing.isShuffleFree(agg),
+        s"expected exchange-free agg:\n${agg.queryExecution.executedPlan}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 

@@ -98,4 +98,31 @@ class PropertiesSpec extends SparkSpec {
       .collect()
     got.foreach(r => assert(r.getString(0) === r.getString(1)))
   }
+
+  test("token_shingles: count/order/content law on generated texts") {
+    // texts with 0..12 tokens, messy whitespace and mixed case; for
+    // every (text, k): exactly max(0, tokens-k+1) shingles, positions
+    // 0..m-1 in order, each shingle = the k case-folded tokens at pos
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val texts = sample(Gen.listOfN(80, for {
+      n <- Gen.chooseNum(0, 12)
+      ws <- Gen.listOfN(n, word)
+      sep <- Gen.oneOf(" ", "  ", "\t", " \t")
+    } yield ws.mkString(sep)), 31L)
+    for (k <- Seq(1, 2, 3, 5)) {
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+        .select(col("id"),
+          graft.functions.TokenShingles.tokenShingles(col("t"), k))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val want = (0 to toks.length - k)
+          .map(p => (i.toLong, p, toks.slice(p, p + k).mkString(" ")))
+        assert(rows.getOrElse(i.toLong, Array.empty).toSeq === want,
+          s"text ${i}, k=$k")
+      }
+    }
+  }
 }
