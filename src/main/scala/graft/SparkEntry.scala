@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{CoreQueries, FuncQueries, TrainingQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, FuncQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -127,7 +127,13 @@ object SparkEntry {
     "q_heavy_hitters"  -> (TrainingQueries.heavyHitters _),
     "q_cms_freq"       -> (TrainingQueries.cmsFreq _),
     "q_pq_topk"        -> (TrainingQueries.pqTopK _),
-    "q_pq_ivf"         -> (TrainingQueries.pqIvf _)
+    "q_pq_ivf"         -> (TrainingQueries.pqIvf _),
+    "q_bm25"           -> (TrainingQueries.bm25 _),
+    "q_topk_agg"       -> (AnalyticsQueries.topKAgg _),
+    "q_scd2"           -> (AnalyticsQueries.scd2 _),
+    "q_funnel"         -> (AnalyticsQueries.funnel _),
+    "q_cohort"         -> (AnalyticsQueries.cohort _),
+    "q_interpolate"    -> (AnalyticsQueries.interpolate _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -952,6 +958,96 @@ object SparkEntry {
         |  CAST(n AS BIGINT) AS n_chars_sampled
         |FROM freq f JOIN tot USING (doc_id)
         |GROUP BY f.doc_id, n
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q_bm25" ->
+      """WITH terms AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM terms
+        |  WHERE token IN ('vector', 'join', 'stream') GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id,
+        |  round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |    * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+        |    6) AS bm25,
+        |  count(*) AS n_terms
+        |FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id)
+        |CROSS JOIN stats
+        |GROUP BY doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q_topk_agg" ->
+      """SELECT o_orderpriority, rank, order_key, total_price FROM (
+        |  SELECT o_orderpriority, o_orderkey AS order_key,
+        |    round(o_totalprice, 2) AS total_price,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rank
+        |  FROM orders)
+        |WHERE rank <= 5 ORDER BY o_orderpriority, rank""".stripMargin,
+    "q_scd2" ->
+      """SELECT user_id, event_id, round(value, 2) AS attr,
+        | epoch_us(ts) AS valid_from,
+        | epoch_us(lead(ts) OVER w) AS valid_to,
+        | (lead(ts) OVER w IS NULL) AS is_current
+        |FROM events WHERE user_id < 30
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+        |UNION ALL
+        |SELECT '2_click' AS stage, count(*) AS n_users FROM s2
+        |UNION ALL
+        |SELECT '3_purchase' AS stage, count(*) AS n_users FROM s3
+        |ORDER BY stage""".stripMargin,
+    "q_cohort" ->
+      """WITH first AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |  FROM events GROUP BY 1)
+        |SELECT epoch_us(cw) AS cohort_week,
+        |  epoch_us(date_trunc('week', ts)) AS activity_week,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events JOIN first USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, activity_week""".stripMargin,
+    "q_interpolate" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS x,
+        |    CASE WHEN event_id % 7 <> 0 THEN round(value, 2) END AS y
+        |  FROM events WHERE user_id < 5)
+        |SELECT user_id, event_id, x, y,
+        |  CASE WHEN y IS NOT NULL THEN y
+        |    WHEN last_value(y IGNORE NULLS) OVER wb IS NULL
+        |      THEN first_value(y IGNORE NULLS) OVER wa
+        |    WHEN first_value(y IGNORE NULLS) OVER wa IS NULL
+        |      THEN last_value(y IGNORE NULLS) OVER wb
+        |    ELSE round(last_value(y IGNORE NULLS) OVER wb
+        |      + (first_value(y IGNORE NULLS) OVER wa
+        |         - last_value(y IGNORE NULLS) OVER wb)
+        |      * (x - last_value(CASE WHEN y IS NOT NULL THEN x END
+        |          IGNORE NULLS) OVER wb)
+        |      / (first_value(CASE WHEN y IS NOT NULL THEN x END
+        |          IGNORE NULLS) OVER wa
+        |         - last_value(CASE WHEN y IS NOT NULL THEN x END
+        |          IGNORE NULLS) OVER wb), 6)
+        |  END AS y_filled
+        |FROM base
+        |WINDOW
+        |  wb AS (PARTITION BY user_id ORDER BY x, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  wa AS (PARTITION BY user_id ORDER BY x, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, x, event_id""".stripMargin
   )
 }

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Temporal / product-analytics operators over the events and orders
+  * tables: SCD2 historization, funnel conversion, cohort retention,
+  * time-series gap interpolation, and the bounded top-k aggregate.
+  * Deterministic ordering + rounding per the oracle contract.
+  */
+object AnalyticsQueries {
+
+  /** Top-5 orders per priority via the bounded [[graft.functions.TopKAgg]]
+    * Aggregator — the PARTIAL-aggregation alternative to the
+    * `row_number` window: each map task forwards at most k pairs per
+    * group across the shuffle instead of every row (see TopKAgg's
+    * Scaladoc for the cost law). Oracle = the window form, so this
+    * also proves the two operators agree.
+    */
+  def topKAgg(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(5),
+      ExpressionEncoder[(Double, Long)]())
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("order_key"),
+        round(col("col._1"), 2).as("total_price"))
+      .orderBy("o_orderpriority", "rank")
+  }
+
+  /** SCD2 historization: a change log (per-user event stream) becomes
+    * interval rows `[valid_from, valid_to)` with an `is_current` flag —
+    * the standard warehouse dimension-history shape. One window per
+    * key: `lead(ts)` closes each version with the next version's start;
+    * the open version gets NULL/current. Validity bounds are emitted as
+    * epoch MICROS (BIGINT) — engine-portable, no timestamp formatting.
+    *
+    * At 100 TB this is a single shuffle on the dimension key; no
+    * self-join, no per-version scan. Ties on ts break by event_id so
+    * the interval chain is deterministic.
+    */
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .filter(col("user_id") < 30)
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 2).as("attr"), col("ts"))
+      .withColumn("valid_from", unix_micros(col("ts")))
+      .withColumn("valid_to", unix_micros(lead("ts", 1).over(w)))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("ts")
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  /** Ordered funnel conversion: users who signed up, then clicked
+    * AFTER the signup, then purchased AFTER that click — each stage a
+    * keyed min-timestamp aggregate joined to the next stage's events
+    * (strictly increasing timestamps enforce the order). Three keyed
+    * aggregations + two equi-joins on user_id; never a per-user sort
+    * of the whole event stream.
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def stage(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(name))
+    stage(s1, "1_signup")
+      .unionByName(stage(s2, "2_click"))
+      .unionByName(stage(s3, "3_purchase"))
+      .select("stage", "n_users")
+      .orderBy("stage")
+  }
+
+  /** Cohort retention: users bucketed by first-seen week (cohort),
+    * counted as active per calendar week. First-seen is one keyed
+    * min-aggregate (150 users → broadcast back onto the stream); the
+    * retention grid is one distinct-count aggregate. Weeks emitted as
+    * epoch micros for engine portability.
+    */
+  def cohort(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val first = ev.groupBy("user_id")
+      .agg(date_trunc("week", min("ts")).as("cw"))
+    ev.join(broadcast(first), "user_id")
+      .groupBy(unix_micros(col("cw")).as("cohort_week"),
+        unix_micros(date_trunc("week", col("ts"))).as("activity_week"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "activity_week")
+  }
+
+  /** Linear gap interpolation per series: nulls (here: every 7th
+    * event's reading, a deterministic synthetic gap) are filled by
+    * interpolating between the nearest non-null neighbors on the time
+    * axis; leading/trailing gaps take the nearest available value.
+    * Two IGNORE-NULLS navigation windows over one shuffle on the
+    * series key — the standard sensor/metric gap-fill, never a
+    * self-join.
+    */
+  def interpolate(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("x", "event_id")
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val after = w.rowsBetween(1, Window.unboundedFollowing)
+    def lastBefore(c: Column) = last(c, ignoreNulls = true).over(before)
+    def firstAfter(c: Column) = first(c, ignoreNulls = true).over(after)
+    val base = Tables.events(s, d)
+      .filter(col("user_id") < 5)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("x"),
+        when(pmod(col("event_id"), lit(7)) =!= 0, round(col("value"), 2))
+          .as("y"))
+    val prevY = lastBefore(col("y"))
+    val prevX = lastBefore(when(col("y").isNotNull, col("x")))
+    val nextY = firstAfter(col("y"))
+    val nextX = firstAfter(when(col("y").isNotNull, col("x")))
+    base
+      .withColumn("y_filled",
+        when(col("y").isNotNull, col("y"))
+          .when(prevY.isNull, nextY)
+          .when(nextY.isNull, prevY)
+          .otherwise(round(
+            prevY + (nextY - prevY) * (col("x") - prevX) / (nextX - prevX),
+            6)))
+      .orderBy("user_id", "x", "event_id")
+  }
+}

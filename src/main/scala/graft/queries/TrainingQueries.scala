@@ -371,6 +371,42 @@ object TrainingQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** BM25 lexical ranking (Robertson et al., TREC-3 Okapi; k1=1.2,
+    * b=0.75): top-10 docs for a fixed query term set. Same keyed-agg
+    * skeleton as [[tfidf]] — term-in-doc counts, per-doc lengths,
+    * per-term doc frequencies — but the term filter is applied BEFORE
+    * the tf aggregation, so only rows containing query terms are ever
+    * grouped; df/corpus-stats sides are broadcast. The score is
+    * rounded before ranking so the order is engine-portable. This is
+    * the lexical leg a production hybrid-retrieval stack fuses with
+    * the dense leg via [[Similarity.rrfFuse]] (q_rrf_fusion).
+    */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val qTerms = Seq("vector", "join", "stream")
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"),
+      explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = terms.filter(col("token").isin(qTerms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df_), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("__w",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) *
+             (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum("__w"), 6).as("bm25"), count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
   /** Model-based quality scoring (sigmoid of weight·features — the
     * classifier-filter inference shape; weights are codegen-folded
     * literals, the way broadcast model coefficients reach executors).

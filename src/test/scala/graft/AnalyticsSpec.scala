@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{AnalyticsQueries, TrainingQueries}
+
+/** Invariant tests for the temporal/product-analytics operators and
+  * the bounded top-k aggregate (their value semantics are also
+  * oracle-checked via q_topk_agg/q_scd2/q_funnel/q_cohort/
+  * q_interpolate/q_bm25; these tests pin the structural contracts).
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("TopKAgg agrees with the row_number window form") {
+    import graft.ops.Ops
+    val viaAgg = AnalyticsQueries.topKAgg(spark, sfDir)
+      .select("o_orderpriority", "rank", "order_key").collect()
+    val viaWindow = Ops.topKPerGroup(
+        graft.io.Tables.orders(spark, sfDir), 5, Seq("o_orderpriority"),
+        col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderpriority"), col("o_orderkey").as("order_key"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaAgg.length === viaWindow.size)
+    viaAgg.foreach { r =>
+      assert(viaWindow.contains((r.getString(0), r.getLong(2))))
+    }
+    // ranks are 1..k and scores non-increasing within each group
+    viaAgg.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to rows.length))
+    }
+  }
+
+  test("TopKAgg buffer stays bounded and ties break by id asc") {
+    val agg = new graft.functions.TopKAgg(3)
+    var buf = agg.zero
+    // 100 inserts, all the same score: tie-break must keep smallest ids
+    (1L to 100L).foreach { i => buf = agg.reduce(buf, (1.0, i)) }
+    assert(buf.length < 6, "buffer must prune before 2k")
+    assert(agg.finish(buf) === Seq((1.0, 1L), (1.0, 2L), (1.0, 3L)))
+    // merge respects the same bound and ordering
+    var other = agg.zero
+    (101L to 200L).foreach { i => other = agg.reduce(other, (2.0, i)) }
+    val merged = agg.finish(agg.merge(buf, other))
+    assert(merged === Seq((2.0, 101L), (2.0, 102L), (2.0, 103L)))
+  }
+
+  test("scd2: one open version per key, intervals chain without gaps") {
+    val rows = AnalyticsQueries.scd2(spark, sfDir)
+      .select("user_id", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (uid, versions) =>
+      assert(versions.count(_._4) === 1, s"user $uid open versions")
+      val chain = versions.sortBy(_._2)
+      // every closed version's end is the next version's start
+      chain.sliding(2).foreach {
+        case Array((_, _, Some(to), _), (_, from, _, _)) =>
+          assert(to === from, s"user $uid gap: $to != $from")
+        case _ => ()
+      }
+      assert(chain.last._3.isEmpty, s"user $uid last version must be open")
+    }
+  }
+
+  test("funnel: stage counts are monotone non-increasing") {
+    val counts = AnalyticsQueries.funnel(spark, sfDir)
+      .orderBy("stage").collect().map(_.getLong(1))
+    assert(counts.length === 3)
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2))
+    assert(counts(0) > 0)
+  }
+
+  test("cohort: activity never precedes the cohort week") {
+    val rows = AnalyticsQueries.cohort(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(0),
+        s"activity ${r.getLong(1)} before cohort ${r.getLong(0)}")
+      assert(r.getLong(2) > 0)
+    }
+  }
+
+  test("interpolate: observed rows pass through, fills stay in range") {
+    val rows = AnalyticsQueries.interpolate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rs) =>
+      val ys = rs.map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+      val filled = rs.map(r => if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+      ys.zip(filled).foreach {
+        case (Some(y), f) => assert(f.contains(y), "observed must pass through")
+        case (None, _) => ()
+      }
+      // interior fills bounded by the neighboring observed values
+      val obs = ys.flatten
+      if (obs.nonEmpty) {
+        val (lo, hi) = (obs.min, obs.max)
+        filled.flatten.foreach { f =>
+          assert(f >= lo - 1e-9 && f <= hi + 1e-9,
+            s"fill $f outside observed range [$lo, $hi]")
+        }
+      }
+    }
+  }
+
+  test("bm25: returned docs contain a query term; scores positive") {
+    val top = TrainingQueries.bm25(spark, sfDir).collect()
+    assert(top.nonEmpty)
+    val hits = graft.io.Tables.documents(spark, sfDir)
+      .filter(col("text").rlike("(^|\\s)(vector|join|stream)(\\s|$)"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    top.foreach { r =>
+      assert(hits.contains(r.getLong(0)), s"doc ${r.getLong(0)} has no term")
+      assert(r.getDouble(1) > 0.0)
+      val n = r.getLong(2)
+      assert(n >= 1 && n <= 3)
+    }
+  }
+}
