@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{ArrayCosine, ArrayDot, TokenShingles, UnicodeNfc}
+import graft.functions.{ArrayCosine, ArrayDot, JaroWinklerSim, TokenShingles, UnicodeNfc}
 
 /** `SparkSessionExtensions` hook: registers the graft native functions
   * so SQL users get `array_dot`/`array_cosine` without touching the
@@ -30,6 +30,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[UnicodeNfc].getName, "unicode_nfc"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           UnicodeNfc(exprs(0))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_winkler"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[JaroWinklerSim].getName, "jaro_winkler"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          JaroWinklerSim(exprs(0), exprs(1))))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("token_shingles"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -133,7 +133,9 @@ object SparkEntry {
     "q_scd2"           -> (AnalyticsQueries.scd2 _),
     "q_funnel"         -> (AnalyticsQueries.funnel _),
     "q_cohort"         -> (AnalyticsQueries.cohort _),
-    "q_interpolate"    -> (AnalyticsQueries.interpolate _)
+    "q_interpolate"    -> (AnalyticsQueries.interpolate _),
+    "q_fuzzy_dedup"    -> (AnalyticsQueries.fuzzyDedup _),
+    "q_scd2_lookup"    -> (AnalyticsQueries.scd2Lookup _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -1048,6 +1050,28 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |  wa AS (PARTITION BY user_id ORDER BY x, event_id
         |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
-        |ORDER BY user_id, x, event_id""".stripMargin
+        |ORDER BY user_id, x, event_id""".stripMargin,
+    "q_fuzzy_dedup" ->
+      """WITH n AS (
+        |  SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+        |b AS (SELECT name, string_split(name, ' ')[-1] AS blk FROM n)
+        |SELECT a.name AS name_a, c.name AS name_b,
+        |  levenshtein(a.name, c.name) AS lev,
+        |  round(jaro_winkler_similarity(a.name, c.name), 6) AS jw
+        |FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+        |WHERE levenshtein(a.name, c.name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+    "q_scd2_lookup" ->
+      """WITH dim AS (
+        |  SELECT user_id, event_id AS version_id, round(value, 2) AS attr,
+        |    epoch_us(ts) AS t
+        |  FROM events WHERE user_id < 30 AND event_type <> 'purchase'),
+        |facts AS (
+        |  SELECT user_id, event_id AS fact_id, epoch_us(ts) AS t
+        |  FROM events WHERE user_id < 30 AND event_type = 'purchase')
+        |SELECT f.user_id, f.fact_id, f.t, d.attr, d.version_id
+        |FROM facts f ASOF LEFT JOIN dim d
+        |  ON f.user_id = d.user_id AND f.t >= d.t
+        |ORDER BY f.user_id, f.fact_id""".stripMargin
   )
 }

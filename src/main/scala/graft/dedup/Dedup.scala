@@ -305,4 +305,37 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
       .distinct()
   }
+
+  /** Blocked entity-resolution pairs over the VALUE DICTIONARY: edit
+    * distance between distinct string values sharing a blocking key
+    * (classic blocking-then-matching ER; Fellegi & Sunter 1969 frame,
+    * q-gram/blocking practice per Christen, "Data Matching", 2012).
+    *
+    * Scale design: matching runs on `distinct(strCol)` — the value
+    * dictionary — NOT on rows. Low-cardinality attribute domains
+    * (names, brands, categories) stay near-constant while the table
+    * grows, so the candidate pair volume is dictionary², bounded per
+    * block, independent of row count; survivors broadcast back onto
+    * the full table as a tiny mapping. The blocking key is part of the
+    * operator's contract (pairs in different blocks are never
+    * compared), which is what makes it oracle-reproducible.
+    *
+    * Output: (name_a, name_b, lev) with name_a < name_b, one row per
+    * in-block pair within `maxDist`.
+    */
+  def fuzzyPairs(df: DataFrame, strCol: String,
+                 blockKey: org.apache.spark.sql.Column =>
+                   org.apache.spark.sql.Column,
+                 maxDist: Int): DataFrame = {
+    val names = df.select(col(strCol).as("name"))
+      .where(col("name").isNotNull).distinct()
+      .withColumn("blk", blockKey(col("name")))
+    val a = names.select(col("blk"), col("name").as("name_a"))
+    val b = names.select(col("blk"), col("name").as("name_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("lev") <= maxDist)
+      .select("name_a", "name_b", "lev")
+  }
 }

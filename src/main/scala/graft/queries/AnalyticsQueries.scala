@@ -102,6 +102,46 @@ object AnalyticsQueries {
       .orderBy("cohort_week", "activity_week")
   }
 
+  /** Fuzzy entity-resolution pairs on the part-name dictionary:
+    * last-token blocking, levenshtein ≤ 3, with the native
+    * [[graft.functions.JaroWinkler]] similarity on each surviving pair
+    * — hash-checked against DuckDB's `levenshtein` +
+    * `jaro_winkler_similarity`, which pins the custom expression's
+    * algorithm (match window, transposition count, 0.7 boost
+    * threshold) to an independent implementation.
+    */
+  def fuzzyDedup(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.fuzzyPairs(Tables.part(s, d), "p_name",
+        n => element_at(split(n, " "), -1), maxDist = 3)
+      .withColumn("jw", round(
+        graft.functions.JaroWinkler.jaroWinkler(col("name_a"), col("name_b")),
+        6))
+      .orderBy("name_a", "name_b")
+
+  /** Point-in-time (SCD2) dimension lookup: each purchase event joined
+    * to the dimension version valid at its timestamp — the AS-OF join
+    * over the [[scd2]] interval chain, which is how a warehouse reads
+    * history without BETWEEN-join pair products. One shuffle on the
+    * key (union-window as-of form); never |facts|×|versions|.
+    */
+  def scd2Lookup(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id") < 30)
+    // dimension = the non-purchase change stream; "version valid at t"
+    // is exactly "latest change with valid_from <= t", so the AS-OF
+    // join reads the scd2 interval chain without materializing
+    // valid_to — and never builds a BETWEEN-join pair product.
+    val dim = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        round(col("value"), 2).as("attr"), col("event_id").as("version_id"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("fact_id"),
+        unix_micros(col("ts")).as("t"))
+    graft.ops.Ops.asofJoin(facts, dim, Seq("user_id"), "t",
+        Seq("attr", "version_id"))
+      .select("user_id", "fact_id", "t", "attr", "version_id")
+      .orderBy("user_id", "fact_id")
+  }
+
   /** Linear gap interpolation per series: nulls (here: every 7th
     * event's reading, a deterministic synthetic gap) are filled by
     * interpolating between the nearest non-null neighbors on the time

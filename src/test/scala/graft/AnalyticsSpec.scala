@@ -105,6 +105,81 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("jaro_winkler: known values, symmetry, bounds, null-safety") {
+    import graft.functions.JaroWinkler
+    assert(JaroWinkler.scoreStr("martha", "marhta") === 0.9611111111111111)
+    assert(JaroWinkler.scoreStr("dixon", "dicksonx") === 0.8133333333333332)
+    assert(JaroWinkler.scoreStr("abc", "xyz") === 0.0)
+    assert(JaroWinkler.scoreStr("same", "same") === 1.0)
+    assert(JaroWinkler.scoreStr("", "x") === 0.0)
+    // floor(t/2) convention (DuckDB/strcmp95): odd transposition count
+    assert(JaroWinkler.scoreStr("blue gear", "old gear") === 0.75)
+    // boost applies only above 0.7: common prefix, low jaro
+    assert(JaroWinkler.scoreStr("abcdefgh", "abzyxwvu") === 0.5)
+    val names = Seq("red widget", "red widgets", "blue bolt", "hot gear")
+    for (a <- names; b <- names) {
+      val s = JaroWinkler.scoreStr(a, b)
+      assert(s === JaroWinkler.scoreStr(b, a), s"asymmetric on $a/$b")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
+  test("jaro_winkler expression: codegen and SQL paths agree with eval") {
+    import graft.functions.JaroWinkler.jaroWinkler
+    import spark.implicits._
+    val df = Seq(("martha", "marhta"), ("blue gear", "old gear"),
+      ("x", null.asInstanceOf[String])).toDF("a", "b")
+    val viaExpr = df.select(jaroWinkler(col("a"), col("b"))).collect()
+    assert(viaExpr(0).getDouble(0) === 0.9611111111111111)
+    assert(viaExpr(1).getDouble(0) === 0.75)
+    assert(viaExpr(2).isNullAt(0))
+    graft.functions.JaroWinkler // ensure class loaded
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler",
+      exprs => graft.functions.JaroWinklerSim(exprs(0), exprs(1)),
+      "built-in")
+    val viaSql = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta')").collect()(0).getDouble(0)
+    assert(viaSql === 0.9611111111111111)
+  }
+
+  test("fuzzyPairs: pairs share a block, respect maxDist, a < b") {
+    import graft.io.Tables
+    val pairs = graft.dedup.Dedup.fuzzyPairs(Tables.part(spark, sfDir),
+      "p_name", n => element_at(split(n, " "), -1), maxDist = 3).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (a, b, lev) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(a < b)
+      assert(lev >= 1 && lev <= 3)
+      assert(a.split(" ").last === b.split(" ").last, "block violated")
+    }
+  }
+
+  test("scd2Lookup: attr equals the latest prior non-purchase value") {
+    val rows = AnalyticsQueries.scd2Lookup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // recompute the expected as-of value driver-side from raw events
+    val ev = graft.io.Tables.events(spark, sfDir)
+      .filter(col("user_id") < 30)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), round(col("value"), 2).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    val changes = ev.filter(_._3 != "purchase").groupBy(_._1)
+    rows.foreach { r =>
+      val (uid, t) = (r.getLong(0), r.getLong(2))
+      val prior = changes.getOrElse(uid, Array.empty).filter(_._4 <= t)
+      if (prior.isEmpty) assert(r.isNullAt(3), s"expected null attr")
+      else {
+        val want = prior.maxBy(c => (c._4, c._2))
+        assert(r.getDouble(3) === want._5,
+          s"user $uid fact at $t: attr ${r.getDouble(3)} != ${want._5}")
+      }
+    }
+  }
+
   test("bm25: returned docs contain a query term; scores positive") {
     val top = TrainingQueries.bm25(spark, sfDir).collect()
     assert(top.nonEmpty)
