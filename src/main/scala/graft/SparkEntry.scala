@@ -135,7 +135,11 @@ object SparkEntry {
     "q_cohort"         -> (AnalyticsQueries.cohort _),
     "q_interpolate"    -> (AnalyticsQueries.interpolate _),
     "q_fuzzy_dedup"    -> (AnalyticsQueries.fuzzyDedup _),
-    "q_scd2_lookup"    -> (AnalyticsQueries.scd2Lookup _)
+    "q_scd2_lookup"    -> (AnalyticsQueries.scd2Lookup _),
+    "q_lm_score"       -> (TrainingQueries.lmScore _),
+    "q_mix_rebalance"  -> (TrainingQueries.mixRebalance _),
+    "q_date_spine"     -> (AnalyticsQueries.dateSpine _),
+    "q_equi_depth"     -> (AnalyticsQueries.equiDepth _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -1072,6 +1076,56 @@ object SparkEntry {
         |SELECT f.user_id, f.fact_id, f.t, d.attr, d.version_id
         |FROM facts f ASOF LEFT JOIN dim d
         |  ON f.user_id = d.user_id AND f.t >= d.t
-        |ORDER BY f.user_id, f.fact_id""".stripMargin
+        |ORDER BY f.user_id, f.fact_id""".stripMargin,
+    "q_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(
+        |    [{'w': w[i], 'w2': w[i+1]} for i in range(1, len(w))]) AS b
+        |  FROM tok),
+        |bge AS (SELECT doc_id, b.w AS w, b.w2 AS w2 FROM bg),
+        |c12 AS (SELECT w, w2, count(*) AS c12 FROM bge GROUP BY 1, 2),
+        |c1 AS (SELECT w, count(*) AS c1 FROM bge GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM bge)
+        |SELECT doc_id,
+        |  round(avg(ln((c12 + 1.0) / (c1 + v))), 6) AS lm_score,
+        |  count(*) AS n_bigrams
+        |FROM bge JOIN c12 USING (w, w2) JOIN c1 USING (w) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_mix_rebalance" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |z AS (SELECT sum(sqrt(n_docs)) AS z FROM s)
+        |SELECT source, n_docs,
+        |  round(sqrt(n_docs) / z, 6) AS mix_p,
+        |  round(200.0 * (sqrt(n_docs) / z), 2) AS alloc,
+        |  round((sqrt(n_docs) / z) / n_docs, 6) AS doc_weight
+        |FROM s CROSS JOIN z ORDER BY source""".stripMargin,
+    "q_date_spine" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |  WHERE user_id < 5),
+        |spine AS (
+        |  SELECT user_id, CAST(unnest(generate_series(
+        |    CAST(min(day) AS TIMESTAMP), CAST(max(day) AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM ev GROUP BY user_id),
+        |daily AS (
+        |  SELECT user_id, day, count(*) AS n FROM ev GROUP BY 1, 2)
+        |SELECT s.user_id, s.day,
+        |  coalesce(d.n, 0) AS n_events, (d.n IS NOT NULL) AS active
+        |FROM spine s LEFT JOIN daily d USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
+    "q_equi_depth" ->
+      """SELECT bucket, count(*) AS n,
+        | round(min(o_totalprice), 2) AS lo,
+        | round(max(o_totalprice), 2) AS hi
+        |FROM (
+        |  SELECT o_totalprice, CAST(ntile(10) OVER (
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC) AS BIGINT) AS bucket
+        |  FROM orders)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

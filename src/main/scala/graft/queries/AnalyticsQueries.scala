@@ -102,6 +102,51 @@ object AnalyticsQueries {
       .orderBy("cohort_week", "activity_week")
   }
 
+  /** Calendar densification (date spine): one row per (user, day)
+    * between the user's first and last event, zero-filled on inactive
+    * days — the standard pre-step for gap/streak/retention analytics.
+    * The spine is `sequence(first_day, last_day)` exploded from a
+    * per-user AGGREGATE (never a cross join against a calendar table),
+    * left-joined to the daily activity counts: spine size is
+    * user-days, candidate volume keyed by (user, day).
+    */
+  def dateSpine(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id") < 5)
+    val spine = ev.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("n").isNotNull.as("active"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Equi-depth binning: decile buckets of order value via `ntile`
+    * (deterministic total order), with per-bucket count and bounds —
+    * the histogram complement to the fixed-width q_histogram.
+    *
+    * Scale note: exact global deciles are a global-order statistic, so
+    * this form pays ONE total sort (the empty-partition Window). That
+    * is the oracle-checkable baseline; at 100 TB the production swap
+    * is approx_percentile boundaries (already a verified primitive,
+    * q_approx_percentile) + a narrow-map bucket assignment — no global
+    * sort, at the cost of approximate bucket edges.
+    */
+  def equiDepth(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("bucket", ntile(10).over(w).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"))
+      .orderBy("bucket")
+  }
+
   /** Fuzzy entity-resolution pairs on the part-name dictionary:
     * last-token blocking, levenshtein ≤ 3, with the native
     * [[graft.functions.JaroWinkler]] similarity on each surviving pair

@@ -407,6 +407,58 @@ object TrainingQueries {
       .limit(10)
   }
 
+  /** Corpus-trained bigram LM score — the KenLM-style perplexity-proxy
+    * quality filter, reduced to SQL-shaped pieces: token bigrams via a
+    * lead window (one shuffle on doc), add-one-smoothed conditional
+    * log-prob `ln((c12+1)/(c1+V))` from two keyed count aggregates,
+    * per-doc mean log-prob. Everything is a keyed agg or a broadcast
+    * join against model tables whose size is vocab-bounded, so the
+    * plan is corpus-linear; "train" and "score" are the same frames a
+    * production run would persist and reuse.
+    */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(graft.text.TextAnalysis.tokens(col("text")))
+          .as(Seq("pos", "w")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = toks.withColumn("w2", lead("w", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select("doc_id", "w", "w2")
+    val c12 = bg.groupBy("w", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w").agg(count(lit(1)).as("c1"))
+    val v = bg.agg(countDistinct("w").as("v"))
+    bg.join(c12, Seq("w", "w2"))
+      .join(broadcast(c1), Seq("w"))
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(round(avg(log((col("c12") + lit(1.0)) / (col("c1") + col("v")))),
+        6).as("lm_score"),
+        count(lit(1)).as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-based source-mixture rebalancing (the multilingual-LM
+    * sampling recipe, e.g. mBERT/XLM exponent-smoothed mixing):
+    * p_s ∝ n_s^(1/τ) with τ = 2, a 200-doc budget allocated
+    * proportionally, and the per-doc inclusion weight p_s/n_s the
+    * sampler would use. One tiny grouped count + a broadcast total —
+    * the mixture plan is computed without touching doc payloads.
+    */
+  def mixRebalance(s: SparkSession, d: String): DataFrame = {
+    val bySource = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = bySource.agg(sum(sqrt(col("n_docs"))).as("z"))
+    bySource.crossJoin(broadcast(tot))
+      .withColumn("p", sqrt(col("n_docs")) / col("z"))
+      .select(col("source"), col("n_docs"),
+        round(col("p"), 6).as("mix_p"),
+        round(lit(200.0) * col("p"), 2).as("alloc"),
+        round(col("p") / col("n_docs"), 6).as("doc_weight"))
+      .orderBy("source")
+  }
+
   /** Model-based quality scoring (sigmoid of weight·features — the
     * classifier-filter inference shape; weights are codegen-folded
     * literals, the way broadcast model coefficients reach executors).

@@ -144,7 +144,16 @@ object Similarity {
     */
   def assignCells(corpus: DataFrame, centroids: DataFrame,
                   vecCol: String = "embedding",
-                  idCol: String = "vec_id"): DataFrame = {
+                  idCol: String = "vec_id"): DataFrame =
+    assignPrepped(withUnit(corpus, vecCol), centroids, vecCol, idCol)
+
+  /** [[assignCells]] body for a corpus that ALREADY carries `__unit` —
+    * lets [[kmeansCentroids]] normalize + persist the corpus ONCE and
+    * reuse it across Lloyd iterations instead of re-scanning the
+    * source and re-normalizing per round.
+    */
+  private def assignPrepped(prepped: DataFrame, centroids: DataFrame,
+                            vecCol: String, idCol: String): DataFrame = {
     val cents = withUnit(centroids, vecCol)
       .select(col(idCol).as("__cent_id"), col("__unit").as("__cent_unit"))
     // collect centroid list as one broadcastable array via cross-join of
@@ -152,7 +161,7 @@ object Similarity {
     val centArr = cents.agg(
       sort_array(collect_list(struct(col("__cent_id"), col("__cent_unit"))))
         .as("__cents"))
-    withUnit(corpus, vecCol).crossJoin(broadcast(centArr))
+    prepped.crossJoin(broadcast(centArr))
       .withColumn("__best", array_max(transform(col("__cents"), c =>
         struct(
           array_dot(c.getField("__cent_unit"), col(vecCol)).as("sim"),
@@ -208,24 +217,31 @@ object Similarity {
           case null => 0.0
         }.toArray)
       }.toSeq
-    for (_ <- 1 to iters) {
-      val cdf = cents.map { case (id, v) => (id, v.toSeq) }
-        .toDF(idCol, vecCol)
-      val means = assignCells(corpus, cdf, vecCol, idCol)
-        .select(col("cell"), posexplode(col("__unit")).as(Seq("pos", "v")))
-        // null elements count as 0.0 in the mean, matching the
-        // assignment step's ArrayDot null-as-0 semantics (avg alone
-        // would SKIP them, and an all-null (cell,pos) would NPE the
-        // driver-side getDouble)
-        .groupBy("cell", "pos").agg(avg(coalesce(col("v"), lit(0.0))).as("m"))
-        .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cell, rows) =>
-          cell -> unit(rows.sortBy(_.getInt(1)).map(_.getDouble(2)))
-        }
-      cents = cents.map { case (id, old) => id -> means.getOrElse(id, old) }
-    }
-    cents.map { case (id, v) => (id, v.toSeq) }.toDF(idCol, vecCol)
+    // normalize + materialize the corpus ONCE for the whole training
+    // loop: each Lloyd round re-reads the cached (vec, __unit) columns
+    // instead of re-scanning the source and re-deriving __unit
+    val prepped = withUnit(corpus.select(col(vecCol)), vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 1 to iters) {
+        val cdf = cents.map { case (id, v) => (id, v.toSeq) }
+          .toDF(idCol, vecCol)
+        val means = assignPrepped(prepped, cdf, vecCol, idCol)
+          .select(col("cell"), posexplode(col("__unit")).as(Seq("pos", "v")))
+          // null elements count as 0.0 in the mean, matching the
+          // assignment step's ArrayDot null-as-0 semantics (avg alone
+          // would SKIP them, and an all-null (cell,pos) would NPE the
+          // driver-side getDouble)
+          .groupBy("cell", "pos").agg(avg(coalesce(col("v"), lit(0.0))).as("m"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (cell, rows) =>
+            cell -> unit(rows.sortBy(_.getInt(1)).map(_.getDouble(2)))
+          }
+        cents = cents.map { case (id, old) => id -> means.getOrElse(id, old) }
+      }
+      cents.map { case (id, v) => (id, v.toSeq) }.toDF(idCol, vecCol)
+    } finally { prepped.unpersist(false); () }
   }
 
   /** [[ivfTopK]] with an explicit centroid frame (e.g. the trained

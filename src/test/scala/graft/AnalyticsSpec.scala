@@ -180,6 +180,61 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("lm_score: negative log-probs, bigram count = token count - 1") {
+    val scores = TrainingQueries.lmScore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(scores.nonEmpty)
+    val tokCounts = graft.io.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    scores.foreach { case (id, (s, nb)) =>
+      assert(s < 0.0, s"doc $id: smoothed log-prob must be negative")
+      assert(nb === tokCounts(id) - 1L, s"doc $id bigram count")
+    }
+  }
+
+  test("mix_rebalance: probabilities sum to 1, sqrt flattens the mix") {
+    val rows = TrainingQueries.mixRebalance(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3)
+    // temperature sampling: share of the largest source shrinks vs raw
+    val n = rows.map(_._2).sum.toDouble
+    val biggest = rows.maxBy(_._2)
+    assert(biggest._3 < biggest._2 / n + 1e-9,
+      "sqrt mixing must down-weight the largest source")
+  }
+
+  test("date_spine: contiguous daily coverage, flags match counts") {
+    val rows = AnalyticsQueries.dateSpine(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, active) = (r.getLong(2), r.getBoolean(3))
+      assert(active === (n > 0))
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (uid, rs) =>
+      val days = rs.map(_.getDate(1).toLocalDate).sortBy(_.toEpochDay)
+      days.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.toEpochDay === a.toEpochDay + 1, s"user $uid gap at $a")
+        case _ => ()
+      }
+      assert(rs.exists(_.getBoolean(3)), s"user $uid has no active day")
+    }
+  }
+
+  test("equi_depth: near-equal buckets, ordered non-overlapping ranges") {
+    val rows = AnalyticsQueries.equiDepth(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === (1L to 10L))
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1, "ntile buckets differ by at most 1")
+    rows.sliding(2).foreach {
+      case Array((_, _, _, hi1), (_, _, lo2, _)) => assert(hi1 <= lo2)
+      case _ => ()
+    }
+  }
+
   test("bm25: returned docs contain a query term; scores positive") {
     val top = TrainingQueries.bm25(spark, sfDir).collect()
     assert(top.nonEmpty)
