@@ -139,7 +139,9 @@ object SparkEntry {
     "q_lm_score"       -> (TrainingQueries.lmScore _),
     "q_mix_rebalance"  -> (TrainingQueries.mixRebalance _),
     "q_date_spine"     -> (AnalyticsQueries.dateSpine _),
-    "q_equi_depth"     -> (AnalyticsQueries.equiDepth _)
+    "q_equi_depth"     -> (AnalyticsQueries.equiDepth _),
+    "q_substring_dup"  -> (TrainingQueries.substringDups _),
+    "q_textrank"       -> (TrainingQueries.textRank _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -1126,6 +1128,25 @@ object SparkEntry {
         |  SELECT o_totalprice, CAST(ntile(10) OVER (
         |    ORDER BY o_totalprice ASC, o_orderkey ASC) AS BIGINT) AS bucket
         |  FROM orders)
-        |GROUP BY bucket ORDER BY bucket""".stripMargin
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_substring_dup" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, unnest(
+        |    [array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)])
+        |    AS shingle
+        |  FROM tok),
+        |cross_doc AS (
+        |  SELECT shingle FROM wins
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id, count(*) AS n_windows,
+        |  count(c.shingle) AS n_dup_windows,
+        |  round(count(c.shingle) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+        |FROM wins LEFT JOIN cross_doc c USING (shingle)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

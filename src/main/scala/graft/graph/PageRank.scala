@@ -1,0 +1,90 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank (Brin & Page, "The anatomy of a large-scale
+  * hypertextual Web search engine", WWW 1998) over an edge list —
+  * power iteration with damping and dangling-mass redistribution.
+  * The text-analytics use is TextRank keyword extraction (Mihalcea &
+  * Tarau, EMNLP 2004): rank tokens by PageRank over the token
+  * co-occurrence graph (q_textrank).
+  *
+  * Per round: ONE keyed join (ranks × out-normalized edges) + one
+  * grouped sum — the same shape as
+  * [[ConnectedComponents]], and the same iterative-Spark discipline:
+  *  - the out-degree-normalized edge list (`frac = w / out_w`) is
+  *    computed ONCE and localCheckpoint'd, rounds only touch it read-only;
+  *  - each round's ranks are localCheckpoint'd to cut lineage, and the
+  *    superseded round's blocks are explicitly unpersisted;
+  *  - dangling mass (rank parked on nodes with no out-edges) is folded
+  *    back uniformly, so total rank stays 1 and the iteration is a
+  *    proper stochastic-matrix power step.
+  *
+  * At 100 TB the per-round shuffle is keyed by node id; skew equals
+  * max in-degree — cap hub fan-in upstream (e.g. drop stop-token
+  * nodes) the same way dedup caps hot shingles.
+  */
+object PageRank {
+
+  /** Rank every node of the (directed, optionally weighted) edge list.
+    * Returns `(node, rank)`, ranks summing to ~1 over all nodes.
+    */
+  def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+          weightCol: Option[String] = None, iters: Int = 10,
+          damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1,
+      s"need iters>=1, 0<damping<1: $iters/$damping")
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("wt"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("wt") > 0)
+      .groupBy("src", "dst").agg(sum("wt").as("wt"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    if (n == 0) return nodes.withColumn("rank", lit(0.0))
+    // out-normalize once: each edge carries the fraction of its source's
+    // outgoing weight; rounds then need no join against out-degrees
+    val eNorm = e
+      .join(e.groupBy("src").agg(sum("wt").as("__outw")), "src")
+      .select(col("src"), col("dst"), (col("wt") / col("__outw")).as("frac"))
+      .localCheckpoint(true)
+    def rdd(df: DataFrame) = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+    val hasOut = eNorm.select(col("src").as("node")).distinct()
+      .withColumn("__has_out", lit(1))
+      .localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      // rank parked on sinks this round, redistributed uniformly below
+      val dangling = ranks.join(hasOut, Seq("node"), "left")
+        .filter(col("__has_out").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("s"))
+        .collect()(0).getDouble(0)
+      val contrib = ranks.join(eNorm, ranks("node") === eNorm("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") * col("frac")).as("__c"))
+      val stepped = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("__c"), lit(0.0)) +
+              lit(dangling / n))).as("rank"))
+        .localCheckpoint(true)
+      rdd(ranks).foreach(_.unpersist(false))
+      ranks = stepped
+    }
+    rdd(eNorm).foreach(_.unpersist(false))
+    rdd(hasOut).foreach(_.unpersist(false))
+    rdd(e).foreach(_.unpersist(false))
+    // the final ranks frame is itself checkpointed — nothing references
+    // the intermediate frames anymore
+    rdd(nodes).foreach(_.unpersist(false))
+    ranks
+  }
+}

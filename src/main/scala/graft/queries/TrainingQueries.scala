@@ -407,6 +407,55 @@ object TrainingQueries {
       .limit(10)
   }
 
+  /** Cross-document substring duplication (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022, reduced to
+    * the window-hash form): every 8-token window per doc (the
+    * [[graft.functions.TokenShingles]] generator — one streaming pass,
+    * no intermediate arrays), windows appearing in ≥ 2 distinct docs
+    * flagged via one keyed aggregate, per-doc duplication ratio out.
+    * Doc-level dedup misses partially copied text; this is the
+    * substring-level signal, and every stage is a keyed agg/join on
+    * the window key — corpus-linear, never pairwise.
+    */
+  def substringDups(s: SparkSession, d: String): DataFrame = {
+    val wins = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TokenShingles.tokenShingles(col("text"), 8))
+      .select("doc_id", "shingle")
+    val crossDoc = wins.groupBy("shingle")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("shingle"), lit(1).as("__dup"))
+    wins.join(crossDoc, Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("__dup")).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_windows") / col("n_windows").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    * tokens ranked by weighted PageRank over the token-adjacency
+    * graph (edge weight = corpus bigram count, symmetrized). Damping
+    * and iteration count are the paper's defaults. Rank values are
+    * engine-specific floats from an iterative method → rows-only
+    * entry; GraphSpec pins PageRank itself against closed-form and
+    * driver-recomputed values.
+    */
+  def textRank(s: SparkSession, d: String): DataFrame = {
+    val bg = Dedup.shingles(Tables.documents(s, d), k = 2)
+      .select(split(col("shingle"), " ").getItem(0).as("src"),
+        split(col("shingle"), " ").getItem(1).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val sym = bg.unionByName(bg.select(col("dst").as("src"),
+      col("src").as("dst"), col("w")))
+    graft.graph.PageRank.run(sym, weightCol = Some("w"), iters = 10)
+      .select(col("node").as("token"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("token").asc)
+      .limit(20)
+  }
+
   /** Corpus-trained bigram LM score — the KenLM-style perplexity-proxy
     * quality filter, reduced to SQL-shaped pieces: token bigrams via a
     * lead window (one shuffle on doc), add-one-smoothed conditional

@@ -59,4 +59,62 @@ class GraphSpec extends SparkSpec {
       ConnectedComponents.run(chain.toDF("src", "dst"), maxIter = 3)
     }
   }
+
+  /** Driver-side PageRank power iteration with the same recurrence
+    * (damping, dangling-mass redistribution, weighted out-fractions) —
+    * the oracle for [[graft.graph.PageRank]].
+    */
+  private def pagerankOracle(edges: Seq[(String, String, Double)],
+                             iters: Int, d: Double = 0.85)
+  : Map[String, Double] = {
+    val agg = edges.groupBy(e => (e._1, e._2))
+      .map { case (k, es) => k -> es.map(_._3).sum }
+    val nodes = agg.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct
+    val n = nodes.length
+    val outW = agg.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum }
+    var ranks = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(outW.contains).map(ranks).sum
+      val contrib = agg.toSeq
+        .map { case ((s, t), w) => t -> ranks(s) * w / outW(s) }
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+      ranks = nodes.map(v => v ->
+        ((1.0 - d) / n + d * (contrib.getOrElse(v, 0.0) + dangling / n))).toMap
+    }
+    ranks
+  }
+
+  private def pagerankOf(edges: Seq[(String, String, Double)], iters: Int)
+  : Map[String, Double] =
+    graft.graph.PageRank.run(edges.toDF("src", "dst", "w"),
+        weightCol = Some("w"), iters = iters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("pagerank: 2-cycle is uniform, ranks sum to 1") {
+    val got = pagerankOf(Seq(("a", "b", 1.0), ("b", "a", 1.0)), iters = 5)
+    assert(math.abs(got("a") - 0.5) < 1e-12)
+    assert(math.abs(got("b") - 0.5) < 1e-12)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pagerank: star with dangling hub matches driver recompute") {
+    val edges = Seq(("b", "a", 1.0), ("c", "a", 1.0), ("d", "a", 1.0))
+    val got = pagerankOf(edges, iters = 10)
+    val want = pagerankOracle(edges, iters = 10)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, k) }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "dangling mass conserved")
+    assert(got("a") > got("b"), "hub must outrank spokes")
+  }
+
+  test("pagerank: weighted random graph matches driver recompute") {
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 80).map { _ =>
+      (s"n${rnd.nextInt(15)}", s"n${rnd.nextInt(15)}", rnd.nextInt(5) + 1.0)
+    }.filter(e => e._1 != e._2)
+    val got = pagerankOf(edges, iters = 8)
+    val want = pagerankOracle(edges, iters = 8)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, k) }
+  }
 }
