@@ -195,16 +195,17 @@ class ScaleSpec extends SparkSpec {
     assert(violations.isEmpty, violations.mkString("\n\n"))
   }
 
-  /** A physical plan guaranteed to produce at most one row: a global
-    * (no grouping keys) final aggregate, however it is wrapped
-    * (exchange/shuffle-read/AQE nodes between).
+  /** A physical plan guaranteed to produce at most one row: the
+    * OUTERMOST aggregate has no grouping keys — that alone pins the
+    * output cardinality, whatever keyed aggregates feed it below
+    * (e.g. bm25's corpus stats aggregate over the per-doc-length
+    * aggregate). `collectFirst` walks pre-order, so the first match is
+    * the aggregate nearest the root.
     */
-  private def isOneRowPlan(p: SparkPlan): Boolean = {
-    val aggs = p.collect {
+  private def isOneRowPlan(p: SparkPlan): Boolean =
+    p.collectFirst {
       case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
-    }
-    aggs.nonEmpty && aggs.forall(_.groupingExpressions.isEmpty)
-  }
+    }.exists(_.groupingExpressions.isEmpty)
 
   test("argmax input aggregates before the window (no raw-fact window)") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
