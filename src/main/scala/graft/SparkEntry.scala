@@ -141,7 +141,13 @@ object SparkEntry {
     "q_date_spine"     -> (AnalyticsQueries.dateSpine _),
     "q_equi_depth"     -> (AnalyticsQueries.equiDepth _),
     "q_substring_dup"  -> (TrainingQueries.substringDups _),
-    "q_textrank"       -> (TrainingQueries.textRank _)
+    "q_textrank"       -> (TrainingQueries.textRank _),
+    "q_robust_stats"   -> (AnalyticsQueries.robustStats _),
+    "q_skyline"        -> (AnalyticsQueries.skyline _),
+    "q_triangles"      -> (AnalyticsQueries.triangles _),
+    "q_spatial_join"   -> (AnalyticsQueries.spatialJoin _),
+    "q_vocab_coverage" -> (TrainingQueries.vocabCoverage _),
+    "q_url_stats"      -> (FuncQueries.urlStats _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -1147,6 +1153,108 @@ object SparkEntry {
         |  count(c.shingle) AS n_dup_windows,
         |  round(count(c.shingle) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
         |FROM wins LEFT JOIN cross_doc c USING (shingle)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_robust_stats" ->
+      """WITH q AS (
+        |  SELECT o_orderpriority AS pri,
+        |    quantile_cont(o_totalprice, 0.25) AS q1,
+        |    quantile_cont(o_totalprice, 0.5) AS med,
+        |    quantile_cont(o_totalprice, 0.75) AS q3
+        |  FROM orders GROUP BY 1)
+        |SELECT pri, round(min(med), 4) AS median_price,
+        |  round(min(q3 - q1), 4) AS iqr,
+        |  round(quantile_cont(abs(o_totalprice - med), 0.5), 4) AS mad,
+        |  count(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
+        |    OR o_totalprice > q3 + 1.5 * (q3 - q1) THEN 1 END) AS n_outliers,
+        |  count(*) AS n
+        |FROM orders JOIN q ON o_orderpriority = pri
+        |GROUP BY pri ORDER BY pri""".stripMargin,
+    "q_skyline" ->
+      """SELECT o_orderkey, day, price FROM (
+        |  SELECT o_orderkey, day, price,
+        |    max(price) OVER (ORDER BY day
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+        |    max(price) OVER (PARTITION BY day) AS m2
+        |  FROM (SELECT o_orderkey,
+        |          CAST(date_diff('day', DATE '1990-01-01', o_orderdate)
+        |            AS BIGINT) AS day,
+        |          o_totalprice AS price FROM orders))
+        |WHERE (m1 IS NULL OR m1 < price) AND m2 <= price
+        |ORDER BY day, o_orderkey""".stripMargin,
+    "q_triangles" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_orderkey % 7 = 0),
+        |e AS (
+        |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+        |       JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+        |SELECT count(*) AS n_nodes,
+        |  CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+        |  CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges,
+        |  min(n_triangles) AS n_triangles,
+        |  round(3.0 * min(n_triangles) /
+        |    greatest(CAST(sum(deg * (deg - 1) / 2) AS BIGINT), 1), 6) AS gcc
+        |FROM deg, tri""".stripMargin,
+    "q_spatial_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    ((c_custkey * 7919) % 1200) / 10.0 - 60.0 AS c_lat,
+        |    ((c_custkey * 104729) % 3500) / 10.0 - 175.0 AS c_lon
+        |  FROM customer),
+        |s AS (
+        |  SELECT s_suppkey,
+        |    (((s_suppkey + 17) * 7919) % 1200) / 10.0 - 60.0 AS s_lat,
+        |    (((s_suppkey + 17) * 104729) % 3500) / 10.0 - 175.0 AS s_lon
+        |  FROM supplier)
+        |SELECT s_suppkey, c_custkey,
+        |  round(2 * 6371.0 * asin(sqrt(
+        |    sin(radians(c_lat - s_lat) / 2) * sin(radians(c_lat - s_lat) / 2)
+        |    + cos(radians(s_lat)) * cos(radians(c_lat))
+        |      * sin(radians(c_lon - s_lon) / 2)
+        |      * sin(radians(c_lon - s_lon) / 2))), 3) AS dist_km
+        |FROM s JOIN c ON 2 * 6371.0 * asin(sqrt(
+        |    sin(radians(c_lat - s_lat) / 2) * sin(radians(c_lat - s_lat) / 2)
+        |    + cos(radians(s_lat)) * cos(radians(c_lat))
+        |      * sin(radians(c_lon - s_lon) / 2)
+        |      * sin(radians(c_lon - s_lon) / 2))) <= 50.0
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH counts AS (
+        |  SELECT token, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(
+        |      regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> x <> '')) AS token
+        |    FROM documents)
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT token, freq,
+        |    CAST(row_number() OVER w AS BIGINT) AS rank,
+        |    sum(freq) OVER (w ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(freq) OVER () AS total
+        |  FROM counts WINDOW w AS (ORDER BY freq DESC, token ASC))
+        |SELECT rank, token, freq, round(cum / CAST(total AS DOUBLE), 6)
+        |  AS cum_share
+        |FROM r WHERE cum - freq < 0.9 * total ORDER BY rank""".stripMargin,
+    "q_url_stats" ->
+      """WITH u AS (
+        |  SELECT doc_id, 'https://' || source || '.example.com/' || lang
+        |    || '/doc/' || doc_id || '?utm_source=feed&page='
+        |    || (doc_id % 7) || '#sec' || (doc_id % 3) AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_extract(url, '^https://([^/]+)', 1) AS host,
+        |  regexp_extract(url, '^https://[^/]+(/[^?#]*)', 1) AS path,
+        |  regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page,
+        |  'https://' || regexp_extract(url, '^https://([^/]+)', 1)
+        |    || regexp_extract(url, '^https://[^/]+(/[^?#]*)', 1) AS canonical
+        |FROM u ORDER BY doc_id""".stripMargin
   )
 }

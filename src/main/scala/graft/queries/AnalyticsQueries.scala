@@ -221,4 +221,103 @@ object AnalyticsQueries {
             6)))
       .orderBy("user_id", "x", "event_id")
   }
+
+  /** Robust per-group dispersion stats: exact median / IQR via the
+    * interpolating `percentile` aggregate, MAD (median absolute
+    * deviation) and Tukey-fence outlier counts via a SECOND pass over
+    * the group joined to its own quantiles — order statistics of
+    * |x − median| can't come out of one aggregation. Two keyed
+    * aggregates + one broadcast join (the quantile frame is
+    * group-cardinality-sized); never a per-group sort exposed to the
+    * driver. The robust complement to q_global_stats' mean/stddev,
+    * which one fat-tailed outlier drags arbitrarily far.
+    */
+  def robustStats(s: SparkSession, d: String): DataFrame = {
+    val price = col("o_totalprice")
+    val q = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(percentile(price, lit(0.25)).as("q1"),
+        percentile(price, lit(0.5)).as("med"),
+        percentile(price, lit(0.75)).as("q3"))
+    val iqr = col("q3") - col("q1")
+    Tables.orders(s, d)
+      .join(broadcast(q), col("o_orderpriority") === col("pri"))
+      .groupBy("pri")
+      .agg(
+        round(first("med"), 4).as("median_price"),
+        round(first(iqr), 4).as("iqr"),
+        round(percentile(abs(price - col("med")), lit(0.5)), 4).as("mad"),
+        count(when(price < col("q1") - lit(1.5) * iqr ||
+          price > col("q3") + lit(1.5) * iqr, 1)).as("n_outliers"),
+        count(lit(1)).as("n"))
+      .orderBy("pri")
+  }
+
+  /** Skyline (Pareto frontier) of orders on (earliest date, highest
+    * price): a row survives iff no other order is at least as early
+    * AND at least as expensive, strictly better in one. Computed with
+    * TWO window maxes instead of the quadratic NOT-EXISTS self-join —
+    * dominance against strictly-earlier dates is a running max over a
+    * RANGE frame, same-date dominance a per-date partition max. One
+    * sort on the date axis; O(n log n) where the textbook nested-loop
+    * skyline is O(n²).
+    */
+  def skyline(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+          .cast("long").as("day"),
+        col("o_totalprice").as("price"))
+    val earlier = Window.orderBy("day")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val sameDay = Window.partitionBy("day")
+    base
+      .withColumn("__m1", max("price").over(earlier))
+      .withColumn("__m2", max("price").over(sameDay))
+      .filter((col("__m1").isNull || col("__m1") < col("price")) &&
+        col("__m2") <= col("price"))
+      .select("o_orderkey", "day", "price")
+      .orderBy("day", "o_orderkey")
+  }
+
+  /** Triangle census of the co-purchase graph (parts linked when they
+    * appear in the same order) — see [[graft.graph.Triangles]] for the
+    * degree-orientation cost law. Pair generation is an equi self-join
+    * on the order key (per-order line count is small and bounded by
+    * the schema, so the within-group pair fan-out is a constant
+    * factor, not a blowup).
+    */
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 7 === 0) // sparsen: census stays graph-shaped
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") &&
+        col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    graft.graph.Triangles.count(edges)
+  }
+
+  /** Customers within 50 km of a supplier, via the grid-bucketed
+    * [[graft.ops.Geo.radiusJoin]] (9-cell candidate pruning + exact
+    * haversine — never the |customers|×|suppliers| product). The
+    * coordinates are synthesized deterministically from the keys with
+    * pure integer arithmetic (lat ∈ [−60, 60), lon ∈ [−175, 175)) so
+    * the DuckDB oracle reproduces them bit-for-bit.
+    */
+  def spatialJoin(s: SparkSession, d: String): DataFrame = {
+    def lat(k: Column) = (pmod(k * 7919L, lit(1200L)) / 10.0) - 60.0
+    def lon(k: Column) = (pmod(k * 104729L, lit(3500L)) / 10.0) - 175.0
+    val cust = Tables.customer(s, d).select(col("c_custkey"),
+      lat(col("c_custkey")).as("c_lat"), lon(col("c_custkey")).as("c_lon"))
+    val supp = Tables.supplier(s, d).select(col("s_suppkey"),
+      lat(col("s_suppkey") + 17L).as("s_lat"),
+      lon(col("s_suppkey") + 17L).as("s_lon"))
+    graft.ops.Geo.radiusJoin(supp, "s_lat", "s_lon",
+        cust, "c_lat", "c_lon", radiusKm = 50.0)
+      .select(col("s_suppkey"), col("c_custkey"),
+        round(col("dist_km"), 3).as("dist_km"))
+      .orderBy("s_suppkey", "c_custkey")
+  }
 }

@@ -550,4 +550,30 @@ object FuncQueries {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
   }
+
+  /** URL parsing + canonicalization (`parse_url` — native Catalyst
+    * expression, no UDF): host / path / one query parameter extracted,
+    * and the canonical form (scheme + host + path, query and fragment
+    * stripped — the standard dedup key for web-crawl corpora, cf. the
+    * reference's href scraping at `Task_1_sync_bls_files.py:42-48`).
+    * The URLs are synthesized in-plan from document attributes since
+    * the testdata carries none; a narrow map either way.
+    */
+  def urlStats(s: SparkSession, d: String): DataFrame = {
+    val url = concat(lit("https://"), col("source"),
+      lit(".example.com/"), col("lang"),
+      lit("/doc/"), col("doc_id").cast("string"),
+      lit("?utm_source=feed&page="),
+      pmod(col("doc_id"), lit(7)).cast("string"),
+      lit("#sec"), pmod(col("doc_id"), lit(3)).cast("string"))
+    Tables.documents(s, d)
+      .withColumn("url", url)
+      .select(col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("page")).as("page"),
+        concat(lit("https://"), parse_url(col("url"), lit("HOST")),
+          parse_url(col("url"), lit("PATH"))).as("canonical"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -706,5 +707,34 @@ object TrainingQueries {
         (length(suffixed) - length(col("nfc_text"))).cast("long")
           .as("n_composed"))
       .orderBy("doc_id")
+  }
+
+  /** Vocabulary coverage curve: the smallest frequency-ranked token
+    * vocabulary whose cumulative share of all token OCCURRENCES
+    * reaches 90% — the standard sizing question for tokenizer vocab /
+    * stopword cutoffs (Zipf head analysis). One corpus-wide token
+    * count (keyed agg), then rank + running share over the VOCABULARY
+    * (not the corpus): the single-partition window is bounded by
+    * distinct-token count, which Heaps' law keeps sublinear in corpus
+    * size — the same justification as q_equi_depth's global ntile,
+    * with a smaller input.
+    */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(explode(graft.text.TextAnalysis.tokens(lower(col("text"))))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("token").asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum",
+        sum("freq").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("total", sum("freq").over(Window.partitionBy()))
+      // keep tokens until the PREVIOUS row already covered 90%
+      .filter(col("cum") - col("freq") < lit(0.9) * col("total"))
+      .select(col("rank"), col("token"), col("freq"),
+        round(col("cum") / col("total"), 6).as("cum_share"))
+      .orderBy("rank")
   }
 }

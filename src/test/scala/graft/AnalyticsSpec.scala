@@ -248,4 +248,107 @@ class AnalyticsSpec extends SparkSpec {
       assert(n >= 1 && n <= 3)
     }
   }
+
+  test("triangles: degree-oriented count equals brute force on known graphs") {
+    import spark.implicits._
+    // K4 has C(4,3)=4 triangles and gcc=1; appending a pendant chain
+    // adds wedges but no triangles
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a, b))
+    val g = k4 ++ Seq((4, 5), (5, 6), (6, 7), (2, 1), (3, 3)) // dup + loop
+    val got = graft.graph.Triangles.count(
+      g.toDF("src", "dst")).collect()(0)
+    assert(got.getLong(got.fieldIndex("n_triangles")) === 4L)
+    assert(got.getLong(got.fieldIndex("n_edges")) === 9L)
+    // brute force on a deterministic pseudo-random graph
+    val edges = (1 to 300).map { i =>
+      ((i * 7919) % 40, (i * 104729) % 40)
+    }.filter { case (a, b) => a != b }
+    val adj = edges.flatMap { case (a, b) =>
+      Seq(math.min(a, b) -> math.max(a, b)) }.toSet
+    val nodes = adj.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val brute = (for {
+      i <- nodes; j <- nodes if i < j; k <- nodes if j < k
+      if adj((i, j)) && adj((j, k)) && adj((i, k))
+    } yield 1).size.toLong
+    val got2 = graft.graph.Triangles.count(edges.toDF("src", "dst"))
+      .collect()(0)
+    assert(got2.getLong(got2.fieldIndex("n_triangles")) === brute)
+  }
+
+  test("skyline: result is exactly the non-dominated set") {
+    val all = graft.io.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+          .cast("long").as("day"),
+        col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def dominates(p: (Long, Long, Double), q: (Long, Long, Double)) =
+      p._2 <= q._2 && p._3 >= q._3 && (p._2 < q._2 || p._3 > q._3)
+    val expected = all.filter(q => !all.exists(p => dominates(p, q)))
+      .map(_._1).toSet
+    val got = AnalyticsQueries.skyline(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
+
+  test("spatial radius join equals the brute-force cross product") {
+    val grid = AnalyticsQueries.spatialJoin(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def lat(k: Long) = ((k * 7919) % 1200) / 10.0 - 60.0
+    def lon(k: Long) = ((k * 104729) % 3500) / 10.0 - 175.0
+    def hav(la1: Double, lo1: Double, la2: Double, lo2: Double) = {
+      val sLa = math.sin(math.toRadians(la2 - la1) / 2)
+      val sLo = math.sin(math.toRadians(lo2 - lo1) / 2)
+      2 * 6371.0 * math.asin(math.sqrt(sLa * sLa +
+        math.cos(math.toRadians(la1)) * math.cos(math.toRadians(la2)) *
+          sLo * sLo))
+    }
+    val custs = graft.io.Tables.customer(spark, sfDir)
+      .select("c_custkey").collect().map(_.getLong(0))
+    val supps = graft.io.Tables.supplier(spark, sfDir)
+      .select("s_suppkey").collect().map(_.getLong(0))
+    val brute = (for {
+      s <- supps; c <- custs
+      if hav(lat(s + 17), lon(s + 17), lat(c), lon(c)) <= 50.0
+    } yield (s, c)).toSet
+    assert(grid === brute)
+    // guard: the cell size must actually be admissible for the radius
+    intercept[IllegalArgumentException] {
+      graft.ops.Geo.radiusJoin(
+        graft.io.Tables.supplier(spark, sfDir), "a", "b",
+        graft.io.Tables.customer(spark, sfDir), "c", "d",
+        radiusKm = 80.0, cellDeg = 1.0)
+    }
+  }
+
+  test("robust stats: fences and dispersion invariants hold per group") {
+    val rows = AnalyticsQueries.robustStats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (iqr, mad) = (r.getDouble(2), r.getDouble(3))
+      val (outliers, n) = (r.getLong(4), r.getLong(5))
+      assert(iqr >= 0 && mad >= 0)
+      // MAD can't exceed the larger half-spread of the quartile range
+      // by more than the fence factor; outliers are a strict minority
+      assert(outliers < n / 4 + 1, s"too many outliers: $outliers/$n")
+      assert(r.getDouble(1) > 0, "median must be positive for prices")
+    }
+  }
+
+  test("vocab coverage: stops exactly at the 90% cumulative-share knee") {
+    val rows = TrainingQueries.vocabCoverage(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq === (1L to rows.length)) // contiguous ranks
+    rows.sliding(2).foreach {
+      case Array((_, f1, c1), (_, f2, c2)) =>
+        assert(f1 >= f2, "freq must be non-increasing")
+        assert(c1 < c2, "cumulative share must increase")
+      case _ => ()
+    }
+    // the cut is exact: every row but the last is below 90%, the last
+    // is the first to reach it
+    assert(rows.init.forall(_._3 < 0.9), "prior rows must be below the knee")
+    assert(rows.last._3 >= 0.9, "last row must reach 90% coverage")
+  }
 }
