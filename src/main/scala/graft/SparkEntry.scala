@@ -147,7 +147,10 @@ object SparkEntry {
     "q_triangles"      -> (AnalyticsQueries.triangles _),
     "q_spatial_join"   -> (AnalyticsQueries.spatialJoin _),
     "q_vocab_coverage" -> (TrainingQueries.vocabCoverage _),
-    "q_url_stats"      -> (FuncQueries.urlStats _)
+    "q_url_stats"      -> (FuncQueries.urlStats _),
+    "q_interval_join"  -> (AnalyticsQueries.intervalJoin _),
+    "q_profile"        -> (AnalyticsQueries.profileTable _),
+    "q_dq_checks"      -> (AnalyticsQueries.dqChecks _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -1255,6 +1258,94 @@ object SparkEntry {
         |  regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page,
         |  'https://' || regexp_extract(url, '^https://([^/]+)', 1)
         |    || regexp_extract(url, '^https://[^/]+(/[^?#]*)', 1) AS canonical
-        |FROM u ORDER BY doc_id""".stripMargin
+        |FROM u ORDER BY doc_id""".stripMargin,
+    "q_interval_join" ->
+      """WITH l AS (
+        |  SELECT o_orderkey AS l_id,
+        |    CAST(date_diff('day', DATE '1990-01-01', o_orderdate)
+        |      AS BIGINT) AS l_lo,
+        |    CAST(date_diff('day', DATE '1990-01-01', o_orderdate)
+        |      + o_orderkey % 14 AS BIGINT) AS l_hi
+        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |r AS (
+        |  SELECT l_orderkey * 8 + l_linenumber AS r_id,
+        |    CAST(date_diff('day', DATE '1990-01-01', l_shipdate)
+        |      AS BIGINT) AS r_lo,
+        |    CAST(date_diff('day', DATE '1990-01-01', l_shipdate)
+        |      + l_linenumber * 3 AS BIGINT) AS r_hi
+        |  FROM lineitem WHERE l_orderkey % 23 = 0)
+        |SELECT l_id, r_id,
+        |  least(l_hi, r_hi) - greatest(l_lo, r_lo) + 1 AS overlap_days
+        |FROM l JOIN r ON l_lo <= r_hi AND r_lo <= l_hi
+        |ORDER BY l_id, r_id""".stripMargin,
+    "q_profile" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    round(o_totalprice, 2) AS o_totalprice,
+        |    CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        |  FROM orders)
+        |SELECT col_name, n_rows, n_nulls, n_distinct, min_value, max_value
+        |FROM (
+        |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |    count(*) - count(o_orderkey) AS n_nulls,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM t
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |    count(DISTINCT o_custkey), CAST(min(o_custkey) AS VARCHAR),
+        |    CAST(max(o_custkey) AS VARCHAR) FROM t
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |    count(DISTINCT o_orderstatus),
+        |    CAST(min(o_orderstatus) AS VARCHAR),
+        |    CAST(max(o_orderstatus) AS VARCHAR) FROM t
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |    count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS VARCHAR),
+        |    CAST(max(o_totalprice) AS VARCHAR) FROM t
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+        |    count(DISTINCT o_orderdate), CAST(min(o_orderdate) AS VARCHAR),
+        |    CAST(max(o_orderdate) AS VARCHAR) FROM t
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*),
+        |    count(*) - count(o_orderpriority),
+        |    count(DISTINCT o_orderpriority),
+        |    CAST(min(o_orderpriority) AS VARCHAR),
+        |    CAST(max(o_orderpriority) AS VARCHAR) FROM t)
+        |ORDER BY col_name""".stripMargin,
+    "q_dq_checks" ->
+      """WITH v AS (
+        |  SELECT 'orders_orderkey_unique' AS check_name,
+        |    count(*) - count(DISTINCT o_orderkey) AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_custkey_complete',
+        |    count(CASE WHEN o_custkey IS NULL THEN 1 END) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_price_positive',
+        |    count(CASE WHEN NOT (o_totalprice > 0) THEN 1 END) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_status_domain',
+        |    count(CASE WHEN NOT (o_orderstatus IN ('O','F','P')) THEN 1 END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_range',
+        |    count(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 END)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_range',
+        |    count(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 END)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders_custkey_fk', count(*) FROM orders
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |  UNION ALL
+        |  SELECT 'lineitem_orderkey_fk', count(*) FROM lineitem
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+        |SELECT check_name AS "check", n_violations,
+        |  n_violations = 0 AS passed
+        |FROM v ORDER BY check_name""".stripMargin
   )
 }

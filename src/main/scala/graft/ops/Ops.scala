@@ -252,6 +252,39 @@ object Ops {
       .drop("__bin")
   }
 
+  /** Interval-overlap join (both sides are intervals — the two-sided
+    * generalization of [[rangeJoinBinned]]): pairs whose CLOSED
+    * intervals intersect (`l.lo <= r.hi && r.lo <= l.hi`). Each side
+    * explodes to the bins its interval touches and the join is equi on
+    * the bin key; a pair sharing several bins is emitted ONCE, from
+    * the first bin both occupy (`bin == max(floor(l.lo/W),
+    * floor(r.lo/W))`) — the standard owner-bin rule, so no distinct
+    * pass over the candidate set is needed. Candidate volume is
+    * pairs-per-bin, i.e. local interval density², never |L|×|R|;
+    * `binWidth` should be ≈ the typical interval length (too small
+    * explodes the fan-out, too large packs unrelated intervals into
+    * one bin).
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          lLo: String, lHi: String,
+                          rLo: String, rHi: String,
+                          binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(left.columns.intersect(right.columns).isEmpty,
+      "intervalOverlapJoin: column names collide across sides — alias first")
+    def bins(lo: String, hi: String) =
+      explode(sequence(floor(col(lo) / lit(binWidth)).cast("long"),
+        floor(col(hi) / lit(binWidth)).cast("long")))
+    val l = left.withColumn("__bin", bins(lLo, lHi))
+    val r = right.withColumn("__bin", bins(rLo, rHi))
+    l.join(r, Seq("__bin"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__bin") === greatest(
+        floor(col(lLo) / lit(binWidth)).cast("long"),
+        floor(col(rLo) / lit(binWidth)).cast("long")))
+      .drop("__bin")
+  }
+
   /** §2.7: set ops are built-ins; exposed for surface completeness. */
   def setMinus(left: DataFrame, right: DataFrame): DataFrame = left.except(right)
   def setIntersect(left: DataFrame, right: DataFrame): DataFrame = left.intersect(right)

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling and declarative data-quality checks (the Deequ
+  * idea reduced to its relational core — Schelter et al., "Automating
+  * large-scale data quality verification", VLDB 2018).
+  *
+  * Both operators compute EVERYTHING in one aggregation pass and
+  * reshape the 1-row result to long form with a generator — profiling
+  * N columns or evaluating K checks never rescans the table per
+  * column/check, which is the difference between one 100 TB scan and
+  * N of them. Distinct counts are the one exception: exact
+  * `count(distinct c)` per column makes Catalyst EXPAND the input ×N
+  * before the shuffle, so [[profile]] takes a flag — exact for
+  * oracle-checkable small-table profiling, `approx_count_distinct`
+  * (one pass, no expand, mergeable HLL) as the 100 TB default.
+  */
+object Profile {
+
+  /** Per-column profile: rows, nulls, distincts, min/max (as strings,
+    * so heterogeneous column types share one schema — the caller
+    * pre-rounds/casts columns whose string form is unstable).
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+              exactDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile: need at least one column")
+    def distinctOf(c: String): Column =
+      if (exactDistinct) countDistinct(col(c))
+      else approx_count_distinct(col(c))
+    val aggs: Seq[Column] = cols.flatMap { c => Seq(
+      count(col(c)).as(s"__n_$c"),
+      distinctOf(c).as(s"__d_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")) }
+    val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val entries = cols.map { c => struct(
+      lit(c).as("col_name"),
+      col("__rows").as("n_rows"),
+      (col("__rows") - col(s"__n_$c")).as("n_nulls"),
+      col(s"__d_$c").as("n_distinct"),
+      col(s"__min_$c").as("min_value"),
+      col(s"__max_$c").as("max_value")) }
+    wide.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
+  /** Evaluate named violation-count checks in one pass: each entry is
+    * `(check_name, aggregate counting violating rows)`. Returns
+    * `(check, n_violations, passed)` — a check passes iff its
+    * violation count is zero. Referential-integrity checks (an
+    * anti-join, not a per-row predicate) come from [[fkViolations]]
+    * and union in as 1-row frames.
+    */
+  def checks(df: DataFrame, cs: Seq[(String, Column)]): DataFrame = {
+    require(cs.nonEmpty, "checks: need at least one check")
+    val wide = df.agg(cs.head._2.as(cs.head._1),
+      cs.tail.map { case (n, c) => c.as(n) }: _*)
+    val entries = cs.map { case (n, _) => struct(
+      lit(n).as("check"), col(n).cast("long").as("n_violations")) }
+    wide.select(explode(array(entries: _*)).as("c"))
+      .select(col("c.check"), col("c.n_violations"),
+        (col("c.n_violations") === 0).as("passed"))
+  }
+
+  /** Violation count for `child.fk ⊆ parent.pk` as a 1-row frame in
+    * [[checks]]' shape — a LEFT ANTI equi-join, so at scale it is one
+    * shuffle (or a broadcast when the parent's keys fit).
+    */
+  def fkViolations(name: String, child: DataFrame, fk: String,
+                   parent: DataFrame, pk: String): DataFrame =
+    child.join(parent, child(fk) === parent(pk), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit(name).as("check"), col("n_violations"),
+        (col("n_violations") === 0).as("passed"))
+
+  /** Count of rows violating a predicate — sugar for [[checks]] rows. */
+  def violates(pred: Column): Column = count(when(!pred, 1))
+}

@@ -320,4 +320,79 @@ object AnalyticsQueries {
         round(col("dist_km"), 3).as("dist_km"))
       .orderBy("s_suppkey", "c_custkey")
   }
+
+  /** Interval×interval overlap join ([[graft.ops.Ops.intervalOverlapJoin]]
+    * — owner-bin candidate pruning, never |L|×|R|): order fulfilment
+    * windows against lineitem shipping windows, overlap length out.
+    * Both interval sets are synthesized from real date columns with
+    * pure integer arithmetic for oracle parity. Bin width 32 days ≈
+    * the longest interval, per the operator's sizing rule.
+    */
+  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val day0 = lit("1990-01-01").cast("date")
+    val l = Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(101)) === 0)
+      .select(col("o_orderkey").as("l_id"),
+        datediff(col("o_orderdate"), day0).cast("long").as("l_lo"))
+      .withColumn("l_hi", col("l_lo") + pmod(col("l_id"), lit(14L)))
+    val r = Tables.lineitem(s, d)
+      .filter(pmod(col("l_orderkey"), lit(23)) === 0)
+      .select((col("l_orderkey") * 8 + col("l_linenumber")).as("r_id"),
+        datediff(col("l_shipdate"), day0).cast("long").as("r_lo"),
+        (col("l_linenumber") * 3).cast("long").as("__len"))
+      .withColumn("r_hi", col("r_lo") + col("__len")).drop("__len")
+    graft.ops.Ops.intervalOverlapJoin(l, r,
+        "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 32.0)
+      .select(col("l_id"), col("r_id"),
+        (least(col("l_hi"), col("r_hi")) -
+          greatest(col("l_lo"), col("r_lo")) + 1).as("overlap_days"))
+      .orderBy("l_id", "r_id")
+  }
+
+  /** One-pass per-column dataset profile ([[graft.ops.Profile.profile]])
+    * over orders — exact distincts here so DuckDB can replay it; the
+    * operator's 100 TB default is the HLL variant (no ×N expand).
+    * Unstable string forms are pinned upstream: the timestamp is
+    * profiled as DATE, the double pre-rounded.
+    */
+  def profileTable(s: SparkSession, d: String): DataFrame =
+    graft.ops.Profile.profile(
+      Tables.orders(s, d)
+        .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+        .withColumn("o_totalprice", round(col("o_totalprice"), 2)),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"),
+      exactDistinct = true)
+      .orderBy("col_name")
+
+  /** Declarative data-quality suite ([[graft.ops.Profile.checks]] +
+    * [[graft.ops.Profile.fkViolations]]): domain, range, completeness
+    * and uniqueness checks evaluate in ONE pass per table; the two
+    * referential-integrity checks are anti-joins. Violation counts
+    * (not booleans) so a failing check quantifies its damage.
+    */
+  def dqChecks(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Profile
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val orderChecks = Profile.checks(o, Seq(
+      "orders_orderkey_unique" ->
+        (count(lit(1)) - countDistinct(col("o_orderkey"))),
+      "orders_custkey_complete" -> count(when(col("o_custkey").isNull, 1)),
+      "orders_price_positive" -> Profile.violates(col("o_totalprice") > 0),
+      "orders_status_domain" ->
+        Profile.violates(col("o_orderstatus").isin("O", "F", "P"))))
+    val liChecks = Profile.checks(li, Seq(
+      "lineitem_qty_range" ->
+        Profile.violates(col("l_quantity").between(1, 50)),
+      "lineitem_discount_range" ->
+        Profile.violates(col("l_discount").between(0.0, 0.1))))
+    orderChecks
+      .unionByName(liChecks)
+      .unionByName(Profile.fkViolations("orders_custkey_fk",
+        o, "o_custkey", Tables.customer(s, d), "c_custkey"))
+      .unionByName(Profile.fkViolations("lineitem_orderkey_fk",
+        li, "l_orderkey", o, "o_orderkey"))
+      .orderBy("check")
+  }
 }

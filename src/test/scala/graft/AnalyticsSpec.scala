@@ -351,4 +351,64 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.init.forall(_._3 < 0.9), "prior rows must be below the knee")
     assert(rows.last._3 >= 0.9, "last row must reach 90% coverage")
   }
+
+  test("interval overlap join equals brute force; emits each pair once") {
+    import spark.implicits._
+    // adversarial synthetic set: intervals spanning many bins, nested,
+    // identical, and bin-boundary-touching
+    val ls = Seq((1L, 0L, 100L), (2L, 50L, 54L), (3L, 64L, 64L),
+      (4L, 10L, 200L), (5L, 199L, 205L))
+      .toDF("l_id", "l_lo", "l_hi")
+    val rs = Seq((10L, 90L, 110L), (11L, 0L, 300L), (12L, 55L, 63L),
+      (13L, 64L, 64L), (14L, 201L, 202L), (15L, 206L, 300L))
+      .toDF("r_id", "r_lo", "r_hi")
+    val got = graft.ops.Ops.intervalOverlapJoin(ls, rs,
+        "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 32.0)
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lv = Seq((1L, 0L, 100L), (2L, 50L, 54L), (3L, 64L, 64L),
+      (4L, 10L, 200L), (5L, 199L, 205L))
+    val rv = Seq((10L, 90L, 110L), (11L, 0L, 300L), (12L, 55L, 63L),
+      (13L, 64L, 64L), (14L, 201L, 202L), (15L, 206L, 300L))
+    val brute = for {
+      (li, llo, lhi) <- lv; (ri, rlo, rhi) <- rv
+      if llo <= rhi && rlo <= lhi
+    } yield (li, ri)
+    assert(got.length === got.distinct.length, "pair emitted twice")
+    assert(got.toSet === brute.toSet)
+  }
+
+  test("profile: exact and approx variants agree on structure") {
+    val exact = graft.ops.Profile.profile(
+      graft.io.Tables.orders(spark, sfDir), Seq("o_orderkey", "o_orderstatus"),
+      exactDistinct = true).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(exact("o_orderkey").getLong(3) ===
+      exact("o_orderkey").getLong(1), "pk distinct == rows")
+    assert(exact("o_orderstatus").getLong(3) === 3L)
+    assert(exact("o_orderkey").getLong(2) === 0L, "no nulls")
+    // HLL variant: same shape, distinct within standard error
+    val approx = graft.ops.Profile.profile(
+      graft.io.Tables.orders(spark, sfDir), Seq("o_orderkey"))
+      .collect()(0)
+    val (est, n) = (approx.getLong(3).toDouble, approx.getLong(1).toDouble)
+    assert(math.abs(est - n) / n < 0.1, s"HLL estimate $est vs $n")
+  }
+
+  test("dq checks: clean testdata passes every check") {
+    val rows = AnalyticsQueries.dqChecks(spark, sfDir).collect()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"check ${r.getString(0)} failed " +
+        s"with ${r.getLong(1)} violations")
+    }
+    // and a dirty frame actually fails: drop some customers
+    import org.apache.spark.sql.functions.col
+    val brokenParent = graft.io.Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 2 === 0)
+    val fk = graft.ops.Profile.fkViolations("broken_fk",
+      graft.io.Tables.orders(spark, sfDir), "o_custkey",
+      brokenParent, "c_custkey").collect()(0)
+    assert(!fk.getBoolean(2) && fk.getLong(1) > 0)
+  }
 }
