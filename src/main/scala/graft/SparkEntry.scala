@@ -150,7 +150,11 @@ object SparkEntry {
     "q_url_stats"      -> (FuncQueries.urlStats _),
     "q_interval_join"  -> (AnalyticsQueries.intervalJoin _),
     "q_profile"        -> (AnalyticsQueries.profileTable _),
-    "q_dq_checks"      -> (AnalyticsQueries.dqChecks _)
+    "q_dq_checks"      -> (AnalyticsQueries.dqChecks _),
+    "q_transitions"    -> (AnalyticsQueries.transitions _),
+    "q_period_over_period" -> (AnalyticsQueries.periodOverPeriod _),
+    "q_pmi"            -> (TrainingQueries.pmi _),
+    "q_pca"            -> (TrainingQueries.pcaVariance _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -1346,6 +1350,54 @@ object SparkEntry {
         |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
         |SELECT check_name AS "check", n_violations,
         |  n_violations = 0 AS passed
-        |FROM v ORDER BY check_name""".stripMargin
+        |FROM v ORDER BY check_name""".stripMargin,
+    "q_transitions" ->
+      """WITH nxt AS (
+        |  SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_state
+        |  FROM events)
+        |SELECT from_state, to_state, count(*) AS n,
+        |  round(count(*) / sum(count(*)) OVER (PARTITION BY from_state),
+        |    6) AS p
+        |FROM nxt WHERE to_state IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_period_over_period" ->
+      """WITH m AS (
+        |  SELECT epoch_us(CAST(date_trunc('month', o_orderdate)
+        |      AS TIMESTAMP)) AS month,
+        |    round(sum(o_totalprice), 2) AS revenue,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |l AS (
+        |  SELECT month, revenue, n_orders,
+        |    lag(revenue) OVER (ORDER BY month) AS prev_revenue
+        |  FROM m)
+        |SELECT month, revenue, n_orders, prev_revenue,
+        |  round((revenue - prev_revenue) / prev_revenue * 100, 4)
+        |    AS mom_pct
+        |FROM l ORDER BY month""".stripMargin,
+    "q_pmi" ->
+      """WITH tok AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |uni AS (SELECT unnest(w) AS t FROM tok),
+        |ucnt AS (SELECT t, count(*) AS c FROM uni GROUP BY 1),
+        |nu AS (SELECT count(*) AS nu FROM uni),
+        |big AS (
+        |  SELECT unnest([{'w1': w[i], 'w2': w[i+1]}
+        |    for i in range(1, len(w))], recursive := true)
+        |  FROM tok),
+        |nb AS (SELECT count(*) AS nb FROM big),
+        |bcnt AS (
+        |  SELECT w1, w2, count(*) AS c_ab FROM big
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT w1, w2, c_ab,
+        |  round(ln((c_ab / nb) / ((a.c / nu) * (b.c / nu))), 6) AS pmi
+        |FROM bcnt
+        |JOIN ucnt a ON a.t = w1
+        |JOIN ucnt b ON b.t = w2
+        |CROSS JOIN nu CROSS JOIN nb
+        |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin
   )
 }

@@ -395,4 +395,44 @@ object AnalyticsQueries {
         li, "l_orderkey", o, "o_orderkey"))
       .orderBy("check")
   }
+
+  /** First-order Markov transition matrix of the event stream: per
+    * user, consecutive event-type pairs (ONE `lead` window over the
+    * per-user shuffle — never a self-join on adjacency), then global
+    * pair counts and row-normalized transition probabilities. The
+    * product-analytics "what happens after X" primitive; q_funnel is
+    * the goal-directed special case.
+    */
+  def transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("to_state", lead("event_type", 1).over(w))
+      .filter(col("to_state").isNotNull)
+      .groupBy(col("event_type").as("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(
+        col("n") / sum("n").over(Window.partitionBy("from_state")), 6))
+      .orderBy("from_state", "to_state")
+  }
+
+  /** Period-over-period: monthly revenue with previous-month value and
+    * percent change — one keyed aggregate to month grain (the shuffle),
+    * then a `lag` window over the MONTH table (tiny; the
+    * single-partition window is month-cardinality-bounded, same
+    * justification as q_vocab_coverage). Months as epoch micros.
+    */
+  def periodOverPeriod(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(unix_micros(date_trunc("month", col("o_orderdate")))
+        .as("month"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    monthly
+      .withColumn("prev_revenue",
+        lag("revenue", 1).over(Window.orderBy("month")))
+      .withColumn("mom_pct", round(
+        (col("revenue") - col("prev_revenue")) / col("prev_revenue") * 100,
+        4))
+      .orderBy("month")
+  }
 }

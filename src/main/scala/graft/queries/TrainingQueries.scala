@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.io.Tables
-import graft.sim.Similarity
+import graft.sim.{Pca, Similarity}
 import graft.text.TextAnalysis
 
 /** Training-data pipeline queries (BASELINE.json north star) over the
@@ -736,5 +736,72 @@ object TrainingQueries {
       .select(col("rank"), col("token"), col("freq"),
         round(col("cum") / col("total"), 6).as("cum_share"))
       .orderBy("rank")
+  }
+
+  /** Pointwise mutual information of adjacent token pairs (Church &
+    * Hanks, "Word association norms, mutual information, and
+    * lexicography", CL 1990): PMI = ln(p(ab) / (p(a)·p(b))), bigram
+    * probabilities over within-document adjacency (the
+    * [[graft.functions.TokenShingles]] generator — one streaming
+    * pass), unigram probabilities over the token stream. Two keyed
+    * counts + two broadcast joins against the vocab-bounded unigram
+    * table + two ×1 corpus-total fan-outs; collocation mining stays
+    * corpus-linear. Support floor c_ab ≥ 5 (PMI is noise below it),
+    * top-20 by score.
+    */
+  def pmi(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val uni = docs.select(
+      explode(TextAnalysis.tokens(lower(col("text")))).as("t"))
+    val ucnt = uni.groupBy("t").agg(count(lit(1)).as("c"))
+    val nu = uni.agg(count(lit(1)).as("nu"))
+    val big = docs
+      .select(graft.functions.TokenShingles.tokenShingles(col("text"), 2))
+      .select(split(col("shingle"), " ").as("p"))
+      .select(col("p")(0).as("w1"), col("p")(1).as("w2"))
+    val nb = big.agg(count(lit(1)).as("nb"))
+    big.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+      .join(broadcast(ucnt.select(col("t").as("w1"), col("c").as("c_a"))),
+        "w1")
+      .join(broadcast(ucnt.select(col("t").as("w2"), col("c").as("c_b"))),
+        "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .withColumn("pmi", round(log(
+        (col("c_ab") / col("nb")) /
+          ((col("c_a") / col("nu")) * (col("c_b") / col("nu")))), 6))
+      .select("w1", "w2", "c_ab", "pmi")
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+  }
+
+  /** PCA spectrum of the embedding corpus with a distributed
+    * self-check: fit all components from ONE moments pass
+    * ([[graft.sim.Pca]] — typed Aggregator, map-side partial, d(d+3)/2
+    * doubles per partition; eigensolve on the driver is d×d noise),
+    * then re-project the corpus onto the top 4 and verify the
+    * coordinate variance matches the eigenvalue. Output is
+    * sign-invariant (variances only — eigenvector signs are arbitrary),
+    * so the rows are deterministic; no SQL oracle (eigensolve isn't
+    * SQL-expressible) → rows-only check + PcaSpec.
+    */
+  def pcaVariance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val model = Pca.fit(emb, "embedding", k = Int.MaxValue)
+    val totalVar = model.eigenvalues.sum
+    val top = model.copy(components = model.components.take(4),
+      eigenvalues = model.eigenvalues.take(4))
+    val proj = emb.select(
+      Pca.projectColumn(col("embedding"), top).as("pc"))
+    val projVar = proj.select(
+      top.components.indices.map(i => var_pop(col("pc")(i)).as(s"v$i")): _*)
+      .head()
+    top.eigenvalues.zipWithIndex.map { case (ev, i) =>
+      (i, math.rint(ev * 1e6) / 1e6,
+        math.rint(projVar.getDouble(i) * 1e6) / 1e6,
+        math.rint(ev / totalVar * 1e6) / 1e6)
+    }.toSeq.toDF("pc", "eigenvalue", "var_projected", "evr")
+      .orderBy("pc")
   }
 }
