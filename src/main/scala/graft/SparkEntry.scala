@@ -154,7 +154,9 @@ object SparkEntry {
     "q_transitions"    -> (AnalyticsQueries.transitions _),
     "q_period_over_period" -> (AnalyticsQueries.periodOverPeriod _),
     "q_pmi"            -> (TrainingQueries.pmi _),
-    "q_pca"            -> (TrainingQueries.pcaVariance _)
+    "q_pca"            -> (TrainingQueries.pcaVariance _),
+    "q_semdedup"       -> (TrainingQueries.semDedup _),
+    "q_pq_opq"         -> (TrainingQueries.pqOpq _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same

@@ -121,6 +121,20 @@ object TrainingQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Parametric OPQ ANN ([[graft.sim.Opq]]): PCA rotation with
+    * eigenvalue-balanced subspace allocation, then the same PQ stack as
+    * [[pqTopK]] in the rotated space — the rotation is orthonormal so
+    * the ADC dot targets the identical ground truth. Approximate → no
+    * SQL oracle; allocation invariants and recall-vs-plain-PQ are
+    * spec-tested in SimilaritySpec.
+    */
+  def pqOpq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.sim.Opq.topK(emb, emb.filter(col("vec_id") < 10),
+        m = 8, ksub = 16, iters = 2, k = 5, rerank = 25)
+      .orderBy("query_id", "rank")
+  }
+
   /** IVFADC: k-means coarse quantizer routes each query to its 4 best
     * of 16 cells; only those cells' PQ codes are ADC-scanned (equi-join
     * on cell), then the shortlist re-ranks exact. The full 100 TB ANN
@@ -774,6 +788,17 @@ object TrainingQueries {
       .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
       .limit(20)
   }
+
+  /** SemDeDup survivors over the embedding corpus (k-means cells →
+    * within-cell cosine ≥ 0.9 min-id domination; [[graft.sim.Similarity.semDedup]]).
+    * Deterministic (seeded centroids, id tie-breaks) but the k-means fit
+    * isn't SQL-expressible → rows-only check; the τ-independence and
+    * domination invariants are property-tested in SimilaritySpec.
+    */
+  def semDedup(s: SparkSession, d: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(s, d), k = 16, iters = 3,
+        threshold = 0.9)
+      .orderBy("vec_id")
 
   /** PCA spectrum of the embedding corpus with a distributed
     * self-check: fit all components from ONE moments pass

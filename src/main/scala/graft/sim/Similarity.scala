@@ -386,6 +386,42 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("__cos"), 6).as("cosine"))
   }
 
+  /** Semantic deduplication (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", 2023,
+    * arXiv:2303.09540): cluster the corpus with spherical k-means, then
+    * within each cluster drop every vector that has a same-cell
+    * neighbor with cosine ≥ `threshold` and a smaller id (the paper
+    * keeps one exemplar per within-cluster duplicate group; min-id
+    * domination is the deterministic one-pass form — survivors are
+    * exactly the same-cell τ-independent set, no iteration needed).
+    *
+    * Scale shape: assignment is the narrow broadcast-centroid map of
+    * [[assignCells]] (no shuffle); the pair stage is an EQUI-join on
+    * `cell`, so the pair product is bounded per cluster (~(n/k)² per
+    * cell, pick k accordingly at 100 TB — same knob as the paper's
+    * k = O(√n)), never corpus². Returns the surviving (idCol, cell)
+    * rows.
+    */
+  def semDedup(corpus: DataFrame, k: Int = 20, iters: Int = 3,
+               threshold: Double = 0.9,
+               vecCol: String = "embedding",
+               idCol: String = "vec_id"): DataFrame = {
+    val cells = assignCells(corpus,
+        kmeansCentroids(corpus, k, iters, vecCol, idCol), vecCol, idCol)
+      .select(col(idCol), col("cell"), col(vecCol))
+    val a = cells.select(col("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val b = cells.select(col("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"))
+    val dominated = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(array_cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    cells.join(dominated, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell"))
+  }
+
   /** Random-hyperplane LSH buckets for cosine: bit p of the bucket key
     * is the sign of the dot product with a deterministic pseudo-random
     * hyperplane (splitmix64 of (plane, dimension) — seeded, so the same

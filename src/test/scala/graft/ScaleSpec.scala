@@ -161,8 +161,10 @@ class ScaleSpec extends SparkSpec {
     // q_pq_ivf's only non-equi fan-outs are the same bounded ones as
     // q_knn_ivf (1-row centroid array; |queries| × |centroids| probe
     // ranking) — the corpus-side candidate join is equi on the cell id.
+    // q_pq_opq is the same broadcast-query ADC scan as q_pq_topk, in
+    // the PCA-rotated space.
     val allowed = Set("q_emb_neardup", "q_knn_brute", "q_knn_ivf",
-      "q_cross_join", "q_rrf_fusion", "q_pq_topk", "q_pq_ivf")
+      "q_cross_join", "q_rrf_fusion", "q_pq_topk", "q_pq_ivf", "q_pq_opq")
     // 1-row-frame fan-outs (a global aggregate cross-joined back in,
     // e.g. tfidf's corpus count, assignCells' collected centroid array)
     // also plan as BNLJ but are ×1 by construction — recognizable
@@ -204,8 +206,14 @@ class ScaleSpec extends SparkSpec {
     */
   private def isOneRowPlan(p: SparkPlan): Boolean =
     p.collectFirst {
-      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
-    }.exists(_.groupingExpressions.isEmpty)
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.groupingExpressions.isEmpty
+      // a ReusedExchange is a LEAF — the reused plan hangs off a
+      // constructor arg, not children — so recurse into it explicitly
+      // (q_semdedup reuses the assignCells centroid-array broadcast)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        isOneRowPlan(r.child)
+    }.getOrElse(false)
 
   test("argmax input aggregates before the window (no raw-fact window)") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

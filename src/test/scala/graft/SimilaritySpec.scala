@@ -282,4 +282,103 @@ class SimilaritySpec extends SparkSpec {
     assert(equiJoins.exists(_.contains("cell")),
       s"expected a cell-keyed equi-join, saw: $equiJoins")
   }
+
+  test("OPQ: allocation is a balanced partition; rotation preserves dots; recall holds") {
+    import graft.sim.{Opq, Pca}
+    // allocation invariants on a skewed spectrum
+    val ev = Array(100.0, 50.0, 10.0, 5.0, 1.0, 0.5, 0.1, 0.01)
+    val groups = Opq.allocate(ev, m = 4)
+    assert(groups.length === 4)
+    assert(groups.forall(_.length === 2))
+    assert(groups.flatten.sorted.toSeq === (0 until 8))
+    // greedy must beat the naive contiguous split on log-product spread
+    def spread(gs: Array[Array[Int]]) = {
+      val sums = gs.map(_.map(i => math.log(ev(i))).sum)
+      sums.max - sums.min
+    }
+    val naive = Array(Array(0, 1), Array(2, 3), Array(4, 5), Array(6, 7))
+    assert(spread(groups) <= spread(naive),
+      s"greedy ${spread(groups)} worse than contiguous ${spread(naive)}")
+
+    // rotation is orthonormal → preserves inner products exactly
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val model = Pca.fit(emb, "embedding", k = Int.MaxValue)
+    val r = Opq.rotation(model, m = 8)
+    val two = emb.filter(col("vec_id") < 2)
+      .select(Opq.rotateColumn(col("embedding"), r).as("rv"),
+        col("embedding")).collect()
+    def dot(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (a, b) => a * b }.sum
+    val raw = two.map(_.getSeq[Float](1).map(_.toDouble))
+    val rot = two.map(_.getSeq[Double](0))
+    assert(math.abs(dot(raw(0), raw(1)) - dot(rot(0), rot(1))) < 1e-6)
+    assert(math.abs(dot(raw(0), raw(0)) - dot(rot(0), rot(0))) < 1e-6)
+
+    // end-to-end recall vs the exact dot ranking (rerank on, like q_pq_opq)
+    val qs = emb.filter(col("vec_id") < 10)
+    val got = Opq.topK(emb, qs, m = 8, ksub = 16, iters = 2,
+        k = 5, rerank = 25)
+      .select("query_id", "neighbor_id")
+    val exact = {
+      import org.apache.spark.sql.expressions.Window
+      val c = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("__cv"))
+      val q = qs.select(col("vec_id").as("query_id"),
+        col("embedding").as("__qv"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("__dot").desc, col("neighbor_id").asc)
+      c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("__dot", graft.functions.VectorFunctions
+          .array_dot(col("__qv"), col("__cv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    }
+    val recall = got.intersect(exact).count().toDouble / exact.count()
+    assert(recall >= 0.6, s"OPQ rerank recall $recall below 0.6")
+  }
+
+  test("semDedup: survivors are a same-cell τ-independent set; dropped are dominated") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val tau = 0.9
+    val survivors = Similarity.semDedup(emb, k = 16, iters = 3,
+      threshold = tau).cache()
+    val n = emb.count()
+    val kept = survivors.count()
+    assert(kept > 0 && kept <= n)
+
+    // (1) no two survivors in the SAME cell may be τ-close: if they
+    // were, the larger id had a smaller-id neighbor and was dropped
+    val v = emb.select(col("vec_id"), col("embedding"))
+    val sv = survivors.join(v, "vec_id")
+    val aa = sv.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("__va"))
+    val bb = sv.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("__vb"))
+    val closePairs = aa.join(bb, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.VectorFunctions.array_cosine(
+        col("__va"), col("__vb")) >= tau)
+      .count()
+    assert(closePairs === 0, s"$closePairs τ-close survivor pairs")
+
+    // (2) every dropped vector has a smaller-id τ-neighbor in its cell
+    val cells = Similarity.assignCells(emb,
+      Similarity.kmeansCentroids(emb, k = 16, iters = 3))
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val dropped = cells.join(survivors.select("vec_id"), Seq("vec_id"),
+      "left_anti")
+    val da = dropped.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("__vb"))
+    val ca = cells.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("__va"))
+    val witnessed = da.join(ca, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.VectorFunctions.array_cosine(
+        col("__va"), col("__vb")) >= tau)
+      .select("id_b").distinct().count()
+    assert(witnessed === dropped.count(),
+      "a dropped vector has no dominating neighbor")
+    survivors.unpersist()
+  }
 }
