@@ -156,7 +156,10 @@ object SparkEntry {
     "q_pmi"            -> (TrainingQueries.pmi _),
     "q_pca"            -> (TrainingQueries.pcaVariance _),
     "q_semdedup"       -> (TrainingQueries.semDedup _),
-    "q_pq_opq"         -> (TrainingQueries.pqOpq _)
+    "q_pq_opq"         -> (TrainingQueries.pqOpq _),
+    "q_dsir"           -> (TrainingQueries.dsirWeights _),
+    "q_bpe"            -> (TrainingQueries.bpeMerges _),
+    "q_attribution"    -> (AnalyticsQueries.attribution _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -1400,6 +1403,38 @@ object SparkEntry {
         |JOIN ucnt a ON a.t = w1
         |JOIN ucnt b ON b.t = w2
         |CROSS JOIN nu CROSS JOIN nb
-        |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin
+        |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
+    "q_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+        |    '\s+')) AS t
+        |  FROM documents),
+        |raw AS (SELECT t, count(*) AS c_r FROM toks GROUP BY 1),
+        |tgt AS (SELECT t, count(*) AS c_t FROM toks
+        |  WHERE doc_id % 10 = 0 GROUP BY 1),
+        |tot AS (SELECT sum(c_r) AS n_r, count(*) AS v FROM raw),
+        |nt AS (SELECT count(*) AS n_t FROM toks WHERE doc_id % 10 = 0),
+        |score AS (
+        |  SELECT r.t, ln(((coalesce(c_t, 0) + 1) / (n_t + v)) /
+        |    ((c_r + 1) / (n_r + v))) AS s
+        |  FROM raw r LEFT JOIN tgt USING (t)
+        |  CROSS JOIN tot CROSS JOIN nt)
+        |SELECT doc_id, round(avg(s), 6) AS log_ratio,
+        |  count(*) AS n_tokens
+        |FROM toks JOIN score USING (t)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_attribution" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_touch
+        |  FROM events)
+        |SELECT coalesce(last_touch, 'none') AS touch,
+        |  count(*) AS n_purchases, round(sum(value), 2) AS revenue
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

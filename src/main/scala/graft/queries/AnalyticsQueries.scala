@@ -415,6 +415,27 @@ object AnalyticsQueries {
       .orderBy("from_state", "to_state")
   }
 
+  /** Last-touch marketing attribution: every purchase is credited to
+    * the user's most recent PRECEDING click/view (one `last(...,
+    * ignoreNulls)` window over the per-user shuffle — the running
+    * "last touch" carries forward, no self-join on event adjacency),
+    * then attributed purchase counts + revenue per touch type.
+    * Purchases with no prior touch land in 'none'.
+    */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("last_touch",
+        last(when(col("event_type").isin("click", "view"),
+          col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("last_touch"), lit("none")).as("touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("value"), 2).as("revenue"))
+      .orderBy("touch")
+  }
+
   /** Period-over-period: monthly revenue with previous-month value and
     * percent change — one keyed aggregate to month grain (the shuffle),
     * then a `lag` window over the MONTH table (tiny; the

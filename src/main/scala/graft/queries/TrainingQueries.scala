@@ -789,6 +789,67 @@ object TrainingQueries {
       .limit(20)
   }
 
+  /** BPE merge learning over the corpus ([[graft.text.Bpe]]): the top
+    * 30 merges with their weighted pair frequencies. The corpus-sized
+    * step is the word-frequency aggregate; the merge loop is
+    * driver-side model fitting on that vocab-bounded statistic.
+    * Deterministic (lexicographic tie-breaks) but iterative → rows-only
+    * check; golden-corpus behavior is spec-tested in TextSpec.
+    */
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.text.Bpe.learnMerges(Tables.documents(s, d), "text",
+        nMerges = 30)
+      .map(m => (m.rank, m.left, m.right, m.freq))
+      .toDF("rank", "left", "right", "freq")
+      .orderBy("rank")
+  }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every raw document by the average log-likelihood ratio of its
+    * tokens under a TARGET unigram LM vs the RAW unigram LM, both
+    * add-1-smoothed over the raw vocabulary. Docs that look like the
+    * target domain score high; resampling by these weights (see
+    * [[weightedSample]]) shifts the corpus mixture toward the target.
+    * The target here is the deterministic doc_id%10=0 slice (the
+    * "curated subset" stand-in — the operator is agnostic to how the
+    * target set is chosen; the paper hashes n-grams where we use the
+    * exact unigram vocabulary, exact being strictly better when the
+    * vocab fits, as it does per-language).
+    *
+    * Scale shape: two keyed token counts + ONE broadcast join of the
+    * vocab-bounded per-token score table against the token stream,
+    * then a per-doc aggregate — corpus-linear, no self-joins. The ×1
+    * corpus-total fan-outs are one-row aggregate cross-joins.
+    */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("t"))
+    val rawCnt = toks.groupBy("t").agg(count(lit(1)).as("c_r"))
+    val tgtCnt = toks.filter(col("doc_id") % 10 === 0)
+      .groupBy("t").agg(count(lit(1)).as("c_t"))
+    // totals + vocab size: one row each, broadcast back in
+    val totals = rawCnt.agg(sum("c_r").as("n_r"),
+      count(lit(1)).as("v"))
+    val nT = toks.filter(col("doc_id") % 10 === 0)
+      .agg(count(lit(1)).as("n_t"))
+    val score = rawCnt
+      .join(tgtCnt, Seq("t"), "left")
+      .na.fill(0L, Seq("c_t"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(nT))
+      .withColumn("s", log(
+        ((col("c_t") + 1) / (col("n_t") + col("v"))) /
+          ((col("c_r") + 1) / (col("n_r") + col("v")))))
+      .select("t", "s")
+    toks.join(broadcast(score), Seq("t"))
+      .groupBy("doc_id")
+      .agg(round(avg("s"), 6).as("log_ratio"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** SemDeDup survivors over the embedding corpus (k-means cells →
     * within-cell cosine ≥ 0.9 min-id domination; [[graft.sim.Similarity.semDedup]]).
     * Deterministic (seeded centroids, id tie-breaks) but the k-means fit

@@ -86,4 +86,17 @@ class QueriesSpec extends SparkSpec {
       assert(members.keys.min === label)
     }
   }
+
+  test("DSIR weights: target-slice docs outscore the rest on average") {
+    val w = TrainingQueries.dsirWeights(spark, sfDir)
+      .select(col("doc_id"), col("log_ratio"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(w.nonEmpty)
+    val (tgt, rest) = w.partition(_._1 % 10 == 0)
+    val mt = tgt.map(_._2).sum / tgt.length
+    val mr = rest.map(_._2).sum / rest.length
+    // the importance weight estimates log p_target/p_raw — documents
+    // actually drawn from the target slice must score higher on average
+    assert(mt > mr, s"target mean $mt not above non-target mean $mr")
+  }
 }

@@ -81,4 +81,35 @@ class TextSpec extends SparkSpec {
     assert(r(1L) === ((0L, 0L, "no markup at all")))
     assert(r(2L) === ((0L, 2L, "a b c")))
   }
+
+  test("BPE: merge order on the Sennrich-style toy corpus; segmentation consistent") {
+    import graft.text.Bpe
+    // word frequencies from the BPE paper's running example shape
+    val wf = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = Bpe.learnFromWordFreq(wf, nMerges = 4, minFreq = 2)
+    assert(merges.length === 4)
+    // highest-weight pair first: 'es' appears in newest+widest = 9 —
+    // beats 'lo' (7); then 'est', 'est</w>', then 'lo' (7)
+    assert((merges(0).left, merges(0).right, merges(0).freq) === (("e", "s", 9L)))
+    assert((merges(1).left, merges(1).right, merges(1).freq) === (("es", "t", 9L)))
+    assert((merges(2).left, merges(2).right, merges(2).freq) === (("est", Bpe.Eow, 9L)))
+    assert((merges(3).left, merges(3).right, merges(3).freq) === (("l", "o", 7L)))
+    // ranks are sequential
+    assert(merges.map(_.rank) === Seq(0, 1, 2, 3))
+    // segmentation with the learned merges reflects them
+    assert(Bpe.segment("newest", merges) === Vector("n", "e", "w", "est</w>"))
+    assert(Bpe.segment("low", merges) === Vector("lo", "w", Bpe.Eow))
+    // determinism: same input → same merges
+    assert(Bpe.learnFromWordFreq(wf, 4, 2) === merges)
+  }
+
+  test("BPE: distributed word-freq leg agrees with a driver-side count") {
+    val docs = Seq((0L, "aa ab aa"), (1L, "ab aa")).toDF("doc_id", "text")
+    val merges = graft.text.Bpe.learnMerges(docs, "text", nMerges = 1,
+      minFreq = 1)
+    // 'aa' appears 3×, 'ab' 2× → pair (a,a) weight 3 vs (a,b) 2 and
+    // (a,</w>)... every word ends with one </w> pair; (a,a) only in aa
+    assert(merges.head.left === "a")
+    assert(merges.head.freq >= 3L)
+  }
 }
