@@ -159,7 +159,9 @@ object SparkEntry {
     "q_pq_opq"         -> (TrainingQueries.pqOpq _),
     "q_dsir"           -> (TrainingQueries.dsirWeights _),
     "q_bpe"            -> (TrainingQueries.bpeMerges _),
-    "q_attribution"    -> (AnalyticsQueries.attribution _)
+    "q_bpe_tokenize"   -> (TrainingQueries.bpeTokenize _),
+    "q_attribution"    -> (AnalyticsQueries.attribution _),
+    "q_skew_report"    -> (AnalyticsQueries.skewReport _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -1435,6 +1437,38 @@ object SparkEntry {
         |SELECT coalesce(last_touch, 'none') AS touch,
         |  count(*) AS n_purchases, round(sum(value), 2) AS revenue
         |FROM t WHERE event_type = 'purchase'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_skew_report" ->
+      """WITH
+        |c1 AS (SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |r1 AS (SELECT c, row_number() OVER (ORDER BY c, k) AS i FROM c1),
+        |c2 AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+        |r2 AS (SELECT c, row_number() OVER (ORDER BY c, k) AS i FROM c2),
+        |c3 AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+        |r3 AS (SELECT c, row_number() OVER (ORDER BY c, k) AS i FROM c3),
+        |g AS (
+        |  SELECT 'lineitem.l_suppkey' AS key_name, count(*) AS n_keys,
+        |    CAST(sum(c) AS BIGINT) AS n_rows, max(c) AS max_cnt,
+        |    round(max(c) / sum(c), 6) AS top_share,
+        |    round(quantile_cont(c, 0.99) / quantile_cont(c, 0.5), 6)
+        |      AS p99_over_med,
+        |    round((2 * sum(i * c)) / (count(*) * sum(c))
+        |      - (count(*) + 1) / count(*), 6) AS gini
+        |  FROM r1
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey', count(*), CAST(sum(c) AS BIGINT),
+        |    max(c), round(max(c) / sum(c), 6),
+        |    round(quantile_cont(c, 0.99) / quantile_cont(c, 0.5), 6),
+        |    round((2 * sum(i * c)) / (count(*) * sum(c))
+        |      - (count(*) + 1) / count(*), 6)
+        |  FROM r2
+        |  UNION ALL
+        |  SELECT 'events.user_id', count(*), CAST(sum(c) AS BIGINT),
+        |    max(c), round(max(c) / sum(c), 6),
+        |    round(quantile_cont(c, 0.99) / quantile_cont(c, 0.5), 6),
+        |    round((2 * sum(i * c)) / (count(*) * sum(c))
+        |      - (count(*) + 1) / count(*), 6)
+        |  FROM r3)
+        |SELECT * FROM g ORDER BY key_name""".stripMargin
   )
 }

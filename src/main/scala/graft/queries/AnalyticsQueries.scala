@@ -415,6 +415,42 @@ object AnalyticsQueries {
       .orderBy("from_state", "to_state")
   }
 
+  /** Key-skew diagnostics — the report you run BEFORE picking join /
+    * partition keys at 100 TB: per candidate key, cardinality, row
+    * count, the hottest key's share, the p99/median count ratio, and
+    * the Gini index of the key distribution (counts ranked ascending;
+    * G = 2·Σi·cᵢ/(n·Σc) − (n+1)/n). One keyed count per table (the
+    * only data-sized shuffle); the ranking window runs over the
+    * key-cardinality-bounded count table (same single-partition-window
+    * justification as q_vocab_coverage).
+    */
+  def skewReport(s: SparkSession, d: String): DataFrame = {
+    def forKey(df: DataFrame, key: String, name: String): DataFrame = {
+      val cnts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      val ranked = cnts.withColumn("i",
+        row_number().over(Window.orderBy("c", "k")))
+      ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum("c").as("n_rows"),
+        max("c").as("max_cnt"),
+        round(max("c") / sum("c"), 6).as("top_share"),
+        round(expr("percentile(c, 0.99)") / expr("percentile(c, 0.5)"), 6)
+          .as("p99_over_med"),
+        round((lit(2) * sum(col("i") * col("c"))) /
+          (count(lit(1)) * sum("c")) -
+          (count(lit(1)) + 1) / count(lit(1)), 6).as("gini"))
+        .select(lit(name).as("key_name"), col("n_keys"), col("n_rows"),
+          col("max_cnt"), col("top_share"), col("p99_over_med"),
+          col("gini"))
+    }
+    forKey(Tables.lineitem(s, d), "l_suppkey", "lineitem.l_suppkey")
+      .unionByName(forKey(Tables.orders(s, d), "o_custkey",
+        "orders.o_custkey"))
+      .unionByName(forKey(Tables.events(s, d), "user_id",
+        "events.user_id"))
+      .orderBy("key_name")
+  }
+
   /** Last-touch marketing attribution: every purchase is credited to
     * the user's most recent PRECEDING click/view (one `last(...,
     * ignoreNulls)` window over the per-user shuffle — the running

@@ -805,6 +805,28 @@ object TrainingQueries {
       .orderBy("rank")
   }
 
+  /** The trained tokenizer APPLIED at scale: learn 30 merges, then
+    * [[graft.text.Bpe.tokenize]] the whole corpus (broadcast merges,
+    * per-partition word→segmentation memo) and report per-doc subword
+    * counts vs whitespace-word counts. The compression column is the
+    * operational signal a tokenizer-training pipeline monitors (tokens
+    * per word falls as merges are added). Deterministic but iterative
+    * training → rows-only check; train/apply consistency is
+    * spec-tested in TextSpec.
+    */
+  def bpeTokenize(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = graft.text.Bpe.learnMerges(docs, "text", nMerges = 30)
+    val toks = graft.text.Bpe.tokenize(docs, "text", merges)
+    docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(lower(col("text")))).as("n_words"))
+      .join(toks.select(col("doc_id"),
+        size(col("bpe_tokens")).as("n_subwords")), "doc_id")
+      .withColumn("subwords_per_word",
+        round(col("n_subwords") / col("n_words"), 6))
+      .orderBy("doc_id")
+  }
+
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): score
     * every raw document by the average log-likelihood ratio of its

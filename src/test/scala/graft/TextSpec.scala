@@ -103,6 +103,28 @@ class TextSpec extends SparkSpec {
     assert(Bpe.learnFromWordFreq(wf, 4, 2) === merges)
   }
 
+  test("BPE tokenize: distributed apply equals driver-side segment; memo-safe") {
+    import graft.text.Bpe
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 20)
+    val merges = Bpe.learnMerges(docs, "text", nMerges = 10, minFreq = 1)
+    val got = Bpe.tokenize(docs, "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, text) =>
+      val want = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => Bpe.segment(w, merges)).toSeq
+      assert(got(id) === want, s"doc $id segmentation mismatch")
+    }
+    // subword count shrinks (or holds) as merges are added
+    val got0 = Bpe.tokenize(docs, "text", Nil)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).length).toMap
+    texts.foreach { case (id, _) =>
+      assert(got(id).length <= got0(id), s"doc $id grew under merges")
+    }
+  }
+
   test("BPE: distributed word-freq leg agrees with a driver-side count") {
     val docs = Seq((0L, "aa ab aa"), (1L, "ab aa")).toDF("doc_id", "text")
     val merges = graft.text.Bpe.learnMerges(docs, "text", nMerges = 1,
