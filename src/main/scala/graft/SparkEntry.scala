@@ -161,7 +161,9 @@ object SparkEntry {
     "q_bpe"            -> (TrainingQueries.bpeMerges _),
     "q_bpe_tokenize"   -> (TrainingQueries.bpeTokenize _),
     "q_attribution"    -> (AnalyticsQueries.attribution _),
-    "q_skew_report"    -> (AnalyticsQueries.skewReport _)
+    "q_skew_report"    -> (AnalyticsQueries.skewReport _),
+    "q_rfm"            -> (AnalyticsQueries.rfm _),
+    "q_basket"         -> (AnalyticsQueries.basket _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -1469,6 +1471,48 @@ object SparkEntry {
         |    round((2 * sum(i * c)) / (count(*) * sum(c))
         |      - (count(*) + 1) / count(*), 6)
         |  FROM r3)
-        |SELECT * FROM g ORDER BY key_name""".stripMargin
+        |SELECT * FROM g ORDER BY key_name""".stripMargin,
+    "q_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', DATE '1970-01-01', max(o_orderdate))
+        |      AS last_day,
+        |    count(*) AS freq, round(sum(o_totalprice), 2) AS monetary
+        |  FROM orders GROUP BY 1),
+        |th AS (
+        |  SELECT quantile_cont(last_day, [0.25, 0.5, 0.75]) AS tr,
+        |    quantile_cont(freq, [0.25, 0.5, 0.75]) AS tf,
+        |    quantile_cont(monetary, [0.25, 0.5, 0.75]) AS tm
+        |  FROM base),
+        |s AS (
+        |  SELECT o_custkey, freq, monetary,
+        |    1 + (last_day >= tr[1])::INT + (last_day >= tr[2])::INT
+        |      + (last_day >= tr[3])::INT AS r,
+        |    1 + (freq >= tf[1])::INT + (freq >= tf[2])::INT
+        |      + (freq >= tf[3])::INT AS f,
+        |    1 + (monetary >= tm[1])::INT + (monetary >= tm[2])::INT
+        |      + (monetary >= tm[3])::INT AS m
+        |  FROM base CROSS JOIN th)
+        |SELECT o_custkey, freq, monetary, r, f, m,
+        |  r * 100 + f * 10 + m AS segment
+        |FROM s ORDER BY o_custkey""".stripMargin,
+    "q_basket" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |no AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+        |pp AS (SELECT pk, count(*) AS n_part FROM li GROUP BY 1),
+        |pr AS (
+        |  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_pair
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2)
+        |SELECT part_a, part_b, n_pair,
+        |  round((n_pair * n_orders) / (na.n_part * nb.n_part), 6) AS lift
+        |FROM pr
+        |JOIN pp na ON na.pk = part_a
+        |JOIN pp nb ON nb.pk = part_b
+        |CROSS JOIN no
+        |ORDER BY n_pair DESC, lift DESC, part_a, part_b
+        |LIMIT 20""".stripMargin
   )
 }

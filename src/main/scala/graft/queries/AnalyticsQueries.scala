@@ -415,6 +415,71 @@ object AnalyticsQueries {
       .orderBy("from_state", "to_state")
   }
 
+  /** RFM customer segmentation. Scale-first bucketing: the three
+    * quartile-threshold triples come from ONE global aggregate
+    * (3 `percentile`s over the customer-grain table) broadcast back as
+    * a 1-row frame — NOT a global `ntile` window, which would drag
+    * every customer through a single partition at 100 TB. Scores are
+    * threshold comparisons, so the plan is: keyed agg → ×1 broadcast →
+    * narrow map.
+    */
+  def rfm(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(datediff(max(col("o_orderdate")), lit("1970-01-01"))
+          .as("last_day"),
+        count(lit(1)).as("freq"),
+        round(sum("o_totalprice"), 2).as("monetary"))
+    val th = base.agg(
+      expr("percentile(last_day, array(0.25, 0.5, 0.75))").as("tr"),
+      expr("percentile(freq, array(0.25, 0.5, 0.75))").as("tf"),
+      expr("percentile(monetary, array(0.25, 0.5, 0.75))").as("tm"))
+    def score(v: Column, t: Column): Column =
+      lit(1) + when(v >= t(0), 1).otherwise(0) +
+        when(v >= t(1), 1).otherwise(0) + when(v >= t(2), 1).otherwise(0)
+    base.crossJoin(broadcast(th))
+      .select(col("o_custkey"), col("freq"), col("monetary"),
+        score(col("last_day"), col("tr")).as("r"),
+        score(col("freq"), col("tf")).as("f"),
+        score(col("monetary"), col("tm")).as("m"))
+      .withColumn("segment",
+        col("r") * 100 + col("f") * 10 + col("m"))
+      .orderBy("o_custkey")
+  }
+
+  /** Market-basket co-occurrence: part pairs bought together in one
+    * order, with support and lift. The pair stage is an EQUI self-join
+    * on `l_orderkey` — fan-out bounded by order SIZE (≤7 lines in
+    * TPC-H), never corpus²; counts and the two per-part order counts
+    * are keyed aggregates; the totals are ×1 broadcast fan-outs. Top-20
+    * pairs by support with full tie-breaks.
+    */
+  def basket(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = li.select("ok").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val perPart = li.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
+    val pairs = li.select(col("ok"), col("pk").as("part_a"))
+      .join(li.select(col("ok"), col("pk").as("part_b")), Seq("ok"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_pair"))
+    pairs
+      .join(perPart.select(col("pk").as("part_a"),
+        col("n_part").as("n_a")), "part_a")
+      .join(perPart.select(col("pk").as("part_b"),
+        col("n_part").as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift", round(
+        (col("n_pair") * col("n_orders")) / (col("n_a") * col("n_b")), 6))
+      .select("part_a", "part_b", "n_pair", "lift")
+      .orderBy(col("n_pair").desc, col("lift").desc,
+        col("part_a").asc, col("part_b").asc)
+      .limit(20)
+  }
+
   /** Key-skew diagnostics — the report you run BEFORE picking join /
     * partition keys at 100 TB: per candidate key, cardinality, row
     * count, the hottest key's share, the p99/median count ratio, and
