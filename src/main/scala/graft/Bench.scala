@@ -232,10 +232,16 @@ object Bench {
       "count(distinct split(concat('aé bé', id), ' ')[0])",
       "count(distinct trim(concat(' aβ ', id)))").count()
 
+    // Dev-only focus filter (comma-separated names); the driver never
+    // sets it, so round benches always time the full surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val results: Seq[(String, QueryResult)] =
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
-        name -> runQuery(spark, listener, iters)(() => fn(spark, sfDir).count())
-      }
+      SparkEntry.queries.toSeq
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+          name -> runQuery(spark, listener, iters)(() => fn(spark, sfDir).count())
+        }
 
     val (line, detailJson) = renderOutputs(results, sfDir, iters)
     // The stdout line is the primary contract — print it FIRST so a

@@ -76,7 +76,14 @@ object Opq {
     val r = rotation(model, m)
     def rot(df: DataFrame): DataFrame = df.select(
       col(idCol), rotateColumn(col(vecCol), r).as(vecCol))
-    val rc = rot(corpus)
+    // MATERIALIZE the rotated corpus (production OPQ stores rotated
+    // vectors for exactly this reason): without the checkpoint,
+    // CollapseProject inlines the d-dot rotation array into every
+    // downstream subspace slice × centroid comparison — the same
+    // recompute trap as the round-1 simhash/assignCells plans, measured
+    // at 13 s vs ~2 s for plain PQ at sf0.1. After it, encode/train
+    // read a stored array exactly like they do from parquet.
+    val rc = rot(corpus).localCheckpoint(true)
     val cb = ProductQuantizer.train(rc, m, ksub, iters, vecCol, idCol)
     ProductQuantizer.topK(
       ProductQuantizer.encode(rc, cb, vecCol), rot(queries), cb,
