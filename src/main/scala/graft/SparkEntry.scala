@@ -163,7 +163,10 @@ object SparkEntry {
     "q_attribution"    -> (AnalyticsQueries.attribution _),
     "q_skew_report"    -> (AnalyticsQueries.skewReport _),
     "q_rfm"            -> (AnalyticsQueries.rfm _),
-    "q_basket"         -> (AnalyticsQueries.basket _)
+    "q_basket"         -> (AnalyticsQueries.basket _),
+    "q_shuffle_shard"  -> ((s, d) => TrainingQueries.shuffleShard(s, d)),
+    "q_sparse_retrieval" -> ((s, d) => TrainingQueries.sparseRetrieval(s, d)),
+    "q_zipf"           -> (TrainingQueries.zipfFit _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -1513,6 +1516,68 @@ object SparkEntry {
         |JOIN pp nb ON nb.pk = part_b
         |CROSS JOIN no
         |ORDER BY n_pair DESC, lift DESC, part_a, part_b
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+    "q_shuffle_shard" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, md5('seed42:' || doc_id) AS h FROM documents),
+        |sharded AS (
+        |  SELECT doc_id, h,
+        |    CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+        |      AS BIGINT) AS shard
+        |  FROM keyed)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |    AS BIGINT) - 1 AS pos
+        |FROM sharded ORDER BY shard, pos""".stripMargin,
+    "q_sparse_retrieval" ->
+      """WITH terms AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |dfq AS (
+        |  SELECT token, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM terms) GROUP BY 1),
+        |pruned AS (
+        |  SELECT token, df FROM dfq CROSS JOIN n WHERE df * 5 <= n_docs * 4),
+        |weighted AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    tf.tf * ln(n_docs / CAST(df AS DOUBLE)) AS w
+        |  FROM tf JOIN pruned USING (token) CROSS JOIN n),
+        |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm
+        |  FROM weighted GROUP BY 1),
+        |q AS (SELECT doc_id AS query_id, token, w AS qw
+        |  FROM weighted WHERE doc_id < 5),
+        |qn AS (SELECT doc_id AS query_id, norm AS qnorm
+        |  FROM norms WHERE doc_id < 5),
+        |dots AS (
+        |  SELECT q.query_id, weighted.doc_id, sum(weighted.w * q.qw) AS dot
+        |  FROM weighted JOIN q USING (token) GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT query_id, doc_id, dot / (norm * qnorm) AS raw
+        |  FROM dots JOIN norms USING (doc_id) JOIN qn USING (query_id)
+        |  WHERE query_id <> doc_id)
+        |SELECT query_id, rank, doc_id, round(raw, 6) AS cosine FROM (
+        |  SELECT query_id, doc_id, raw,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY raw DESC, doc_id ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q_zipf" ->
+      """WITH freqs AS (
+        |  SELECT token, count(*) AS freq FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |    FROM documents)
+        |  GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 1000),
+        |ranked AS (
+        |  SELECT freq,
+        |    row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+        |  FROM freqs)
+        |SELECT round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+        |  round(regr_r2(ln(freq), ln(rank)), 6) AS r2,
+        |  count(*) AS n_terms, CAST(sum(freq) AS BIGINT) AS n_tokens
+        |FROM ranked""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -911,5 +911,115 @@ object TrainingQueries {
         math.rint(ev / totalVar * 1e6) / 1e6)
     }.toSeq.toDF("pc", "eigenvalue", "var_projected", "evr")
       .orderBy("pc")
+  }
+
+  /** Seeded deterministic global shuffle + sharding — the training-data
+    * ordering stage (tf.data/T5-style shuffle-then-shard): every rerun
+    * with the same seed reproduces the exact permutation, so a resumed
+    * or re-exported training run reads identical batches.
+    *
+    * Scale design: the permutation key is `md5(seed || ':' || doc_id)`
+    * (engine-portable, uniformly distributed) — a GLOBAL row_number
+    * over it would funnel 100 TB through one partition, so the shard
+    * is derived first as a pure function of the key's top hex digits
+    * (a radix split of the hash space: uniform AND order-compatible —
+    * shard boundaries are contiguous key ranges, so (shard, pos) is
+    * still the one global permutation), and the position is ranked
+    * WITHIN each shard: 256 independent bounded windows instead of one
+    * unbounded one. Reading shards in index order replays the full
+    * global order without any global sort ever executing.
+    */
+  def shuffleShard(s: SparkSession, d: String, seed: String = "seed42",
+                   nShards: Int = 256): DataFrame = {
+    require(nShards == 16 || nShards == 256,
+      s"radix sharding takes 1 or 2 hex digits: $nShards")
+    val digits = if (nShards == 16) 1 else 2
+    val hexVal = (c: Column) => instr(lit("0123456789abcdef"), c) - 1
+    val keyed = Tables.documents(s, d).select(col("doc_id"),
+      md5(concat(lit(seed), lit(":"), col("doc_id"))).as("__h"))
+    val shard =
+      if (digits == 1) hexVal(substring(col("__h"), 1, 1))
+      else hexVal(substring(col("__h"), 1, 1)) * 16 +
+        hexVal(substring(col("__h"), 2, 1))
+    val w = Window.partitionBy("shard")
+      .orderBy(col("__h").asc, col("doc_id").asc)
+    keyed.withColumn("shard", shard.cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
+  /** Sparse lexical retrieval over an inverted index — the term-at-a-
+    * time complement to the dense ANN paths ([[knnBruteForce]] /
+    * [[Similarity.ivfTopK]]): score(q, d) = cosine of the TF-IDF
+    * vectors, computed ONLY over shared terms via a postings join on
+    * the token key. This is the Lucene/SPLADE execution shape: the
+    * |q|×|corpus| score matrix never materializes — candidates are
+    * exactly the docs sharing ≥ 1 indexed term with the query.
+    *
+    * Skew control (the inverted-index hot-key problem): terms present
+    * in more than `maxDfFraction` of the corpus are dropped from the
+    * index (standard stopword/impact pruning — they carry near-zero
+    * IDF weight but dominate postings volume; a term in half the
+    * corpus alone would emit an n²/4 candidate product). The predicate
+    * is integer-exact (df·5 ≤ n·4 at the 0.8 default) so both engines
+    * prune identically. Norms use the FULL pruned vector, so scores
+    * are true cosines over the indexed vocabulary.
+    */
+  def sparseRetrieval(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"),
+      explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
+    val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val df_ = terms.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") * 5 <= col("n_docs") * 4) // impact pruning
+    val weighted = tf.join(broadcast(df_), Seq("token"))
+      .withColumn("w", col("tf") * log(col("n_docs") / col("df").cast("double")))
+      .select("doc_id", "token", "w")
+    val norms = weighted.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    val queries = weighted.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("token"),
+        col("w").as("qw"))
+    val qNorms = norms.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("norm").as("qnorm"))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("__raw").desc, col("doc_id").asc)
+    weighted.join(broadcast(queries), Seq("token"))
+      .groupBy("query_id", "doc_id").agg(sum(col("w") * col("qw")).as("dot"))
+      .join(norms, Seq("doc_id")).join(broadcast(qNorms), Seq("query_id"))
+      .withColumn("__raw", col("dot") / (col("norm") * col("qnorm")))
+      .filter(col("query_id") =!= col("doc_id")) // self-match is trivially 1.0
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("__raw"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Zipf-law fit over the token frequency spectrum: OLS slope of
+    * log(freq) against log(rank) on the top-1000 terms — the standard
+    * corpus-health diagnostic (natural text ≈ −1; synthetic/templated
+    * corpora flatten). The vocabulary rank is computed AFTER a top-k
+    * cut (TakeOrderedAndProject — no global sort of the vocabulary),
+    * so the only unpartitioned window runs on a bounded 1000-row set.
+    */
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    val freqs = Tables.documents(s, d)
+      .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(1000)
+    val ranked = freqs.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
+    ranked.agg(
+      round(regr_slope(log(col("freq")), log(col("rank"))), 6)
+        .as("zipf_slope"),
+      round(regr_r2(log(col("freq")), log(col("rank"))), 6).as("r2"),
+      count(lit(1)).as("n_terms"),
+      sum("freq").as("n_tokens"))
   }
 }

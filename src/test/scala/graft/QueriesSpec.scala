@@ -99,4 +99,52 @@ class QueriesSpec extends SparkSpec {
     // actually drawn from the target slice must score higher on average
     assert(mt > mr, s"target mean $mt not above non-target mean $mr")
   }
+
+  test("shuffle shard: seeded permutation is total, deterministic, seed-sensitive") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
+    val a = TrainingQueries.shuffleShard(spark, sfDir, "seed42")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc appears exactly once — it is a permutation, not a sample
+    assert(a.map(_._1).distinct.length.toLong === n)
+    // positions within each shard are contiguous from 0
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    // same seed reproduces the exact placement; a different seed moves
+    // at least one document (resumability vs actually-shuffling)
+    val b = TrainingQueries.shuffleShard(spark, sfDir, "seed42")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq === b.toSeq)
+    val c = TrainingQueries.shuffleShard(spark, sfDir, "other")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a.exists(t => !c.contains(t)))
+  }
+
+  test("sparse retrieval: cosines in (0,1], k-bounded, no self-matches") {
+    val rows = TrainingQueries.sparseRetrieval(spark, sfDir, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, rank, doc, cos) =>
+      assert(q !== doc)
+      assert(rank >= 1 && rank <= 3)
+      assert(cos > 0.0 && cos <= 1.0 + 1e-9, s"cosine $cos out of range")
+    }
+    // ranks decrease in score within a query
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (hi, lo) => hi >= lo })
+    }
+  }
+
+  test("zipf fit: negative slope over a frequency-ranked vocabulary") {
+    val r = TrainingQueries.zipfFit(spark, sfDir).head()
+    val slope = r.getDouble(0)
+    val nTerms = r.getLong(2)
+    val nTokens = r.getLong(3)
+    assert(slope < 0.0, s"rank-frequency slope must be negative: $slope")
+    assert(nTerms > 0 && nTokens > nTerms)
+  }
 }
