@@ -166,7 +166,9 @@ object SparkEntry {
     "q_basket"         -> (AnalyticsQueries.basket _),
     "q_shuffle_shard"  -> ((s, d) => TrainingQueries.shuffleShard(s, d)),
     "q_sparse_retrieval" -> ((s, d) => TrainingQueries.sparseRetrieval(s, d)),
-    "q_zipf"           -> (TrainingQueries.zipfFit _)
+    "q_zipf"           -> (TrainingQueries.zipfFit _),
+    "q_hierarchy"      -> (AnalyticsQueries.hierarchy _),
+    "q_ewma"           -> (AnalyticsQueries.ewma _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -1578,6 +1580,33 @@ object SparkEntry {
         |SELECT round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
         |  round(regr_r2(ln(freq), ln(rank)), 6) AS r2,
         |  count(*) AS n_terms, CAST(sum(freq) AS BIGINT) AS n_tokens
-        |FROM ranked""".stripMargin
+        |FROM ranked""".stripMargin,
+    "q_hierarchy" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT doc_id, doc_id AS cur, CAST(0 AS BIGINT) AS depth,
+        |    CAST(doc_id AS VARCHAR) AS path
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, cur // 2 AS cur, depth + 1,
+        |    CAST(cur // 2 AS VARCHAR) || '/' || path
+        |  FROM walk WHERE cur >= 10)
+        |SELECT doc_id, cur AS root, depth, path
+        |FROM walk WHERE cur < 10 ORDER BY doc_id""".stripMargin,
+    "q_ewma" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(floor(value) AS BIGINT) AS x,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |j AS (
+        |  SELECT c.user_id, c.event_id, c.ts, c.x, c.rn,
+        |    sum(p.x * power(0.5, c.rn - p.rn)) AS num
+        |  FROM t c JOIN t p ON p.user_id = c.user_id
+        |    AND p.rn BETWEEN c.rn - 15 AND c.rn
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT user_id, event_id, epoch_us(ts) AS ts_us, x,
+        |  round(num / (2.0 - power(0.5, least(rn, 16) - 1)), 6) AS ewma
+        |FROM j ORDER BY user_id, ts_us, event_id""".stripMargin
   )
 }

@@ -557,4 +557,60 @@ object AnalyticsQueries {
         4))
       .orderBy("month")
   }
+
+  /** Hierarchy flattening (the recursive-CTE workload) over a tree
+    * derived from documents: ids below 10 are roots, every other node
+    * hangs under `doc_id div 2` — a branching forest whose depth grows
+    * with log(corpus), so the sf0.1 gate runs more doubling rounds
+    * than sf0.01. Resolution itself is [[graft.graph.Hierarchy]]
+    * pointer doubling; the oracle is DuckDB's native WITH RECURSIVE
+    * walking the SAME parent relation one level at a time — two
+    * entirely different evaluation strategies that must agree exactly
+    * on depth, root, and the full materialized path.
+    */
+  def hierarchy(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.documents(s, d).select(
+      col("doc_id"),
+      when(col("doc_id") < 10, lit(null).cast("long"))
+        .otherwise(expr("doc_id div 2")).as("parent"))
+    graft.graph.Hierarchy.resolve(nodes, "doc_id", "parent")
+      .select(col("id").as("doc_id"),
+        element_at(split(col("path"), "/"), 1).cast("long").as("root"),
+        col("depth"), col("path"))
+      .orderBy("doc_id")
+  }
+
+  /** Truncated EWMA (alpha = 1/2, 16 taps) of event values per user —
+    * the trend-smoothing primitive, with weights normalized over the
+    * taps actually available. Exact cross-engine by construction:
+    * values are floored to integers and every weight is a power of
+    * two, so each term is a dyadic rational on the common denominator
+    * 2^15 and the sum is EXACT (order-independent) in IEEE doubles —
+    * no float-parity leeway needed even at round(6).
+    *
+    * Plan shape: one shuffle to (user) for the row_number, then the
+    * frame is evaluated as a 16-element array fold per row
+    * (collect_list over a ROWS window + one non-nested HOF pass — the
+    * bounded-frame analogue of a band join; nothing unbounded
+    * materializes). The oracle states the same thing relationally as a
+    * bounded self-join on rank distance.
+    */
+  def ewma(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val frame = w.rowsBetween(-15, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value")).as("x"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("xs", collect_list("x").over(frame))
+      .withColumn("ewma", round(
+        expr("""aggregate(
+                  zip_with(xs, sequence(size(xs) - 1, 0, -1),
+                           (x, k) -> x * pow(0.5d, k)),
+                  0d, (acc, t) -> acc + t)""") /
+          expr("2.0d - pow(0.5d, size(xs) - 1)"), 6))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("x"), col("ewma"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
 }

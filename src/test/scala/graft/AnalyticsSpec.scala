@@ -411,4 +411,28 @@ class AnalyticsSpec extends SparkSpec {
       brokenParent, "c_custkey").collect()(0)
     assert(!fk.getBoolean(2) && fk.getLong(1) > 0)
   }
+
+  test("ewma: recursive definition reproduced per user") {
+    import org.apache.spark.sql.functions.col
+    val rows = AnalyticsQueries.ewma(spark, sfDir)
+      .select(col("user_id"), col("x"), col("ewma"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // the windowed form must equal the textbook recursion
+    // s_t = x_t/2 + s_{t-1}/2, renormalized over the 16 available taps
+    rows.groupBy(_._1).foreach { case (u, es) =>
+      val xs = es.map(_._2.toDouble)
+      xs.indices.foreach { i =>
+        val taps = xs.slice(math.max(0, i - 15), i + 1)
+        val num = taps.reverse.zipWithIndex
+          .map { case (x, k) => x * math.pow(0.5, k) }.sum
+        val want = num / (2.0 - math.pow(0.5, taps.length - 1))
+        assert(math.abs(es(i)._3 - want) < 1e-6, s"user $u event $i")
+      }
+    }
+    // single-tap smoke: a user's first ewma equals its first value
+    rows.groupBy(_._1).foreach { case (_, es) =>
+      assert(math.abs(es.head._3 - es.head._2.toDouble) < 1e-9)
+    }
+  }
 }

@@ -117,4 +117,55 @@ class GraphSpec extends SparkSpec {
     assert(got.keySet === want.keySet)
     got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, k) }
   }
+
+  test("hierarchy: pointer doubling matches driver parent-walk") {
+    import spark.implicits._
+    // deep chain + branching forest in one input: chain 100→…→199
+    // under root 100 exercises many doubling rounds; halving tree
+    // exercises branching
+    val n = 200
+    def parentOf(i: Long): Option[Long] =
+      if (i < 10) None
+      else if (i >= 100) (if (i == 100) Some(7L) else Some(i - 1))
+      else Some(i / 2)
+    val nodes = (0L until n).map(i => (i, parentOf(i))).toDF("id", "parent")
+    val got = graft.graph.Hierarchy.resolve(nodes, "id", "parent")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(got.size === n)
+    (0L until n).foreach { i =>
+      // driver-side one-step-at-a-time walk — the naive evaluation the
+      // doubled form must agree with
+      var cur = i
+      var depth = 0L
+      var path = List(i.toString)
+      while (parentOf(cur).isDefined) {
+        cur = parentOf(cur).get
+        depth += 1
+        path = cur.toString :: path
+      }
+      assert(got(i)._1 === depth, s"depth of $i")
+      assert(got(i)._2 === path.mkString("/"), s"path of $i")
+    }
+  }
+
+  test("hierarchy: a cycle fails loud instead of looping") {
+    import spark.implicits._
+    val nodes = Seq((1L, Option(2L)), (2L, Option(1L)), (3L, Option.empty[Long]))
+      .toDF("id", "parent")
+    val e = intercept[IllegalArgumentException] {
+      graft.graph.Hierarchy.resolve(nodes, "id", "parent", maxIter = 6).count()
+    }
+    assert(e.getMessage.contains("not settled"))
+  }
+
+  test("hierarchy: dangling parent is not mistaken for a root") {
+    import spark.implicits._
+    val nodes = Seq((1L, Option.empty[Long]), (2L, Option(99L)))
+      .toDF("id", "parent")
+    val e = intercept[IllegalArgumentException] {
+      graft.graph.Hierarchy.resolve(nodes, "id", "parent", maxIter = 4).count()
+    }
+    assert(e.getMessage.contains("not settled"))
+  }
 }
