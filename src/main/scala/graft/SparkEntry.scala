@@ -168,7 +168,9 @@ object SparkEntry {
     "q_sparse_retrieval" -> ((s, d) => TrainingQueries.sparseRetrieval(s, d)),
     "q_zipf"           -> (TrainingQueries.zipfFit _),
     "q_hierarchy"      -> (AnalyticsQueries.hierarchy _),
-    "q_ewma"           -> (AnalyticsQueries.ewma _)
+    "q_ewma"           -> (AnalyticsQueries.ewma _),
+    "q_pattern"        -> (AnalyticsQueries.pattern _),
+    "q_nucleus"        -> (TrainingQueries.nucleus _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -1607,6 +1609,32 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3, 4, 5)
         |SELECT user_id, event_id, epoch_us(ts) AS ts_us, x,
         |  round(num / (2.0 - power(0.5, least(rn, 16) - 1)), 6) AS ewma
-        |FROM j ORDER BY user_id, ts_us, event_id""".stripMargin
+        |FROM j ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "q_pattern" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3,
+        |    lead(ts, 2) OVER w AS ts3,
+        |    lead(event_id, 2) OVER w AS id3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS start_event, epoch_us(ts) AS start_us,
+        |  id3 AS end_event, epoch_us(ts3) - epoch_us(ts) AS elapsed_us
+        |FROM t
+        |WHERE event_type = 'view' AND t2 = 'click' AND t3 = 'purchase'
+        |ORDER BY user_id, start_us, start_event""".stripMargin,
+    "q_nucleus" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    coalesce(sum(n_chars) OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+        |    sum(n_chars) OVER (PARTITION BY lang) AS total
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  round(cum / CAST(total AS DOUBLE), 6) AS share_before
+        |FROM t WHERE cum * 10 < total * 9
+        |ORDER BY lang, n_chars DESC, doc_id""".stripMargin
   )
 }

@@ -580,6 +580,31 @@ object AnalyticsQueries {
       .orderBy("doc_id")
   }
 
+  /** Sequence-pattern detection (MATCH_RECOGNIZE / CEP-lite): strictly
+    * CONSECUTIVE view → click → purchase triples per user, in event
+    * order. The funnel operator ([[funnel]]) answers the with-gaps
+    * variant (min timestamps per stage); this is the contiguity
+    * variant — `lead` exposes the next two events to each row, so the
+    * whole pattern is one window pass: no joins, no state machine,
+    * shuffle keyed by user only.
+    */
+  def pattern(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("t2", lead("event_type", 1).over(w))
+      .withColumn("t3", lead("event_type", 2).over(w))
+      .withColumn("ts3", lead("ts", 2).over(w))
+      .withColumn("id3", lead("event_id", 2).over(w))
+      .filter(col("event_type") === "view" && col("t2") === "click" &&
+        col("t3") === "purchase")
+      .select(col("user_id"), col("event_id").as("start_event"),
+        unix_micros(col("ts")).as("start_us"),
+        col("id3").as("end_event"),
+        (unix_micros(col("ts3")) - unix_micros(col("ts"))).as("elapsed_us"))
+      .orderBy("user_id", "start_us", "start_event")
+  }
+
   /** Truncated EWMA (alpha = 1/2, 16 taps) of event values per user —
     * the trend-smoothing primitive, with weights normalized over the
     * taps actually available. Exact cross-engine by construction:

@@ -1000,6 +1000,31 @@ object TrainingQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Nucleus (top-p) corpus cut: per language, keep the largest
+    * documents until they cover 90% of the language's characters —
+    * the budgeted-curation primitive ("spend the token budget on the
+    * bulkiest/highest-ranked docs per slice"). A doc survives iff the
+    * cumulative share BEFORE it is under the cut, so the doc that
+    * crosses the boundary is kept and every slice retains ≥ 1 doc.
+    * The predicate is integer-exact (cum·10 < total·9) — both engines
+    * agree without float leeway. One shuffle to (lang); both running
+    * and total sums ride the same partitioning.
+    */
+  def nucleus(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("cum", coalesce(
+        sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("total", sum("n_chars").over(Window.partitionBy("lang")))
+      .filter(col("cum") * 10 < col("total") * 9)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("cum") / col("total").cast("double"), 6).as("share_before"))
+      .orderBy(col("lang"), col("n_chars").desc, col("doc_id"))
+  }
+
   /** Zipf-law fit over the token frequency spectrum: OLS slope of
     * log(freq) against log(rank) on the top-1000 terms — the standard
     * corpus-health diagnostic (natural text ≈ −1; synthetic/templated

@@ -435,4 +435,28 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(es.head._3 - es.head._2.toDouble) < 1e-9)
     }
   }
+
+  test("pattern: every match is a contiguous view-click-purchase triple") {
+    import org.apache.spark.sql.functions.col
+    val events = graft.io.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    // driver recompute: sort each user's stream, scan for triples
+    val want = events.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      sorted.sliding(3).collect {
+        case Array(a, b, c)
+            if a._4 == "view" && b._4 == "click" && c._4 == "purchase" =>
+          (u, a._2, c._2, c._3 - a._3)
+      }
+    }.toSet
+    val got = AnalyticsQueries.pattern(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "test data must actually contain triples")
+  }
 }

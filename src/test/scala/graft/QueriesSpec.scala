@@ -139,6 +139,31 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("nucleus cut: kept docs cover >= 90% of chars per language, minimally") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val kept = TrainingQueries.nucleus(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    docs.groupBy(_._2).foreach { case (lang, ds) =>
+      val total = ds.map(_._3).sum
+      val keptHere = ds.filter(d => kept.contains((d._1, lang)))
+      val coverage = keptHere.map(_._3).sum
+      assert(coverage * 10 >= total * 9, s"$lang covers < 90%")
+      // minimality: dropping the smallest kept doc must fall below 90%
+      val smallest = keptHere.minBy(d => (d._3, -d._1))
+      assert((coverage - smallest._3) * 10 < total * 9,
+        s"$lang cut is not minimal")
+      // prefix property: kept = the largest docs, no gaps in size order
+      val ord = Ordering[(Long, Long)]
+      val minKept = keptHere.map(d => (d._3, -d._1)).min(ord)
+      ds.filter(d => ord.gt((d._3, -d._1), minKept)).foreach { d =>
+        assert(kept.contains((d._1, lang)),
+          s"doc ${d._1} larger than a kept doc but dropped")
+      }
+    }
+  }
+
   test("zipf fit: negative slope over a frequency-ranked vocabulary") {
     val r = TrainingQueries.zipfFit(spark, sfDir).head()
     val slope = r.getDouble(0)
