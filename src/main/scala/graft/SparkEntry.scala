@@ -170,7 +170,9 @@ object SparkEntry {
     "q_hierarchy"      -> (AnalyticsQueries.hierarchy _),
     "q_ewma"           -> (AnalyticsQueries.ewma _),
     "q_pattern"        -> (AnalyticsQueries.pattern _),
-    "q_nucleus"        -> (TrainingQueries.nucleus _)
+    "q_nucleus"        -> (TrainingQueries.nucleus _),
+    "q_subtree_agg"    -> (AnalyticsQueries.subtreeAgg _),
+    "q_chisq"          -> (AnalyticsQueries.chiSquare _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -1635,6 +1637,30 @@ object SparkEntry {
         |SELECT doc_id, lang, n_chars,
         |  round(cum / CAST(total AS DOUBLE), 6) AS share_before
         |FROM t WHERE cum * 10 < total * 9
-        |ORDER BY lang, n_chars DESC, doc_id""".stripMargin
+        |ORDER BY lang, n_chars DESC, doc_id""".stripMargin,
+    "q_subtree_agg" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT doc_id, doc_id AS node FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, node // 2 AS node FROM anc WHERE node >= 10)
+        |SELECT node, count(*) AS n_desc,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS subtree_chars
+        |FROM anc JOIN documents d USING (doc_id)
+        |GROUP BY node ORDER BY node""".stripMargin,
+    "q_chisq" ->
+      """WITH obs AS (
+        |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, count(*) AS rl FROM documents GROUP BY 1),
+        |c AS (SELECT source, count(*) AS cl FROM documents GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |grid AS (
+        |  SELECT r.lang, c.source, rl, cl, n.n,
+        |    coalesce(o, 0) AS o, rl * cl / CAST(n.n AS DOUBLE) AS e
+        |  FROM r CROSS JOIN c CROSS JOIN n
+        |  LEFT JOIN obs USING (lang, source))
+        |SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
+        |  (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof,
+        |  max(n) AS n
+        |FROM grid""".stripMargin
   )
 }

@@ -580,6 +580,57 @@ object AnalyticsQueries {
       .orderBy("doc_id")
   }
 
+  /** Recursive rollup: per-node SUBTREE totals (descendant count +
+    * char sum, self included) over the [[hierarchy]] forest. The
+    * closure from [[graft.graph.Hierarchy]] already materializes each
+    * node's root-to-self path, so the rollup is `explode(path)` — every
+    * node contributes one row per ancestor, a fan-out bounded by tree
+    * DEPTH (log-scale, ~13 at 50 k nodes), never by subtree size —
+    * followed by one keyed aggregate on the ancestor id. The oracle
+    * recomputes the same closure with a recursive CTE and aggregates
+    * relationally.
+    */
+  def subtreeAgg(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"), col("n_chars"),
+      when(col("doc_id") < 10, lit(null).cast("long"))
+        .otherwise(expr("doc_id div 2")).as("parent"))
+    val resolved = graft.graph.Hierarchy.resolve(docs, "doc_id", "parent")
+    resolved
+      .select(col("id"),
+        explode(split(col("path"), "/").cast("array<long>")).as("node"))
+      .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_desc"), sum("n_chars").as("subtree_chars"))
+      .orderBy("node")
+  }
+
+  /** Chi-square independence test of the lang × source contingency
+    * table — the categorical-association profiling primitive. The
+    * grid is completed with a distinct-langs × distinct-sources cross
+    * join (both sides are grouped aggregates of a few rows —
+    * broadcast; zero-count cells still contribute their expectation),
+    * then one global aggregate folds (o−e)²/e. Squares are spelled as
+    * products, not pow(), for engine parity.
+    */
+  def chiSquare(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val obs = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rows_ = docs.groupBy("lang").agg(count(lit(1)).as("rl"))
+    val cols_ = docs.groupBy("source").agg(count(lit(1)).as("cl"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val grid = rows_.crossJoin(cols_).crossJoin(broadcast(n))
+      .join(obs, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("e", col("rl") * col("cl") / col("n").cast("double"))
+    grid.agg(
+        round(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")),
+          6).as("chi2"),
+        ((countDistinct("lang") - 1) * (countDistinct("source") - 1))
+          .as("dof"),
+        max("n").as("n"))
+  }
+
   /** Sequence-pattern detection (MATCH_RECOGNIZE / CEP-lite): strictly
     * CONSECUTIVE view → click → purchase triples per user, in event
     * order. The funnel operator ([[funnel]]) answers the with-gaps

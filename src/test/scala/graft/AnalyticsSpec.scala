@@ -436,6 +436,47 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("subtree rollup: parent totals are self plus children, roots cover all") {
+    val rows = AnalyticsQueries.subtreeAgg(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = docs.size
+    // roots partition the forest: their subtrees cover every doc once
+    // (toSeq: Set.map would dedupe equal per-root totals before summing)
+    val roots = rows.keys.toSeq.filter(_ < 10)
+    assert(roots.map(rows(_)._1).sum === n.toLong)
+    assert(roots.map(rows(_)._2).sum === docs.values.sum)
+    // local consistency at every internal node: subtree = self + children
+    rows.foreach { case (v, (nd, chars)) =>
+      val kids = Seq(2 * v, 2 * v + 1).filter(k => k >= 10 && rows.contains(k))
+      assert(nd === 1L + kids.map(rows(_)._1).sum, s"n_desc at $v")
+      assert(chars === docs(v) + kids.map(rows(_)._2).sum, s"chars at $v")
+    }
+  }
+
+  test("chi-square: matches driver recompute over the full grid") {
+    val r = AnalyticsQueries.chiSquare(spark, sfDir).head()
+    val (chi2, dof, n) = (r.getDouble(0), r.getLong(1), r.getLong(2))
+    val cells = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("lang", "source")
+      .collect().map(x => (x.getString(0), x.getString(1)))
+    val langs = cells.map(_._1).distinct
+    val sources = cells.map(_._2).distinct
+    val obs = cells.groupBy(identity).view.mapValues(_.length.toDouble)
+    val rl = cells.groupBy(_._1).view.mapValues(_.length.toDouble)
+    val cl = cells.groupBy(_._2).view.mapValues(_.length.toDouble)
+    val want = (for (l <- langs; s <- sources) yield {
+      val e = rl(l) * cl(s) / cells.length
+      val o = obs.getOrElse((l, s), 0.0)
+      (o - e) * (o - e) / e
+    }).sum
+    assert(n === cells.length.toLong)
+    assert(dof === (langs.length - 1).toLong * (sources.length - 1))
+    assert(math.abs(chi2 - want) < 1e-5, s"chi2 $chi2 vs driver $want")
+  }
+
   test("pattern: every match is a contiguous view-click-purchase triple") {
     import org.apache.spark.sql.functions.col
     val events = graft.io.Tables.events(spark, sfDir)

@@ -163,8 +163,13 @@ class ScaleSpec extends SparkSpec {
     // ranking) — the corpus-side candidate join is equi on the cell id.
     // q_pq_opq is the same broadcast-query ADC scan as q_pq_topk, in
     // the PCA-rotated space.
+    // q_chisq completes the lang × source contingency grid with an
+    // explicit cross join of two grouped-DISTINCT-category aggregates —
+    // bounded by category cardinality (|langs|·|sources|), not data
+    // volume, the same class as q_cross_join's small×small product.
     val allowed = Set("q_emb_neardup", "q_knn_brute", "q_knn_ivf",
-      "q_cross_join", "q_rrf_fusion", "q_pq_topk", "q_pq_ivf", "q_pq_opq")
+      "q_cross_join", "q_rrf_fusion", "q_pq_topk", "q_pq_ivf", "q_pq_opq",
+      "q_chisq")
     // 1-row-frame fan-outs (a global aggregate cross-joined back in,
     // e.g. tfidf's corpus count, assignCells' collected centroid array)
     // also plan as BNLJ but are ×1 by construction — recognizable
