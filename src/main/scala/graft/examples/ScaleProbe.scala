@@ -142,6 +142,20 @@ object ScaleProbe {
       time("ngramJaccard prefix-filtered")(
         graft.dedup.Dedup.ngramJaccard(docsX(k), threshold = 0.8).count())
     }
+    // Round-3: hierarchy closure via pointer doubling. Contiguous ids
+    // 0..N-1 under parent = id div 2 — depth grows with log N, and
+    // doubling needs ceil(log2 depth)+1 rounds, so the ROUND COUNT is
+    // ~flat across 16x data (5k->13 levels, 80k->17) while each round
+    // is one keyed join over N rows: cost law N log log N, near-linear.
+    for (k <- Seq(1, 4, 16)) {
+      val nNodes = 5000L * k
+      println(s"=== hierarchy doubling: $nNodes nodes ===")
+      val nodes = spark.range(nNodes).select(col("id"),
+        when(col("id") < 10, lit(null).cast("long"))
+          .otherwise(expr("id div 2")).as("parent"))
+      time("hierarchy resolve")(
+        graft.graph.Hierarchy.resolve(nodes, "id", "parent").count())
+    }
     // Round-3: bucketed-layout amortization. Pay the layout shuffle
     // ONCE (the write), then run the join repeatedly — the recurring
     // per-query cost is what a daily 100 TB report actually pays. The
