@@ -172,7 +172,13 @@ object SparkEntry {
     "q_pattern"        -> (AnalyticsQueries.pattern _),
     "q_nucleus"        -> (TrainingQueries.nucleus _),
     "q_subtree_agg"    -> (AnalyticsQueries.subtreeAgg _),
-    "q_chisq"          -> (AnalyticsQueries.chiSquare _)
+    "q_chisq"          -> (AnalyticsQueries.chiSquare _),
+    "q_wilson"         -> (AnalyticsQueries.wilson _),
+    "q_gini"           -> (AnalyticsQueries.gini _),
+    "q_benford"        -> (AnalyticsQueries.benford _),
+    "q_entropy_cat"    -> (AnalyticsQueries.entropyCat _),
+    "q_mode"           -> (AnalyticsQueries.modeGroup _),
+    "q_autocorr"       -> (AnalyticsQueries.autocorr _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -1661,6 +1667,86 @@ object SparkEntry {
         |SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
         |  (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof,
         |  max(n) AS n
-        |FROM grid""".stripMargin
+        |FROM grid""".stripMargin,
+    "q_wilson" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS pos
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT o_orderpriority, n, pos,
+        |  CAST(pos AS DOUBLE) / n AS ph FROM a)
+        |SELECT o_orderpriority, n, pos, round(ph, 6) AS p_hat,
+        |  round((ph + 1.96 * 1.96 / (2.0 * n)
+        |      - 1.96 * sqrt((ph * (1.0 - ph)
+        |          + 1.96 * 1.96 / (4.0 * n)) / n))
+        |    / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_lb
+        |FROM b ORDER BY wilson_lb DESC, o_orderpriority""".stripMargin,
+    "q_gini" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT c.c_mktsegment AS segment, cust.cents, cust.o_custkey
+        |  FROM cust JOIN customer c ON c.c_custkey = cust.o_custkey),
+        |r AS (
+        |  SELECT segment, cents, row_number() OVER (
+        |    PARTITION BY segment ORDER BY cents, o_custkey) AS i FROM j),
+        |g AS (
+        |  SELECT segment, count(*) AS n_cust,
+        |    CAST(sum(cents) AS BIGINT) AS s0,
+        |    CAST(sum(CAST(i AS BIGINT) * cents) AS BIGINT) AS s1
+        |  FROM r GROUP BY 1)
+        |SELECT segment, n_cust,
+        |  round(2.0 * s1 / n_cust / s0 - (n_cust + 1.0) / n_cust, 6)
+        |    AS gini
+        |FROM g ORDER BY segment""".stripMargin,
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT digit, n, sum(n) OVER () AS total FROM g)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / total, 6) AS observed_p,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS expected_p,
+        |  round(abs(CAST(n AS DOUBLE) / total
+        |    - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
+        |FROM t ORDER BY digit""".stripMargin,
+    "q_entropy_cat" ->
+      """WITH cp AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS ni
+        |  FROM orders GROUP BY 1, 2),
+        |g AS (
+        |  SELECT o_orderstatus, CAST(sum(ni) AS BIGINT) AS n,
+        |    count(*) AS k,
+        |    sum(CAST(ni AS DOUBLE) * ln(CAST(ni AS DOUBLE))) AS snl
+        |  FROM cp GROUP BY 1)
+        |SELECT o_orderstatus, n, k,
+        |  round(ln(CAST(n AS DOUBLE)) - snl / n, 6) AS entropy,
+        |  round((ln(CAST(n AS DOUBLE)) - snl / n)
+        |    / ln(CAST(k AS DOUBLE)), 6) AS norm_entropy
+        |FROM g ORDER BY o_orderstatus""".stripMargin,
+    "q_mode" ->
+      """SELECT user_id, event_type AS mode_type, n FROM (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id ORDER BY n DESC, event_type ASC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT day, cents,
+        |  lag(cents) OVER (ORDER BY day) AS prev FROM daily)
+        |SELECT count(*) AS n_days,
+        |  round(corr(CAST(cents AS DOUBLE), CAST(prev AS DOUBLE)), 6)
+        |    AS acf1
+        |FROM l""".stripMargin
   )
 }

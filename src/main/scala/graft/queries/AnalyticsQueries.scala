@@ -689,4 +689,150 @@ object AnalyticsQueries {
         unix_micros(col("ts")).as("ts_us"), col("x"), col("ewma"))
       .orderBy("user_id", "ts_us", "event_id")
   }
+
+  /** Wilson-score lower-bound ranking: order groups by the LOWER bound
+    * of the 95% confidence interval on their success proportion, not
+    * the raw rate — the standard fix for "5/5 beats 4850/5000" when
+    * ranking small-sample segments (reference semantics: ranked rates,
+    * `report_processor.py`'s best-year ranking generalized to
+    * uncertainty-aware ranking).
+    *
+    * One keyed aggregate (n, successes per group) and per-group scalar
+    * math — no second shuffle, no window. At 100 TB the cost is the
+    * single partial+final count aggregate; the Wilson arithmetic is
+    * per-GROUP, i.e. free. The oracle mirrors the exact expression
+    * tree (same association order) so IEEE doubles agree bit-for-bit
+    * before the round(6).
+    */
+  def wilson(s: SparkSession, d: String): DataFrame = {
+    val zz = lit(1.96d * 1.96d)
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("o_orderstatus") === "F", 1)).as("pos"))
+      .withColumn("ph", col("pos").cast("double") / col("n"))
+      .select(col("o_orderpriority"), col("n"), col("pos"),
+        round(col("ph"), 6).as("p_hat"),
+        round((col("ph") + zz / (lit(2d) * col("n"))
+            - lit(1.96d) * sqrt((col("ph") * (lit(1d) - col("ph"))
+                + zz / (lit(4d) * col("n"))) / col("n")))
+          / (lit(1d) + zz / col("n")), 6).as("wilson_lb"))
+      .orderBy(desc("wilson_lb"), col("o_orderpriority"))
+  }
+
+  /** Gini concentration of customer revenue per market segment — the
+    * inequality / concentration diagnostic for "is this segment's
+    * revenue dominated by a few whales". Uses the rank formula
+    * G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over revenues sorted ascending.
+    *
+    * Exactness: revenue is summed as integer CENTS (each price rounded
+    * to cents per ROW, then BIGINT sums — associative, so engine sum
+    * order cannot perturb the result), and the only float ops are the
+    * two final divisions. Plan: one keyed aggregate to (custkey), an
+    * equi-join to the customer dim (Catalyst broadcasts it when small;
+    * sort-merge at dim scale), one window rank per segment, one keyed
+    * aggregate — all shuffles on keys, nothing quadratic.
+    */
+  def gini(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val seg = cust.join(
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+      col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy("segment").orderBy("cents", "o_custkey")
+    seg.withColumn("i", row_number().over(w))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_cust"), sum("cents").as("s0"),
+        sum(col("i").cast("long") * col("cents")).as("s1"))
+      .select(col("segment"), col("n_cust"),
+        round(lit(2d) * col("s1") / col("n_cust") / col("s0")
+          - (col("n_cust") + lit(1d)) / col("n_cust"), 6).as("gini"))
+      .orderBy("segment")
+  }
+
+  /** Benford first-digit audit: the distribution of leading digits of
+    * order totals vs Benford's law log10(1+1/d) — a data-quality /
+    * fraud screen that needs only one narrow aggregate. The first
+    * digit comes from the INTEGER part as a string (floor → BIGINT →
+    * first char), identical in both engines; the 9-row total is a
+    * window sum over the grouped digits (9 rows — the "shuffle" is a
+    * constant-size exchange, not data-volume-bound).
+    */
+  def benford(s: SparkSession, d: String): DataFrame = {
+    val byDigit = Tables.orders(s, d)
+      .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val all = Window.partitionBy(lit(1))
+    val obs = col("n").cast("double") / sum("n").over(all)
+    val exp9 = log10(lit(1d) + lit(1d) / col("digit"))
+    byDigit
+      .select(col("digit"), col("n"),
+        round(obs, 6).as("observed_p"),
+        round(exp9, 6).as("expected_p"),
+        round(abs(obs - exp9), 6).as("abs_dev"))
+      .orderBy("digit")
+  }
+
+  /** Shannon entropy of the order-priority mix per status — the
+    * category-balance diagnostic (a perfectly even 5-way mix scores
+    * ln 5; a single-category group scores 0). Uses the aggregate-only
+    * identity H = ln N − Σ n_i·ln n_i / N: two keyed aggregates, no
+    * window, no per-row log over the fact table — at 100 TB the
+    * second aggregate runs over |status×priority| rows, i.e. nothing.
+    */
+  def entropyCat(s: SparkSession, d: String): DataFrame = {
+    val nl = col("ni").cast("double")
+    val cp = Tables.orders(s, d)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("ni"))
+    val h = log(col("n").cast("double")) - col("snl") / col("n")
+    cp.groupBy("o_orderstatus")
+      .agg(sum("ni").as("n"), count(lit(1)).as("k"),
+        sum(nl * log(nl)).as("snl"))
+      .select(col("o_orderstatus"), col("n"), col("k"),
+        round(h, 6).as("entropy"),
+        round(h / log(col("k").cast("double")), 6).as("norm_entropy"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Per-group mode with a deterministic tie-break: the most frequent
+    * event type per user, ties resolved lexicographically — the
+    * categorical summary statistic engines usually leave
+    * nondeterministic. Count-then-rank: the window runs over the
+    * AGGREGATED (user, type) counts (bounded by |users|·|types|),
+    * never the raw event stream — same discipline as the argmax plan
+    * gate enforces.
+    */
+  def modeGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(desc("n"), asc("event_type"))
+    Tables.events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+      .orderBy("user_id")
+  }
+
+  /** Lag-1 autocorrelation of daily revenue — the "is today predicted
+    * by yesterday" seasonality screen. Daily totals are exact integer
+    * cents (per-row rounding then BIGINT sums, engine-order-proof);
+    * the series is then one lag window over calendar DAYS (bounded by
+    * the date span, never data volume — a single partition of a few
+    * thousand rows regardless of SF) feeding one global corr
+    * aggregate.
+    */
+  def autocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy("day")
+    daily.withColumn("prev", lag("cents", 1).over(w))
+      .agg(count(lit(1)).as("n_days"),
+        round(corr(col("cents").cast("double"),
+          col("prev").cast("double")), 6).as("acf1"))
+  }
 }

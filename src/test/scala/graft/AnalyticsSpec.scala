@@ -500,4 +500,87 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === want)
     assert(got.nonEmpty, "test data must actually contain triples")
   }
+
+  test("wilson: lower bound is below the raw rate and within [0,1]") {
+    val rows = AnalyticsQueries.wilson(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, lb) = (r.getDouble(3), r.getDouble(4))
+      assert(lb <= p + 1e-9, s"lower bound $lb above p_hat $p")
+      assert(lb >= 0.0 && lb <= 1.0)
+    }
+    // the ranking is by the bound, descending
+    val lbs = rows.map(_.getDouble(4)).toSeq
+    assert(lbs === lbs.sorted.reverse)
+  }
+
+  test("gini: in [0,1) and matches a driver-side recompute per segment") {
+    val got = AnalyticsQueries.gini(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty)
+    // driver recompute from raw tables
+    val orders = graft.io.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+    val segOf = graft.io.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byCust = orders.groupBy(_._1).map { case (c, xs) =>
+      (c, xs.map(_._2).sum) }
+    byCust.groupBy { case (c, _) => segOf(c) }.foreach { case (seg, m) =>
+      val xs = m.toSeq.sortBy { case (c, v) => (v, c) }.map(_._2)
+      val n = xs.length.toLong
+      val s0 = xs.sum.toDouble
+      val s1 = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x.toDouble }.sum
+      val want = 2d * s1 / n / s0 - (n + 1d) / n
+      assert(math.abs(got(seg) - want) < 1e-4, s"$seg: ${got(seg)} vs $want")
+      assert(got(seg) >= 0.0 && got(seg) < 1.0)
+    }
+  }
+
+  test("benford: digits 1-9, observed shares sum to 1") {
+    val rows = AnalyticsQueries.benford(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 9))
+    val totalP = rows.map(_.getDouble(2)).sum
+    assert(math.abs(totalP - 1.0) < 1e-4)
+    // expected column IS Benford's law
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      assert(math.abs(r.getDouble(3) - math.log10(1.0 + 1.0 / d)) < 1e-6)
+    }
+  }
+
+  test("entropy: bounded by ln k, normalized form in [0,1]") {
+    val rows = AnalyticsQueries.entropyCat(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k, h, hn) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(h >= -1e-9 && h <= math.log(k.toDouble) + 1e-9)
+      assert(hn >= -1e-9 && hn <= 1.0 + 1e-9)
+    }
+  }
+
+  test("mode: one row per user, count equals the max per-type count") {
+    val got = AnalyticsQueries.modeGroup(spark, sfDir).collect()
+    assert(got.map(_.getLong(0)).distinct.length === got.length)
+    val counts = graft.io.Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type").count().collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    got.foreach { r =>
+      val u = r.getLong(0)
+      val maxN = counts.collect { case ((uu, _), n) if uu == u => n }.max
+      assert(r.getLong(2) === maxN)
+      // tie-break: no lexicographically-smaller type with the same count
+      val winners = counts.collect {
+        case ((uu, t), n) if uu == u && n == maxN => t }.toSeq.sorted
+      assert(r.getString(1) === winners.head)
+    }
+  }
+
+  test("autocorr: coefficient in [-1,1] over the full day span") {
+    val r = AnalyticsQueries.autocorr(spark, sfDir).collect().head
+    assert(r.getLong(0) > 1)
+    val acf = r.getDouble(1)
+    assert(acf >= -1.0 && acf <= 1.0)
+  }
 }
