@@ -178,7 +178,12 @@ object SparkEntry {
     "q_benford"        -> (AnalyticsQueries.benford _),
     "q_entropy_cat"    -> (AnalyticsQueries.entropyCat _),
     "q_mode"           -> (AnalyticsQueries.modeGroup _),
-    "q_autocorr"       -> (AnalyticsQueries.autocorr _)
+    "q_autocorr"       -> (AnalyticsQueries.autocorr _),
+    "q_psi"            -> (AnalyticsQueries.psi _),
+    "q_lift"           -> (AnalyticsQueries.lift _),
+    "q_zorder"         -> (AnalyticsQueries.zorder _),
+    "q_kanon"          -> (TrainingQueries.kAnonymity _),
+    "q_stream_hourly"  -> (FuncQueries.streamHourly _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -1747,6 +1752,63 @@ object SparkEntry {
         |SELECT count(*) AS n_days,
         |  round(corr(CAST(cents AS DOUBLE), CAST(prev AS DOUBLE)), 6)
         |    AS acf1
-        |FROM l""".stripMargin
+        |FROM l""".stripMargin,
+    "q_psi" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS category,
+        |    count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS na,
+        |    count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS nb
+        |  FROM orders WHERE o_orderstatus IN ('O', 'F') GROUP BY 1),
+        |t AS (SELECT category, na, nb,
+        |  CAST(sum(na) OVER () AS BIGINT) AS ta,
+        |  CAST(sum(nb) OVER () AS BIGINT) AS tb FROM c)
+        |SELECT category, na, nb,
+        |  round(CAST(na AS DOUBLE) / ta, 6) AS p_a,
+        |  round(CAST(nb AS DOUBLE) / tb, 6) AS p_b,
+        |  round((CAST(na AS DOUBLE) / ta - CAST(nb AS DOUBLE) / tb)
+        |    * ln((CAST(na AS DOUBLE) / ta) / (CAST(nb AS DOUBLE) / tb)),
+        |    6) AS psi_term
+        |FROM t ORDER BY category""".stripMargin,
+    "q_lift" ->
+      """WITH s AS (
+        |  SELECT event_id, value,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS resp
+        |  FROM events),
+        |dec AS (SELECT ntile(10) OVER (ORDER BY value DESC, event_id)
+        |    AS decile, resp FROM s),
+        |g AS (SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
+        |  CAST(sum(resp) AS BIGINT) AS n_resp FROM dec GROUP BY 1),
+        |t AS (SELECT decile, n, n_resp,
+        |  CAST(n_resp AS DOUBLE) / n AS rate,
+        |  CAST(CAST(sum(n_resp) OVER () AS BIGINT) AS DOUBLE)
+        |    / CAST(sum(n) OVER () AS BIGINT) AS base FROM g)
+        |SELECT decile, n, n_resp, round(rate, 6) AS resp_rate,
+        |  round(rate / base, 6) AS lift
+        |FROM t ORDER BY decile""".stripMargin,
+    "q_zorder" -> s"""WITH xy AS (
+        |  SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y
+        |  FROM lineitem),
+        |m AS (SELECT x, y, ${AnalyticsQueries.mortonSql} AS z FROM xy)
+        |SELECT z // 256 AS tile, count(*) AS n,
+        |  min(x) AS x_lo, max(x) AS x_hi,
+        |  min(y) AS y_lo, max(y) AS y_hi
+        |FROM m GROUP BY 1 ORDER BY tile""".stripMargin,
+    "q_kanon" ->
+      """WITH g AS (
+        |  SELECT lang, source, n_chars // 100 AS len_bucket,
+        |    count(*) AS n
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT lang, count(*) AS n_groups,
+        |  count(CASE WHEN n < 5 THEN 1 END) AS n_violating,
+        |  CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+        |    AS suppressed_rows,
+        |  round(CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0)
+        |      AS DOUBLE) / CAST(sum(n) AS BIGINT), 6)
+        |    AS suppression_rate
+        |FROM g GROUP BY 1 ORDER BY lang""".stripMargin,
+    "q_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

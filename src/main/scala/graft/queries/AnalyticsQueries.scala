@@ -835,4 +835,85 @@ object AnalyticsQueries {
         round(corr(col("cents").cast("double"),
           col("prev").cast("double")), 6).as("acf1"))
   }
+
+  /** Population-stability index (PSI) between two cohorts — the
+    * standard drift monitor for "did the category mix shift between
+    * snapshot A and snapshot B" (here: priority mix of open vs
+    * fulfilled orders). Emits the per-category PSI term
+    * (p_a − p_b)·ln(p_a/p_b); the headline PSI is their sum.
+    *
+    * One keyed count aggregate over the union of both cohorts (the
+    * cohort split is a conditional COUNT, not two scans), then window
+    * normalization over |categories| rows — at 100 TB the fact table
+    * is read once and everything after the first aggregate is
+    * constant-size.
+    */
+  def psi(s: SparkSession, d: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    val pa = col("na").cast("double") / sum("na").over(all)
+    val pb = col("nb").cast("double") / sum("nb").over(all)
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .groupBy(col("o_orderpriority").as("category"))
+      .agg(count(when(col("o_orderstatus") === "O", 1)).as("na"),
+        count(when(col("o_orderstatus") === "F", 1)).as("nb"))
+      .select(col("category"), col("na"), col("nb"),
+        round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+        round((pa - pb) * log(pa / pb), 6).as("psi_term"))
+      .orderBy("category")
+  }
+
+  /** Decile lift table: events ranked by score (value), cut into ten
+    * equal-count buckets, each bucket's purchase rate divided by the
+    * base rate — the model-evaluation staple. The global ntile is the
+    * oracle-checkable exact form (same caveat + swap as [[equiDepth]]:
+    * at 100 TB use approx_percentile boundaries + a narrow map — the
+    * bucket-rate aggregation below is unchanged). Ties break by
+    * event_id so bucket assignment is deterministic.
+    */
+  def lift(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(desc("value"), asc("event_id"))
+    val all = Window.partitionBy(lit(1))
+    val rate = col("n_resp").cast("double") / col("n")
+    val base = sum("n_resp").over(all).cast("double") / sum("n").over(all)
+    Tables.events(s, d)
+      .select(col("event_id"), col("value"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("resp"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum("resp").as("n_resp"))
+      .select(col("decile"), col("n"), col("n_resp"),
+        round(rate, 6).as("resp_rate"),
+        round(rate / base, 6).as("lift"))
+      .orderBy("decile")
+  }
+
+  /** The Z-order (Morton) interleave of the two bucket coordinates —
+    * SHARED with the DuckDB oracle so both engines evaluate the same
+    * expression text. 8 bits per dimension, fully parenthesized.
+    */
+  def mortonSql: String =
+    (0 until 8).flatMap(b => Seq(
+      s"(((x >> $b) & 1) << ${2 * b})",
+      s"(((y >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
+
+  /** Z-order layout audit: interleave (partkey, suppkey) low bytes
+    * into a 16-bit Morton code and report each 256-code tile's row
+    * count and per-dimension spans. The spans are bounded at 16 by
+    * construction — the property that makes Z-order file layout give
+    * 2-D data skipping (both join keys stay range-prunable from ONE
+    * sort order). This is the clustering-key computation a 100 TB
+    * write path would `repartitionByRange(z)` on before writing
+    * sorted parquet; here it is audited as a pure aggregate.
+    */
+  def zorder(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select((col("l_partkey") % 256).as("x"),
+        (col("l_suppkey") % 256).as("y"))
+      .withColumn("z", expr(mortonSql))
+      .groupBy(expr("z div 256").as("tile"))
+      .agg(count(lit(1)).as("n"),
+        min("x").as("x_lo"), max("x").as("x_hi"),
+        min("y").as("y_lo"), max("y").as("y_hi"))
+      .orderBy("tile")
 }

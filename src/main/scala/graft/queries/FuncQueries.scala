@@ -280,6 +280,44 @@ object FuncQueries {
     * ([[graft.stream.Streams.slidingCounts]]) runs incrementally. The
     * oracle reproduces Spark's epoch-aligned window grid explicitly.
     */
+  /** Batch/stream parity, oracle-gated: the SAME hourly aggregation as
+    * [[eventsHourly]], but evaluated by the Structured Streaming
+    * engine — a file streaming source over the events parquet, the
+    * watermarked windowed aggregate ([[graft.stream.Streams.hourlyCounts]]),
+    * an AvailableNow drain into a memory sink — then returned as a
+    * batch frame. Sharing q_events_hourly's oracle SQL pins the
+    * streaming operator's semantics to the batch answer: one engine,
+    * two execution modes, one result.
+    *
+    * Complete output mode so the trailing window (which the watermark
+    * has not passed at end-of-stream) is emitted too. At 100 TB the
+    * same topology runs incrementally: per-microbatch partial
+    * aggregates + versioned state store, no reshuffle of history.
+    */
+  def streamHourly(s: SparkSession, d: String): DataFrame = {
+    // same nanos handling as Tables.events, but the streaming source
+    // needs an explicit schema — reuse the batch reader's
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    val rawSchema = s.read.parquet(path).schema
+    // the file streaming source lists DIRECTORIES: when the table is a
+    // single parquet file, stream its parent filtered down to the file
+    val raw =
+      if (new java.io.File(path).isFile)
+        s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+      else s.readStream.schema(rawSchema).parquet(path)
+    val src =
+      if (rawSchema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val sink = "graft_stream_hourly"
+    graft.stream.Streams.runAvailableNow(
+      graft.stream.Streams.hourlyCounts(src), sink, outputMode = "complete")
+    s.table(sink).orderBy("hour", "event_type")
+  }
+
   def slidingHourly(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))

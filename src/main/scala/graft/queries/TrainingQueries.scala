@@ -1047,4 +1047,33 @@ object TrainingQueries {
       count(lit(1)).as("n_terms"),
       sum("freq").as("n_tokens"))
   }
+
+  /** k-anonymity audit (k = 5) over the corpus quasi-identifiers
+    * (lang, source, length bucket): per language, how many
+    * quasi-identifier groups exist, how many are below k, and what
+    * fraction of documents would be suppressed to enforce k — the
+    * privacy screen a training corpus runs before release, since
+    * small quasi-identifier groups re-identify contributors.
+    *
+    * Two keyed aggregates (group sizes, then per-language rollup) —
+    * the 100 TB cost is one count shuffle on the quasi-identifier,
+    * identical to exact dedup's profile.
+    */
+  def kAnonymity(s: SparkSession, d: String): DataFrame = {
+    val grp = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+    grp.groupBy("lang")
+      .agg(count(lit(1)).as("n_groups"),
+        count(when(col("n") < 5, 1)).as("n_violating"),
+        coalesce(sum(when(col("n") < 5, col("n"))), lit(0L))
+          .as("suppressed_rows"),
+        sum("n").as("total"))
+      .select(col("lang"), col("n_groups"), col("n_violating"),
+        col("suppressed_rows"),
+        round(col("suppressed_rows").cast("double") / col("total"), 6)
+          .as("suppression_rate"))
+      .orderBy("lang")
+  }
 }

@@ -583,4 +583,46 @@ class AnalyticsSpec extends SparkSpec {
     val acf = r.getDouble(1)
     assert(acf >= -1.0 && acf <= 1.0)
   }
+
+  test("psi: terms are non-negative-summing and shares each sum to 1") {
+    val rows = AnalyticsQueries.psi(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+    // total PSI is a sum of (p-q)ln(p/q) terms, each >= 0
+    rows.foreach(r => assert(r.getDouble(5) >= -1e-9))
+  }
+
+  test("lift: deciles partition all events; rates reconstruct base") {
+    val rows = AnalyticsQueries.lift(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 10L))
+    val n = rows.map(_.getLong(1)).sum
+    assert(n === graft.io.Tables.events(spark, sfDir).count())
+    // equal-count buckets: sizes differ by at most 1
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+  }
+
+  test("zorder: every 16x16 tile's spans stay within the tile bound") {
+    val rows = AnalyticsQueries.zorder(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) - r.getLong(2) < 16)
+      assert(r.getLong(4) <= r.getLong(5) && r.getLong(5) - r.getLong(4) < 16)
+    }
+    // tiles cover all rows
+    assert(rows.map(_.getLong(1)).sum ===
+      graft.io.Tables.lineitem(spark, sfDir).count())
+  }
+
+  test("k-anonymity: suppressed never exceeds total, rate in [0,1]") {
+    val rows = graft.queries.TrainingQueries.kAnonymity(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "violating groups <= groups")
+      val rate = r.getDouble(4)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
 }

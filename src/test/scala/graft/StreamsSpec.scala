@@ -338,4 +338,13 @@ class StreamsSpec extends SparkSpec {
     q.awaitTermination()
     assert(counts.sum === Tables.events(spark, sfDir).count())
   }
+
+  test("streamed hourly aggregate equals the batch plan row-for-row") {
+    val streamed = graft.queries.FuncQueries.streamHourly(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.queries.FuncQueries.eventsHourly(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }
