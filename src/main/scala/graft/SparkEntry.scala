@@ -183,7 +183,9 @@ object SparkEntry {
     "q_lift"           -> (AnalyticsQueries.lift _),
     "q_zorder"         -> (AnalyticsQueries.zorder _),
     "q_kanon"          -> (TrainingQueries.kAnonymity _),
-    "q_stream_hourly"  -> (FuncQueries.streamHourly _)
+    "q_stream_hourly"  -> (FuncQueries.streamHourly _),
+    "q_stream_sessions" -> (FuncQueries.streamSessions _),
+    "q_stream_dedup"   -> (FuncQueries.streamDedup _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -1809,6 +1811,33 @@ object SparkEntry {
     "q_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, value, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |      THEN 1 ELSE 0 END AS is_break
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, value, ts,
+        |    CAST(sum(is_break) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS sid
+        |  FROM b)
+        |SELECT epoch_us(min(ts)) AS s_start_us,
+        |  epoch_us(max(ts)) + 1800000000 AS s_end_us,
+        |  user_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS session_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, s_start_us""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT lang, count(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

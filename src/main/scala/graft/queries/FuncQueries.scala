@@ -294,28 +294,73 @@ object FuncQueries {
     * same topology runs incrementally: per-microbatch partial
     * aggregates + versioned state store, no reshuffle of history.
     */
-  def streamHourly(s: SparkSession, d: String): DataFrame = {
-    // same nanos handling as Tables.events, but the streaming source
-    // needs an explicit schema — reuse the batch reader's
+  /** Streaming read of a testdata table. The file streaming source
+    * lists DIRECTORIES: when the table is a single parquet file,
+    * stream its parent filtered down to that file. Events get the same
+    * nanos→micros rebuild as the batch reader ([[Tables.events]]).
+    */
+  private def streamTable(s: SparkSession, d: String, name: String)
+  : DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$d/events.parquet"
+    val path = s"$d/$name.parquet"
     val rawSchema = s.read.parquet(path).schema
-    // the file streaming source lists DIRECTORIES: when the table is a
-    // single parquet file, stream its parent filtered down to the file
     val raw =
       if (new java.io.File(path).isFile)
         s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(d)
+          .option("pathGlobFilter", s"$name.parquet").parquet(d)
       else s.readStream.schema(rawSchema).parquet(path)
-    val src =
-      if (rawSchema("ts").dataType ==
+    if (raw.schema.fieldNames.contains("ts") &&
+        raw.schema("ts").dataType ==
           org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  def streamHourly(s: SparkSession, d: String): DataFrame = {
     val sink = "graft_stream_hourly"
     graft.stream.Streams.runAvailableNow(
-      graft.stream.Streams.hourlyCounts(src), sink, outputMode = "complete")
+      graft.stream.Streams.hourlyCounts(streamTable(s, d, "events")),
+      sink, outputMode = "complete")
     s.table(sink).orderBy("hour", "event_type")
+  }
+
+  /** Batch/stream parity for SESSION windows, oracle-gated: the gap-
+    * merged session aggregate evaluated by the streaming engine's
+    * `session_window` state machine, checked against a relational
+    * oracle with the same semantics stated via lag/cumsum — break when
+    * the gap is ≥ 30 min (the session window is half-open), session
+    * end = last event + gap. Bounds emitted as epoch micros. The
+    * oracle ALSO pins the subtle boundary semantics (≥ gap splits,
+    * not > gap — exactly where a naive batch sessionize differs).
+    */
+  def streamSessions(s: SparkSession, d: String): DataFrame = {
+    val sink = "graft_stream_sessions"
+    graft.stream.Streams.runAvailableNow(
+      graft.stream.Streams.sessionCounts(streamTable(s, d, "events")),
+      sink, outputMode = "complete")
+    s.table(sink)
+      .select(unix_micros(col("s_start")).as("s_start_us"),
+        unix_micros(col("s_end")).as("s_end_us"),
+        col("user_id"), col("n_events"), col("session_value"))
+      .orderBy("user_id", "s_start_us")
+  }
+
+  /** Streaming exact dedup parity: `dropDuplicates` state-store dedup
+    * on (lang, fingerprint) chained into a streaming aggregate —
+    * two stateful operators in one topology — hash-checked against
+    * the batch COUNT(DISTINCT) form. Which physical row survives the
+    * dedup is arbitrary; aggregating only the dedup KEY makes the
+    * result order-insensitive, so stream and batch must agree exactly.
+    */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val sink = "graft_stream_dedup"
+    val uniq = streamTable(s, d, "documents")
+      .select(col("lang"), md5(col("text")).as("fp"))
+      .dropDuplicates("lang", "fp")
+      .groupBy("lang").agg(count(lit(1)).as("n_unique"))
+    graft.stream.Streams.runAvailableNow(uniq, sink,
+      outputMode = "complete")
+    s.table(sink).orderBy("lang")
   }
 
   def slidingHourly(s: SparkSession, d: String): DataFrame =

@@ -339,6 +339,19 @@ class StreamsSpec extends SparkSpec {
     assert(counts.sum === Tables.events(spark, sfDir).count())
   }
 
+  test("streamed session windows conserve events; bounds are gap-closed") {
+    val sess = graft.queries.FuncQueries.streamSessions(spark, sfDir)
+      .collect()
+    assert(sess.nonEmpty)
+    assert(sess.map(_.getLong(3)).sum ===
+      Tables.events(spark, sfDir).count())
+    // every session spans at least its own events and ends gap after
+    sess.foreach { r =>
+      assert(r.getLong(1) - r.getLong(0) >= 1800L * 1000000L,
+        "end is last event + 30 min, so span >= gap")
+    }
+  }
+
   test("streamed hourly aggregate equals the batch plan row-for-row") {
     val streamed = graft.queries.FuncQueries.streamHourly(spark, sfDir)
       .collect().map(_.toSeq).toSeq
