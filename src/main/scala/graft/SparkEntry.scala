@@ -185,7 +185,8 @@ object SparkEntry {
     "q_kanon"          -> (TrainingQueries.kAnonymity _),
     "q_stream_hourly"  -> (FuncQueries.streamHourly _),
     "q_stream_sessions" -> (FuncQueries.streamSessions _),
-    "q_stream_dedup"   -> (FuncQueries.streamDedup _)
+    "q_stream_dedup"   -> (FuncQueries.streamDedup _),
+    "q_stream_join"    -> (FuncQueries.streamJoin _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -1838,6 +1839,14 @@ object SparkEntry {
         |ORDER BY user_id, s_start_us""".stripMargin,
     "q_stream_dedup" ->
       """SELECT lang, count(DISTINCT md5(text)) AS n_unique
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_join" ->
+      """SELECT c.user_id, c.event_id AS l_id, p.event_id AS r_id,
+        |  epoch_us(c.ts) AS l_ts_us, epoch_us(p.ts) AS r_ts_us
+        |FROM events c JOIN events p ON p.user_id = c.user_id
+        |  AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |ORDER BY 1, 2, 3""".stripMargin
   )
 }

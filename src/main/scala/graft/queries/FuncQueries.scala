@@ -352,6 +352,28 @@ object FuncQueries {
     * dedup is arbitrary; aggregating only the dedup KEY makes the
     * result order-insensitive, so stream and batch must agree exactly.
     */
+  /** Stream-stream join parity: clicks joined to purchases on the
+    * same user within a 30-minute horizon, both sides STREAMING with
+    * watermarks — the state-store interval join — drained append-mode
+    * and hash-checked against the batch self-join oracle. The join is
+    * EQUI on the user key with a bounded time-range residual: state
+    * per key is one horizon of rows, never a pair product; the oracle
+    * states the identical µs-exact bounds.
+    */
+  def streamJoin(s: SparkSession, d: String): DataFrame = {
+    val sink = "graft_stream_join"
+    val clicks = streamTable(s, d, "events")
+      .filter(col("event_type") === "click")
+    val buys = streamTable(s, d, "events")
+      .filter(col("event_type") === "purchase")
+    val j = graft.stream.Streams.streamStreamJoin(clicks, buys)
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        unix_micros(col("l_ts")).as("l_ts_us"),
+        unix_micros(col("r_ts")).as("r_ts_us"))
+    graft.stream.Streams.runAvailableNow(j, sink, outputMode = "append")
+    s.table(sink).orderBy("user_id", "l_id", "r_id")
+  }
+
   def streamDedup(s: SparkSession, d: String): DataFrame = {
     val sink = "graft_stream_dedup"
     val uniq = streamTable(s, d, "documents")
