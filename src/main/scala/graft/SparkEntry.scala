@@ -186,7 +186,11 @@ object SparkEntry {
     "q_stream_hourly"  -> (FuncQueries.streamHourly _),
     "q_stream_sessions" -> (FuncQueries.streamSessions _),
     "q_stream_dedup"   -> (FuncQueries.streamDedup _),
-    "q_stream_join"    -> (FuncQueries.streamJoin _)
+    "q_stream_join"    -> (FuncQueries.streamJoin _),
+    "q_streaks"        -> (AnalyticsQueries.streaks _),
+    "q_dow_seasonality" -> (AnalyticsQueries.dowSeasonality _),
+    "q_hhi"            -> (AnalyticsQueries.hhi _),
+    "q_sql_q3"         -> (AnalyticsQueries.sqlQ3 _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -1847,6 +1851,65 @@ object SparkEntry {
         |  AND epoch_us(p.ts) >= epoch_us(c.ts)
         |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
-        |ORDER BY 1, 2, 3""".stripMargin
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY day) AS rn FROM days),
+        |isl AS (
+        |  SELECT user_id, day - CAST(rn AS INTEGER) AS grp,
+        |    count(*) AS len
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+        |  count(*) AS n_streaks, max(len) AS longest
+        |FROM isl GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q_dow_seasonality" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |g AS (
+        |  SELECT isodow(day) - 1 AS dow, count(*) AS n_days,
+        |    CAST(sum(cents) AS BIGINT) AS s
+        |  FROM daily GROUP BY 1),
+        |t AS (SELECT dow, n_days, s,
+        |  CAST(sum(s) OVER () AS BIGINT) AS st,
+        |  CAST(sum(n_days) OVER () AS BIGINT) AS nt FROM g)
+        |SELECT dow, n_days,
+        |  round(CAST(s AS DOUBLE) / n_days / 100.0, 2) AS avg_daily_rev,
+        |  round((CAST(s AS DOUBLE) / n_days)
+        |    / (CAST(st AS DOUBLE) / nt), 6) AS seasonality_idx
+        |FROM t ORDER BY dow""".stripMargin,
+    "q_hhi" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT c.c_mktsegment AS segment, cust.cents
+        |  FROM cust JOIN customer c ON c.c_custkey = cust.o_custkey),
+        |g AS (
+        |  SELECT segment, count(*) AS n_cust,
+        |    CAST(sum(cents) AS BIGINT) AS s0,
+        |    sum(CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE)) AS sq
+        |  FROM j GROUP BY 1)
+        |SELECT segment, n_cust,
+        |  round(sq / (CAST(s0 AS DOUBLE) * s0), 6) AS hhi,
+        |  round((CAST(s0 AS DOUBLE) * s0) / sq, 2) AS effective_n
+        |FROM g ORDER BY segment""".stripMargin,
+    "q_sql_q3" ->
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 20""".stripMargin
   )
 }

@@ -916,4 +916,94 @@ object AnalyticsQueries {
         min("x").as("x_lo"), max("x").as("x_hi"),
         min("y").as("y_lo"), max("y").as("y_hi"))
       .orderBy("tile")
+
+  /** Gaps-and-islands activity streaks: per user, the count of active
+    * days, distinct consecutive-day runs, and the longest run — the
+    * classic `day − row_number()` island key, which turns "consecutive"
+    * into an equality group with NO self-join. One distinct, one
+    * window per user, two keyed aggregates; at 100 TB the window runs
+    * over (user, day) DISTINCT rows — bounded by users × calendar,
+    * not event volume.
+    */
+  def streaks(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days.withColumn("rn", row_number().over(w))
+      .withColumn("grp", date_sub(col("day"), col("rn")))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum("len").as("n_days"), count(lit(1)).as("n_streaks"),
+        max("len").as("longest"))
+      .orderBy("user_id")
+  }
+
+  /** Day-of-week seasonality index: each weekday's average daily
+    * revenue relative to the overall daily average (index 1 = flat).
+    * Daily totals are exact integer cents; the weekday rollup and the
+    * global normalizer are both aggregate-only (the final window runs
+    * over 7 rows). dow is 0 = Monday … 6 = Sunday in both engines.
+    */
+  def dowSeasonality(s: SparkSession, d: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    val avgD = col("s").cast("double") / col("n_days")
+    val avgAll = sum("s").over(all).cast("double") / sum("n_days").over(all)
+    Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .groupBy(weekday(col("day")).as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum("cents").as("s"))
+      .select(col("dow"), col("n_days"),
+        round(avgD / 100d, 2).as("avg_daily_rev"),
+        round(avgD / avgAll, 6).as("seasonality_idx"))
+      .orderBy("dow")
+  }
+
+  /** Herfindahl–Hirschman concentration index per market segment —
+    * Σ share² of customer revenue, the merger-review companion to
+    * [[gini]] (1/HHI is the "effective number of customers"). Shares
+    * square integer-cents revenues in doubles; same aggregate-only
+    * shape as gini minus the rank window.
+    */
+  def hhi(s: SparkSession, d: String): DataFrame = {
+    val c = col("cents").cast("double")
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_cust"), sum("cents").as("s0"),
+        sum(c * c).as("sq"))
+      .select(col("segment"), col("n_cust"),
+        round(col("sq") / (col("s0").cast("double") * col("s0")), 6)
+          .as("hhi"),
+        round((col("s0").cast("double") * col("s0")) / col("sq"), 2)
+          .as("effective_n"))
+      .orderBy("segment")
+  }
+
+  /** The SQL-text front end, exercised end-to-end: a TPC-H-Q3-shaped
+    * revenue query submitted through `spark.sql` over temp views —
+    * proving the same engine surface a SQL-first user of the library
+    * would call (parser → Catalyst → the identical physical plans the
+    * DataFrame API gets). Two equi-joins, one keyed aggregate, top-20.
+    */
+  def sqlQ3(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("v_customer")
+    Tables.orders(s, d).createOrReplaceTempView("v_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    s.sql("""
+      SELECT o_orderkey,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        o_orderpriority
+      FROM v_customer
+      JOIN v_orders ON c_custkey = o_custkey
+      JOIN v_lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+      GROUP BY o_orderkey, o_orderpriority
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 20""")
+  }
 }
