@@ -190,7 +190,10 @@ object SparkEntry {
     "q_streaks"        -> (AnalyticsQueries.streaks _),
     "q_dow_seasonality" -> (AnalyticsQueries.dowSeasonality _),
     "q_hhi"            -> (AnalyticsQueries.hhi _),
-    "q_sql_q3"         -> (AnalyticsQueries.sqlQ3 _)
+    "q_sql_q3"         -> (AnalyticsQueries.sqlQ3 _),
+    "q_changepoint"    -> (AnalyticsQueries.changepoint _),
+    "q_anomaly_days"   -> (AnalyticsQueries.anomalyDays _),
+    "q_pareto"         -> (AnalyticsQueries.pareto _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -1910,6 +1913,69 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
         |GROUP BY o_orderkey, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT day, cents,
+        |    row_number() OVER (ORDER BY day) AS k,
+        |    CAST(sum(cents) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    count(*) OVER () AS n,
+        |    CAST(sum(cents) OVER () AS BIGINT) AS s
+        |  FROM daily),
+        |c AS (
+        |  SELECT day, k,
+        |    CAST(cum AS DOUBLE) / k AS m1,
+        |    CAST(s - cum AS DOUBLE) / (n - k) AS m2,
+        |    sqrt(CAST(k * (n - k) AS DOUBLE) / n)
+        |      * abs(CAST(cum AS DOUBLE) / k
+        |        - CAST(s - cum AS DOUBLE) / (n - k)) AS stat
+        |  FROM p WHERE k < n)
+        |SELECT day AS split_day, CAST(k AS INTEGER) AS k,
+        |  round(m1 / 100.0, 2) AS mean_before,
+        |  round(m2 / 100.0, 2) AS mean_after,
+        |  round(stat, 4) AS shift_stat
+        |FROM c ORDER BY stat DESC, day LIMIT 1""".stripMargin,
+    "q_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT day, cents,
+        |  quantile_cont(cents, 0.5) OVER () AS med FROM daily),
+        |m2 AS (SELECT day, cents, med,
+        |  quantile_cont(abs(cents - med), 0.5) OVER () AS mad FROM m)
+        |SELECT day, round(cents / 100.0, 2) AS rev,
+        |  round(abs(cents - med) / mad, 4) AS dev_mads
+        |FROM m2 WHERE abs(cents - med) > 3.0 * mad
+        |ORDER BY day""".stripMargin,
+    "q_pareto" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT c.c_mktsegment AS segment, cust.cents, cust.o_custkey
+        |  FROM cust JOIN customer c ON c.c_custkey = cust.o_custkey),
+        |r AS (
+        |  SELECT segment, cents,
+        |    row_number() OVER (PARTITION BY segment
+        |      ORDER BY cents DESC, o_custkey) AS rn,
+        |    count(*) OVER (PARTITION BY segment) AS nc
+        |  FROM j)
+        |SELECT segment, count(*) AS n_cust,
+        |  count(CASE WHEN rn * 10 <= nc THEN 1 END) AS top_decile_n,
+        |  round(CAST(coalesce(sum(CASE WHEN rn * 10 <= nc THEN cents
+        |      END), 0) AS DOUBLE) / CAST(sum(cents) AS BIGINT), 6)
+        |    AS top_decile_share
+        |FROM r GROUP BY 1 ORDER BY segment""".stripMargin
   )
 }

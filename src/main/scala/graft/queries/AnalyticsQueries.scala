@@ -1006,4 +1006,93 @@ object AnalyticsQueries {
       ORDER BY revenue DESC, o_orderkey
       LIMIT 20""")
   }
+
+  /** Offline changepoint detection: the split day k that maximizes the
+    * scaled mean-shift statistic √(k(n−k)/n)·|mean_before − mean_after|
+    * over the daily-revenue series (the CUSUM / binary-segmentation
+    * step). Prefix sums via a running window make every candidate
+    * split O(1); the argmax is a rank over the |days| candidate rows.
+    * All series-level windows run over calendar days — bounded, not
+    * data-volume — and the daily totals beneath are exact integer
+    * cents from one keyed aggregate.
+    */
+  def changepoint(s: SparkSession, d: String): DataFrame = {
+    val byDay = Window.orderBy("day")
+    val wcum = byDay.rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy(lit(1))
+    val m1 = col("cum").cast("double") / col("k")
+    val m2 = (col("s") - col("cum")).cast("double") / (col("n") - col("k"))
+    Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .withColumn("k", row_number().over(byDay))
+      .withColumn("cum", sum("cents").over(wcum))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("s", sum("cents").over(all))
+      .filter(col("k") < col("n"))
+      .withColumn("stat",
+        sqrt((col("k") * (col("n") - col("k"))).cast("double") / col("n"))
+          * abs(m1 - m2))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(desc("stat"), asc("day"))))
+      .filter(col("rn") === 1)
+      .select(col("day").as("split_day"), col("k"),
+        round(m1 / 100d, 2).as("mean_before"),
+        round(m2 / 100d, 2).as("mean_after"),
+        round(col("stat"), 4).as("shift_stat"))
+  }
+
+  /** Robust anomaly days: days whose revenue deviates from the series
+    * MEDIAN by more than 3 MADs — the outlier screen that, unlike
+    * z-scores, one fat-tailed day cannot poison. Exact interpolated
+    * percentiles over integer-cents daily totals (both engines
+    * linear-interpolate, and midpoints of integers are exact in
+    * doubles); the two medians are window aggregates over the bounded
+    * day series.
+    */
+  def anomalyDays(s: SparkSession, d: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .withColumn("med", expr("percentile(cents, 0.5d)").over(all))
+      .withColumn("mad",
+        expr("percentile(abs(cents - med), 0.5d)").over(all))
+      .filter(abs(col("cents") - col("med")) > lit(3d) * col("mad"))
+      .select(col("day"), round(col("cents") / 100d, 2).as("rev"),
+        round(abs(col("cents") - col("med")) / col("mad"), 4)
+          .as("dev_mads"))
+      .orderBy("day")
+  }
+
+  /** Pareto concentration: the revenue share captured by each
+    * segment's top decile of customers (the "80/20" summary). The
+    * rank and the per-segment size come from one window pass over the
+    * aggregated customer totals; top-decile membership is the integer
+    * predicate rank·10 ≤ n (no float quantile edge), so the cut is
+    * deterministic in both engines.
+    */
+  def pareto(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("segment")
+      .orderBy(desc("cents"), asc("o_custkey"))
+    val wseg = Window.partitionBy("segment")
+    val top = col("rn") * 10 <= col("nc")
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nc", count(lit(1)).over(wseg))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_cust"),
+        count(when(top, 1)).as("top_decile_n"),
+        coalesce(sum(when(top, col("cents"))), lit(0L)).as("tc"),
+        sum("cents").as("s0"))
+      .select(col("segment"), col("n_cust"), col("top_decile_n"),
+        round(col("tc").cast("double") / col("s0"), 6)
+          .as("top_decile_share"))
+      .orderBy("segment")
+  }
 }
