@@ -193,7 +193,11 @@ object SparkEntry {
     "q_sql_q3"         -> (AnalyticsQueries.sqlQ3 _),
     "q_changepoint"    -> (AnalyticsQueries.changepoint _),
     "q_anomaly_days"   -> (AnalyticsQueries.anomalyDays _),
-    "q_pareto"         -> (AnalyticsQueries.pareto _)
+    "q_pareto"         -> (AnalyticsQueries.pareto _),
+    "q_boilerplate"    -> (TrainingQueries.boilerplate _),
+    "q_winsorize"      -> (AnalyticsQueries.winsorize _),
+    "q_decay"          -> (AnalyticsQueries.decayValue _),
+    "q_ab_test"        -> (AnalyticsQueries.abTest _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -1976,6 +1980,67 @@ object SparkEntry {
         |  round(CAST(coalesce(sum(CASE WHEN rn * 10 <= nc THEN cents
         |      END), 0) AS DOUBLE) / CAST(sum(cents) AS BIGINT), 6)
         |    AS top_decile_share
-        |FROM r GROUP BY 1 ORDER BY segment""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY segment""".stripMargin,
+    "q_boilerplate" ->
+      """WITH n AS (
+        |  SELECT DISTINCT source, substr(lower(
+        |    regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), 1, 40)
+        |    AS pfx
+        |  FROM documents)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS n_shared
+        |FROM n a JOIN n b ON a.pfx = b.pfx AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_winsorize" ->
+      """WITH p AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    round(quantile_cont(o_totalprice, 0.05)
+        |      OVER (PARTITION BY o_orderstatus), 2) AS p05,
+        |    round(quantile_cont(o_totalprice, 0.95)
+        |      OVER (PARTITION BY o_orderstatus), 2) AS p95
+        |  FROM orders),
+        |c AS (SELECT o_orderstatus, p05, p95,
+        |  least(greatest(o_totalprice, p05), p95) AS wz FROM p)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(min(p05), 2) AS p05, round(min(p95), 2) AS p95,
+        |  round(avg(wz), 4) AS winsor_mean,
+        |  round(stddev_samp(wz), 4) AS winsor_std
+        |FROM c GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "q_decay" ->
+      """WITH m AS (
+        |  SELECT o_custkey, o_totalprice,
+        |    date_diff('day', CAST(o_orderdate AS DATE),
+        |      max(CAST(o_orderdate AS DATE)) OVER ()) AS age
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_custkey,
+        |    round(sum(o_totalprice * exp(-CAST(age AS DOUBLE) / 30.0)),
+        |      2) AS decayed_value,
+        |    count(*) AS n_orders
+        |  FROM m GROUP BY 1)
+        |SELECT o_custkey, decayed_value, n_orders
+        |FROM g ORDER BY decayed_value DESC, o_custkey LIMIT 50""".stripMargin,
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id, max(CASE WHEN event_type = 'purchase'
+        |    THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,
+        |    count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_b,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv END)
+        |      AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv END)
+        |      AS BIGINT) AS conv_b
+        |  FROM u),
+        |t AS (SELECT n_a, n_b, conv_a, conv_b,
+        |  CAST(conv_a AS DOUBLE) / n_a AS pa,
+        |  CAST(conv_b AS DOUBLE) / n_b AS pb,
+        |  CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pp FROM g)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+        |  round((pa - pb) / sqrt(pp * (1.0 - pp)
+        |    * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+        |FROM t""".stripMargin
   )
 }

@@ -1095,4 +1095,80 @@ object AnalyticsQueries {
           .as("top_decile_share"))
       .orderBy("segment")
   }
+
+  /** Winsorized moments per order status: prices clamped to the
+    * group's [p05, p95] before mean/stddev — the outlier-insensitive
+    * alternative to raw moments. Percentile bounds are ROUNDED to
+    * cents before clamping so both engines' linear-interpolation
+    * last-bit differences cannot flip a boundary row. The percentile
+    * window partitions on a 3-value key — at 100 TB swap the exact
+    * boundaries for approx_percentile (same downstream clamp), as
+    * with [[equiDepth]].
+    */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val wst = Window.partitionBy("o_orderstatus")
+    val clamped = least(greatest(col("o_totalprice"), col("p05")),
+      col("p95"))
+    Tables.orders(s, d)
+      .withColumn("p05",
+        round(expr("percentile(o_totalprice, 0.05d)").over(wst), 2))
+      .withColumn("p95",
+        round(expr("percentile(o_totalprice, 0.95d)").over(wst), 2))
+      .withColumn("wz", clamped)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(min("p05"), 2).as("p05"),
+        round(min("p95"), 2).as("p95"),
+        round(avg("wz"), 4).as("winsor_mean"),
+        round(stddev_samp("wz"), 4).as("winsor_std"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Exponential time-decay customer value (half-life ≈ 21 days): each
+    * order weighted exp(−age/30) against the newest order date, summed
+    * per customer, top-50 — the recency-weighted ranking that replaces
+    * RFM's hard recency cutoffs. The reference date is a one-value
+    * window; the decay weight is a narrow map; one keyed aggregate +
+    * top-k (TakeOrderedAndProject — no global sort).
+    */
+  def decayValue(s: SparkSession, d: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    Tables.orders(s, d)
+      .withColumn("maxd", max(to_date(col("o_orderdate"))).over(all))
+      .withColumn("w", exp(-datediff(col("maxd"),
+        to_date(col("o_orderdate"))).cast("double") / lit(30d)))
+      .groupBy("o_custkey")
+      .agg(round(sum(col("o_totalprice") * col("w")), 2)
+          .as("decayed_value"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(desc("decayed_value"), asc("o_custkey"))
+      .limit(50)
+  }
+
+  /** Two-proportion z-test (pooled) between user cohorts A/B — the
+    * experiment-analysis primitive: did cohort A (even user ids)
+    * convert to purchase at a different rate than cohort B? One
+    * per-user aggregate (did-they-convert), then ONE global aggregate
+    * with conditional counts; the z arithmetic mirrors the oracle's
+    * expression tree exactly. Complements [[chiSquare]] (which tests
+    * full contingency grids).
+    */
+  def abTest(s: SparkSession, d: String): DataFrame = {
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as("conv"))
+      .agg(count(when(col("user_id") % 2 === 0, 1)).as("n_a"),
+        count(when(col("user_id") % 2 === 1, 1)).as("n_b"),
+        sum(when(col("user_id") % 2 === 0, col("conv"))).as("conv_a"),
+        sum(when(col("user_id") % 2 === 1, col("conv"))).as("conv_b"))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+        round((pa - pb) / sqrt(pp * (lit(1d) - pp)
+          * (lit(1d) / col("n_a") + lit(1d) / col("n_b"))), 6).as("z"))
+  }
 }

@@ -1076,4 +1076,26 @@ object TrainingQueries {
           .as("suppression_rate"))
       .orderBy("lang")
   }
+
+  /** Cross-source boilerplate detection: source pairs that share a
+    * normalized 40-character document PREFIX — the template/header
+    * screen that catches syndicated or mirrored content which exact
+    * whole-document hashing misses. DISTINCT (source, prefix) first
+    * (so a source's internal reuse counts once), then an equi-join on
+    * the prefix key with `source_a < source_b` — shuffles on the
+    * prefix, bounded by shared-prefix multiplicity, never a doc×doc
+    * product.
+    */
+  def boilerplate(s: SparkSession, d: String): DataFrame = {
+    val pfx = substring(lower(
+      regexp_replace(col("text"), "[^a-zA-Z0-9]+", " ")), 1, 40)
+    val sf = Tables.documents(s, d)
+      .select(col("source"), pfx.as("pfx")).distinct()
+    sf.as("a").join(sf.as("b"),
+        col("a.pfx") === col("b.pfx") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
 }
