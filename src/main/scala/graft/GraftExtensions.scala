@@ -45,5 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator surface: plans the AsofJoinPlan logical node onto
     // the sorted-merge AsofJoinExec
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // opt-in rewrite: exact count(distinct) -> HLL++ sketch when
+    // spark.graft.approxCountDistinct=true (off by default)
+    e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
   }
 }

@@ -74,4 +74,32 @@ class PlansSpec extends SparkSpec {
     }
     assert(exchanges.size === 2, s"expected 2 exchanges, got:\n$plan")
   }
+
+  test("approx-distinct rule: flag swaps exact count(distinct) for HLL") {
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations =
+      Seq(graft.plans.ApproxDistinctRewrite)
+    def q() = graft.io.Tables.events(s2, sfDir)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id")
+        .as("u"))
+    // flag off (default): plan stays exact, no sketch anywhere
+    val exact = q().collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toMap
+    assert(!q().queryExecution.optimizedPlan.toString
+      .contains("approx_count_distinct"))
+    // flag on: the optimized plan carries the sketch aggregate and the
+    // answer lands within HLL++'s 5% band on every group
+    s2.conf.set(graft.plans.ApproxDistinctRewrite.Flag, "true")
+    try {
+      val plan = q().queryExecution.optimizedPlan.toString
+      assert(plan.contains("approx_count_distinct"),
+        s"expected HLL rewrite in:\n$plan")
+      q().collect().foreach { r =>
+        val (k, approx) = (r.getString(0), r.getLong(1))
+        assert(math.abs(approx - exact(k)).toDouble /
+          exact(k) <= 0.15, s"$k: $approx vs ${exact(k)}")
+      }
+    } finally s2.conf.set(graft.plans.ApproxDistinctRewrite.Flag, "false")
+  }
 }
