@@ -197,7 +197,11 @@ object SparkEntry {
     "q_boilerplate"    -> (TrainingQueries.boilerplate _),
     "q_winsorize"      -> (AnalyticsQueries.winsorize _),
     "q_decay"          -> (AnalyticsQueries.decayValue _),
-    "q_ab_test"        -> (AnalyticsQueries.abTest _)
+    "q_ab_test"        -> (AnalyticsQueries.abTest _),
+    "q_vocab_jaccard"  -> (TrainingQueries.vocabJaccard _),
+    "q_assortativity"  -> (AnalyticsQueries.assortativity _),
+    "q_burstiness"     -> (AnalyticsQueries.burstiness _),
+    "q_gap_stats"      -> (AnalyticsQueries.gapStats _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -2041,6 +2045,67 @@ object SparkEntry {
         |  round(pa, 6) AS p_a, round(pb, 6) AS p_b,
         |  round((pa - pb) / sqrt(pp * (1.0 - pp)
         |    * (1.0 / n_a + 1.0 / n_b)), 6) AS z
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+    "q_vocab_jaccard" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT source, token FROM (
+        |    SELECT source, unnest(regexp_split_to_array(trim(text),
+        |      '\s+')) AS token
+        |    FROM documents)),
+        |sizes AS (SELECT source, count(*) AS v FROM tok GROUP BY 1),
+        |i AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS inter
+        |  FROM tok a JOIN tok b ON a.token = b.token
+        |    AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, inter,
+        |  round(CAST(inter AS DOUBLE) / (sa.v + sb.v - inter), 6)
+        |    AS jaccard
+        |FROM i
+        |JOIN sizes sa ON sa.source = i.source_a
+        |JOIN sizes sb ON sb.source = i.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+    "q_assortativity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT pa, count(*) AS deg FROM e GROUP BY 1)
+        |SELECT count(DISTINCT e.pa) AS n_nodes,
+        |  count(*) // 2 AS n_edges,
+        |  round(corr(CAST(da.deg AS DOUBLE), CAST(db.deg AS DOUBLE)),
+        |    6) AS assortativity
+        |FROM e
+        |JOIN deg da ON da.pa = e.pa
+        |JOIN deg db ON db.pa = e.pb""".stripMargin,
+    "q_burstiness" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, count(*) AS n_days,
+        |    CAST(sum(n) AS BIGINT) AS sn,
+        |    var_samp(CAST(n AS DOUBLE)) AS v
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, sn AS n_events,
+        |  round(CAST(sn AS DOUBLE) / n_days, 4) AS mean_daily,
+        |  round(v / (CAST(sn AS DOUBLE) / n_days), 4) AS dispersion,
+        |  round((sqrt(v) - CAST(sn AS DOUBLE) / n_days)
+        |    / (sqrt(v) + CAST(sn AS DOUBLE) / n_days), 6) AS burstiness
+        |FROM g ORDER BY event_type""".stripMargin,
+    "q_gap_stats" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id)) AS gap
+        |  FROM events)
+        |SELECT event_type, count(gap) AS n_gaps,
+        |  round(quantile_cont(gap, 0.5) / 1000000.0, 3)
+        |    AS median_gap_s,
+        |  round(quantile_cont(gap, 0.9) / 1000000.0, 3) AS p90_gap_s
+        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -1171,4 +1171,68 @@ object AnalyticsQueries {
         round((pa - pb) / sqrt(pp * (lit(1d) - pp)
           * (lit(1d) / col("n_a") + lit(1d) / col("n_b"))), 6).as("z"))
   }
+
+  /** Degree assortativity of the co-purchase graph: do well-connected
+    * parts co-occur with other well-connected parts (r > 0) or with
+    * niche ones (r < 0)? Edges are DISTINCT part pairs sharing an
+    * order (an order-keyed equi self-join whose fan-out is bounded by
+    * order size, never |parts|²); degrees are one keyed count; the
+    * coefficient is Pearson corr over the directed edge list.
+    */
+  def assortativity(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
+      .select(col("a.p").as("pa"), col("b.p").as("pb")).distinct()
+    val deg = e.groupBy("pa").agg(count(lit(1)).as("deg"))
+    e.join(deg.select(col("pa"), col("deg").as("da")), "pa")
+      .join(deg.select(col("pa").as("pb"), col("deg").as("db")), "pb")
+      .agg(countDistinct(col("pa")).as("n_nodes"),
+        expr("count(1) div 2").as("n_edges"),
+        round(corr(col("da").cast("double"), col("db").cast("double")),
+          6).as("assortativity"))
+  }
+
+  /** Burstiness of the event stream per type: the dispersion index
+    * (variance/mean of daily counts; 1 = Poisson) and the bounded
+    * burstiness score (σ−μ)/(σ+μ). Two keyed aggregates over exact
+    * integer daily counts — the day grid bounds the second stage.
+    */
+  def burstiness(s: SparkSession, d: String): DataFrame = {
+    val mean = col("sn").cast("double") / col("n_days")
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("n").as("sn"),
+        var_samp(col("n").cast("double")).as("v"))
+      .select(col("event_type"), col("n_days"), col("sn").as("n_events"),
+        round(mean, 4).as("mean_daily"),
+        round(col("v") / mean, 4).as("dispersion"),
+        round((sqrt(col("v")) - mean) / (sqrt(col("v")) + mean), 6)
+          .as("burstiness"))
+      .orderBy("event_type")
+  }
+
+  /** Inter-event gap distribution per event type: median and p90 of
+    * the µs-exact gap between a user's consecutive events of that
+    * type — the arrival-process profile (retention pings vs organic
+    * traffic). One (user, type)-keyed lag window, one percentile
+    * aggregate per type over integer gaps.
+    */
+  def gapStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("gap",
+        unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+      .groupBy("event_type")
+      .agg(count(col("gap")).as("n_gaps"),
+        round(expr("percentile(gap, 0.5d)") / 1000000d, 3)
+          .as("median_gap_s"),
+        round(expr("percentile(gap, 0.9d)") / 1000000d, 3)
+          .as("p90_gap_s"))
+      .orderBy("event_type")
+  }
 }

@@ -1098,4 +1098,34 @@ object TrainingQueries {
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("source_a", "source_b")
   }
+
+  /** Source-vocabulary similarity matrix: Jaccard overlap of DISTINCT
+    * token vocabularies per source pair — the corpus-mix diagnostic
+    * ("are these two crawls the same register?") that drives
+    * mixture-rebalancing decisions. The pair counts come from an
+    * inverted token→source join (shuffles on the token, contribution
+    * per token bounded by |sources|²), never a doc×doc or
+    * vocab×vocab product; sizes join back via two broadcasts.
+    */
+  def vocabJaccard(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
+      .distinct()
+    val sizes = tok.groupBy("source").agg(count(lit(1)).as("v"))
+    tok.as("a").join(tok.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("v").as("va"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("v").as("vb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("inter"),
+        round(col("inter").cast("double")
+          / (col("va") + col("vb") - col("inter")), 6).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
 }
