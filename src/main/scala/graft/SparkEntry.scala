@@ -191,6 +191,12 @@ object SparkEntry {
     "q_dow_seasonality" -> (AnalyticsQueries.dowSeasonality _),
     "q_hhi"            -> (AnalyticsQueries.hhi _),
     "q_sql_q3"         -> (AnalyticsQueries.sqlQ3 _),
+    "q_tpch_q1"        -> (AnalyticsQueries.tpchQ1 _),
+    "q_tpch_q5"        -> (AnalyticsQueries.tpchQ5 _),
+    "q_tpch_q10"       -> (AnalyticsQueries.tpchQ10 _),
+    "q_mutual_info"    -> (AnalyticsQueries.mutualInfo _),
+    "q_dedup_containment" -> (TrainingQueries.dedupContainment _),
+    "q_kfold"          -> (TrainingQueries.kfold _),
     "q_changepoint"    -> (AnalyticsQueries.changepoint _),
     "q_anomaly_days"   -> (AnalyticsQueries.anomalyDays _),
     "q_pareto"         -> (AnalyticsQueries.pareto _),
@@ -2106,6 +2112,119 @@ object SparkEntry {
         |  round(quantile_cont(gap, 0.5) / 1000000.0, 3)
         |    AS median_gap_s,
         |  round(quantile_cont(gap, 0.9) / 1000000.0, 3) AS p90_gap_s
-        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_tpch_q1" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+        |    CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+        |    CAST(round(l_tax * 100, 0) AS BIGINT) AS t
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00')
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  round(CAST(sum(price_c) AS DOUBLE) / 100.0, 2)
+        |    AS sum_base_price,
+        |  round(CAST(sum(price_c * (100 - d)) AS DOUBLE) / 10000.0, 2)
+        |    AS sum_disc_price,
+        |  round(CAST(sum(price_c * (100 - d) * (100 + t)) AS DOUBLE)
+        |    / 1000000.0, 2) AS sum_charge,
+        |  round(CAST(sum(qty) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |  round(CAST(sum(price_c) AS DOUBLE) / count(*) / 100.0, 4)
+        |    AS avg_price,
+        |  round(CAST(sum(d) AS DOUBLE) / count(*) / 100.0, 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  round(CAST(sum(
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+        |    AS DOUBLE) / 10000.0, 2) AS revenue
+        |FROM lineitem
+        |JOIN supplier s ON l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  AND r.r_name = 'ASIA'
+        |JOIN orders o ON l_orderkey = o.o_orderkey
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_tpch_q10" ->
+      """WITH rev AS (
+        |  SELECT o.o_custkey,
+        |    CAST(sum(
+        |      CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+        |      AS BIGINT) AS rev_4
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_returnflag = 'R'
+        |    AND o.o_orderdate >= TIMESTAMP '1996-04-01 00:00:00'
+        |    AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT c.c_custkey, c.c_name,
+        |  round(CAST(rev_4 AS DOUBLE) / 10000.0, 2) AS revenue,
+        |  round(c_acctbal, 2) AS c_acctbal,
+        |  n.n_name, c.c_mktsegment
+        |FROM rev
+        |JOIN customer c ON rev.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+    "q_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT c.c_mktsegment AS segment,
+        |    o.o_orderpriority AS priority, count(*) AS n_xy
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT segment, priority, n_xy,
+        |    CAST(sum(n_xy) OVER (PARTITION BY segment) AS BIGINT) AS n_x,
+        |    CAST(sum(n_xy) OVER (PARTITION BY priority) AS BIGINT) AS n_y,
+        |    CAST(sum(n_xy) OVER () AS BIGINT) AS n
+        |  FROM cells),
+        |p AS (
+        |  SELECT segment, priority, n_xy, n,
+        |    ln(CAST(n_xy AS DOUBLE) * n
+        |      / (CAST(n_x AS DOUBLE) * n_y)) AS pmi
+        |  FROM m)
+        |SELECT segment, priority, n_xy, round(pmi, 6) AS pmi,
+        |  round(sum(CAST(n_xy AS DOUBLE) / n * pmi) OVER (), 6)
+        |    AS mi_nats
+        |FROM p ORDER BY segment, priority""".stripMargin,
+    "q_dedup_containment" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |     for i in range(1, len(w) - 1)])) AS shingle
+        |  FROM tok),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS contained, b.doc_id AS container,
+        |    count(*) AS n_both
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT contained, container,
+        |  round(n_both / ca.n, 6) AS containment
+        |FROM inter JOIN cnt ca ON ca.doc_id = contained
+        |WHERE round(n_both / ca.n, 6) >= 0.9
+        |ORDER BY contained, container""".stripMargin,
+    "q_kfold" ->
+      """SELECT fold, count(*) AS n_docs,
+        |  round(avg(n_chars), 2) AS avg_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    CAST((doc_id * 2654435761) % 4294967296 % 5 AS BIGINT)
+        |      AS fold
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY fold""".stripMargin
   )
 }

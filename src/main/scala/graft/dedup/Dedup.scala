@@ -171,6 +171,62 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Shingle CONTAINMENT dedup: pairs where C(A,B) = |A∩B| / |A| ≥ t —
+    * the asymmetric doc-in-doc test (quotes, boilerplate wrappers,
+    * supersets) that Jaccard misses when the container is much larger
+    * than the contained doc. Exact, via the containment form of prefix
+    * filtering: if B holds all but < (1−t)·n_a + 1 of A's shingles,
+    * then ANY ⌊(1−t)·n_a⌋+1 shingles of A intersect B — so joining
+    * only A's rarity-sorted prefix against the full inverted index is
+    * candidate-complete. Unlike the Jaccard case there is no length
+    * filter on n_b (a huge container is a legitimate match), so the
+    * index side stays full-width; `maxDf` caps pathological hot
+    * shingles at scale (stopword-only trigrams), at the cost of
+    * exactness on pairs whose ONLY shared shingles are capped ones.
+    * Verification is the same two id-keyed array joins as
+    * [[ngramJaccard]] — never a per-shingle pair blow-up.
+    */
+  def containmentPairs(df: DataFrame, threshold: Double = 0.9, k: Int = 3,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       maxDf: Option[Int] = None): DataFrame = {
+    val sh0 = shingles(df, k, textCol, idCol)
+      .select(col(idCol), xxhash64(col("shingle")).as("h"))
+    val sh = maxDf match {
+      case Some(cap) =>
+        val ok = sh0.groupBy("h").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap)
+        sh0.join(ok.select("h"), Seq("h"))
+      case None => sh0
+    }
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val tSlack = threshold - 1e-6
+    val arrs = sh.join(dfreq, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("__s"))
+      .select(col(idCol),
+        expr("transform(__s, s -> s.h)").as("hs"),
+        size(col("__s")).as("n"))
+    val prefixes = arrs
+      .withColumn("plen",
+        (floor(lit(1.0 - tSlack) * col("n")) + 1).cast("int"))
+      .select(col(idCol).as("doc_a"),
+        explode(slice(col("hs"), lit(1), col("plen"))).as("h"))
+    val cand = prefixes
+      .join(sh.select(col(idCol).as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(arrs.select(col(idCol).as("doc_a"), col("hs").as("hs_a"),
+        col("n").as("n_a")), Seq("doc_a"))
+      .join(arrs.select(col(idCol).as("doc_b"), col("hs").as("hs_b")),
+        Seq("doc_b"))
+      .withColumn("n_both", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("containment", round(col("n_both") / col("n_a"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a").as("contained"), col("doc_b").as("container"),
+        col("containment"))
+  }
+
   /** MinHash signature: for each of `numHashes` seeded permutations,
     * min over the document's shingles of `xxhash64(shingle, seed)`.
     * Output: `(id, sig array<long>)`. One aggregate per document.

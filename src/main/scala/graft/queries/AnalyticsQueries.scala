@@ -1235,4 +1235,150 @@ object AnalyticsQueries {
           .as("p90_gap_s"))
       .orderBy("event_type")
   }
+
+  /** Integer money/percent legs shared by the TPC-H-shaped queries:
+    * cents plus 0–100 discount/tax integers, so every downstream
+    * product and sum is EXACT integer arithmetic (engine-portable;
+    * doubles only appear after the final division+round). The derived
+    * units: `price_c*(100-d)` is 1e-4 dollars, `*(100+t)` 1e-6.
+    */
+  private def moneyLegs(li: DataFrame): DataFrame = li
+    .withColumn("price_c", round(col("l_extendedprice") * 100).cast("long"))
+    .withColumn("d", round(col("l_discount") * 100).cast("long"))
+    .withColumn("t", round(col("l_tax") * 100).cast("long"))
+
+  /** TPC-H Q1 pricing summary: one wide keyed aggregate over the
+    * biggest table — THE canonical scan-dominated query. Shape at
+    * scale: the shipdate predicate and 7-column projection reach the
+    * parquet scan, partial aggregation collapses each map task to ≤
+    * |flag×status| = 6 rows, and the shuffle moves 6·partitions rows
+    * total. Quantities are integer-valued doubles (exact sums);
+    * money legs are integer cents per [[moneyLegs]].
+    */
+  def tpchQ1(s: SparkSession, d: String): DataFrame =
+    moneyLegs(Tables.lineitem(s, d))
+      .filter(col("l_shipdate") <= lit("2001-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(col("price_c")).as("base_c"),
+        sum(col("price_c") * (lit(100L) - col("d"))).as("disc_4"),
+        sum(col("price_c") * (lit(100L) - col("d"))
+          * (lit(100L) + col("t"))).as("chg_6"),
+        sum(col("d")).as("d_sum"),
+        count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        round(col("base_c") / 100d, 2).as("sum_base_price"),
+        round(col("disc_4") / 10000d, 2).as("sum_disc_price"),
+        round(col("chg_6") / 1000000d, 2).as("sum_charge"),
+        round(col("sum_qty") / col("count_order").cast("double"), 4)
+          .as("avg_qty"),
+        round(col("base_c") / col("count_order") / 100d, 4)
+          .as("avg_price"),
+        round(col("d_sum") / col("count_order") / 100d, 4).as("avg_disc"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q5 local-supplier volume: the 6-table star-chain join
+    * (region→nation→customer→orders→lineitem→supplier) with the extra
+    * c_nationkey = s_nationkey locality predicate. Scale shape: the
+    * two fact-side joins (orders⋈customer, lineitem⋈supplier) hash on
+    * their keys once each; region/nation (and at any SF, supplier's
+    * key+nation projection) sit under the broadcast threshold, so the
+    * only big shuffles are the fact tables' — and the orderdate range
+    * filter prunes orders at the scan before its shuffle.
+    */
+  def tpchQ5(s: SparkSession, d: String): DataFrame = {
+    val asiaNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(asiaNations),
+        col("s_nationkey") === col("n_nationkey"))
+    moneyLegs(Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .withColumn("l_tax", lit(0.0)))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("price_c") * (lit(100L) - col("d"))).as("rev_4"))
+      .select(col("n_name"),
+        round(col("rev_4") / 10000d, 2).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  /** TPC-H Q10 returned-item reporting: which customers returned the
+    * most revenue in a quarter. Fact side filters (order quarter,
+    * returnflag = 'R') land in the scans; the lineitem⋈orders join
+    * shuffles only the filtered rows; customer attributes and nation
+    * names join AFTER the aggregate — the group-by runs on keys alone
+    * and the wide customer row is fetched once per surviving group,
+    * not once per lineitem. Top-20 is TakeOrderedAndProject.
+    */
+  def tpchQ10(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-04-01") &&
+        col("o_orderdate") < lit("1996-07-01"))
+      .select("o_orderkey", "o_custkey")
+    val rev = moneyLegs(Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .withColumn("l_tax", lit(0.0)))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("price_c") * (lit(100L) - col("d"))).as("rev_4"))
+    rev
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        round(col("rev_4") / 10000d, 2).as("revenue"),
+        round(col("c_acctbal"), 2).as("c_acctbal"),
+        col("n_name"), col("c_mktsegment"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  /** Mutual information between customer segment and order priority —
+    * the dependence screen for categorical feature pairs (feature
+    * selection / leakage checks in a training pipeline). Cell counts
+    * are one keyed aggregate over the joined facts; marginals and the
+    * total are bounded window sums over the ≤ |segments|·|priorities|
+    * cell rows, so nothing after the first aggregate scales with data
+    * volume. PMI per cell + the table-level MI (both in nats, from
+    * exact integer counts) round to 6dp for cross-engine parity.
+    */
+  def mutualInfo(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_xy"))
+    val wx = Window.partitionBy("segment")
+    val wy = Window.partitionBy("priority")
+    val all = Window.partitionBy(lit(1))
+    cells
+      .withColumn("n_x", sum("n_xy").over(wx))
+      .withColumn("n_y", sum("n_xy").over(wy))
+      .withColumn("n", sum("n_xy").over(all))
+      .withColumn("pmi",
+        log(col("n_xy").cast("double") * col("n") /
+          (col("n_x").cast("double") * col("n_y"))))
+      .withColumn("mi_nats", sum(col("n_xy").cast("double") / col("n")
+        * col("pmi")).over(all))
+      .select(col("segment"), col("priority"), col("n_xy"),
+        round(col("pmi"), 6).as("pmi"),
+        round(col("mi_nats"), 6).as("mi_nats"))
+      .orderBy("segment", "priority")
+  }
 }

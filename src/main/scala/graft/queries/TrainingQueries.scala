@@ -312,6 +312,28 @@ object TrainingQueries {
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** Asymmetric doc-in-doc dedup: shingle containment ≥ 0.9 (see
+    * [[Dedup.containmentPairs]] for the prefix-filter scale argument).
+    */
+  def dedupContainment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, d), threshold = 0.9)
+      .orderBy("contained", "container")
+
+  /** Deterministic k-fold assignment (k = 5) for cross-validation:
+    * same engine-portable Knuth hash as [[trainTestSplit]], reduced
+    * mod k, summarized per fold. The assignment is a narrow map over
+    * the corpus; the summary is one keyed aggregate with ≤ k groups,
+    * so the shuffle carries k·partitions rows.
+    */
+  def kfold(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("fold", pmod(knuthHash32(col("doc_id")), lit(5L)))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("fold")
+
   /** Stratified sample: first 3 docs per language by id (deterministic
     * rank-based stratum sampling — one window pass per stratum key).
     */

@@ -538,6 +538,48 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("tpch q1: six flag/status groups, averages reconstruct sums") {
+    val rows = AnalyticsQueries.tpchQ1(spark, sfDir).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      val (qty, n) = (r.getLong(2), r.getLong(9))
+      assert(n > 0 && qty > 0)
+      assert(math.abs(r.getDouble(6) - qty.toDouble / n) < 1e-3)
+      assert(r.getDouble(4) <= r.getDouble(3)) // disc price <= base
+      assert(r.getDouble(5) >= r.getDouble(4)) // charge adds tax
+    }
+  }
+
+  test("tpch q5/q10: revenue ordered desc, q10 capped at 20") {
+    val q5 = AnalyticsQueries.tpchQ5(spark, sfDir).collect()
+    assert(q5.nonEmpty && q5.length <= 5) // at most the ASIA nations
+    val rev5 = q5.map(_.getDouble(1))
+    assert(rev5.sameElements(rev5.sortBy(-_)))
+    val q10 = AnalyticsQueries.tpchQ10(spark, sfDir).collect()
+    assert(q10.length <= 20)
+    val rev10 = q10.map(_.getDouble(2))
+    assert(rev10.sameElements(rev10.sortBy(-_)))
+    assert(rev10.forall(_ > 0))
+  }
+
+  test("mutual info: cell counts positive, MI non-negative and constant") {
+    val rows = AnalyticsQueries.mutualInfo(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val mi = rows.map(_.getDouble(4)).distinct
+    assert(mi.length === 1) // table-level MI repeated per cell
+    // MI >= 0 up to the 6dp rounding of per-cell contributions
+    assert(mi.head >= -1e-6)
+    assert(rows.forall(_.getLong(2) > 0))
+  }
+
+  test("kfold: folds 0..4 partition the corpus") {
+    val rows = TrainingQueries.kfold(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L to 4L))
+    val total = rows.map(_.getLong(1)).sum
+    val nDocs = graft.io.Tables.documents(spark, sfDir).count()
+    assert(total === nDocs)
+  }
+
   test("benford: digits 1-9, observed shares sum to 1") {
     val rows = AnalyticsQueries.benford(spark, sfDir).collect()
     assert(rows.map(_.getInt(0)).toSeq === (1 to 9))

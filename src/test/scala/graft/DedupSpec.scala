@@ -58,6 +58,46 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containmentPairs: detects doc-in-doc that Jaccard misses") {
+    val wrap = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta"),
+      // 21 wraps 20 in a long boilerplate shell: containment(20→21)=1
+      // but Jaccard(20,21) is far below any dedup threshold
+      (21L, "header one two three four five six seven eight nine ten " +
+        "alpha beta gamma delta epsilon zeta " +
+        "footer eleven twelve thirteen fourteen fifteen sixteen"),
+      (22L, "totally unrelated content about something else entirely ok")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(wrap, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(cont.keySet === Set((20L, 21L))) // asymmetric: only A-in-B
+    assert(cont((20L, 21L)) === 1.0)
+    val jac = Dedup.ngramJaccard(wrap, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((20L, 21L)), "Jaccard should miss the wrap pair")
+  }
+
+  test("containmentPairs agrees with direct shingle-set containment") {
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = Dedup.containmentPairs(real, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // brute-force truth: per-pair |A∩B|/|A| from the exploded shingles
+    val sh = Dedup.shingles(real).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.map(_.getString(1)).toSet }
+    val truth = (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq
+      if a != b && sa.nonEmpty
+      c = sa.count(sb.contains).toDouble / sa.size
+      if BigDecimal(c).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.9
+    } yield (a, b)).toSet
+    assert(truth.nonEmpty, "fixture should contain contained docs")
+    assert(got.keySet === truth)
+  }
+
   test("minhash LSH recall: finds >=80% of true near-dup pairs at sf0.001") {
     val real = spark.read.parquet(s"$sfDir/documents.parquet")
     val truth = Dedup.ngramJaccard(real, threshold = 0.8)
