@@ -192,6 +192,10 @@ object SparkEntry {
     "q_hhi"            -> (AnalyticsQueries.hhi _),
     "q_sql_q3"         -> (AnalyticsQueries.sqlQ3 _),
     "q_tpch_q1"        -> (AnalyticsQueries.tpchQ1 _),
+    "q_tpch_q18"       -> (AnalyticsQueries.tpchQ18 _),
+    "q_mmr"            -> (TrainingQueries.mmr _),
+    "q_ppr_terms"      -> (TrainingQueries.pprTerms _),
+    "q_consistent_sample" -> (TrainingQueries.consistentSample _),
     "q_tpch_q5"        -> (AnalyticsQueries.tpchQ5 _),
     "q_tpch_q10"       -> (AnalyticsQueries.tpchQ10 _),
     "q_mutual_info"    -> (AnalyticsQueries.mutualInfo _),
@@ -2216,6 +2220,26 @@ object SparkEntry {
         |FROM inter JOIN cnt ca ON ca.doc_id = contained
         |WHERE round(n_both / ca.n, 6) >= 0.9
         |ORDER BY contained, container""".stripMargin,
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) > 300)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  round(o.o_totalprice, 2) AS o_totalprice, big.sum_qty
+        |FROM big
+        |JOIN orders o ON big.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_consistent_sample" ->
+      """SELECT lang, doc_id, h FROM (
+        |  SELECT lang, doc_id,
+        |    CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS h,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY lang, h, doc_id""".stripMargin,
     "q_kfold" ->
       """SELECT fold, count(*) AS n_docs,
         |  round(avg(n_chars), 2) AS avg_chars,

@@ -87,4 +87,82 @@ object PageRank {
     rdd(nodes).foreach(_.unpersist(false))
     ranks
   }
+
+  /** Personalized PageRank (random walk with restart): the teleport
+    * mass — both the (1−d) restart AND the dangling redistribution —
+    * lands ONLY on the seed set instead of uniformly, so rank
+    * concentrates in the seeds' neighborhood. The related-item /
+    * query-expansion primitive (Haveliwala, "Topic-sensitive
+    * PageRank", WWW 2002). Same per-round shape and checkpoint
+    * discipline as [[run]]: one keyed join + one grouped sum per
+    * round; the seed indicator is a broadcast-size left join (the
+    * seed set is a query, not a corpus). Seeds not present in the
+    * graph are ignored; seeds must intersect the node set.
+    */
+  def personalized(edges: DataFrame, seeds: DataFrame,
+                   srcCol: String = "src", dstCol: String = "dst",
+                   seedCol: String = "node",
+                   weightCol: Option[String] = None, iters: Int = 10,
+                   damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1,
+      s"need iters>=1, 0<damping<1: $iters/$damping")
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("wt"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("wt") > 0)
+      .groupBy("src", "dst").agg(sum("wt").as("wt"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    // teleport distribution: uniform over the seeds that exist in the
+    // graph (restarting on a non-node would leak rank mass)
+    val seedNodes = seeds.select(col(seedCol).as("node")).distinct()
+      .join(nodes, Seq("node"))
+      .localCheckpoint(true)
+    val nSeeds = seedNodes.count()
+    require(nSeeds > 0, "personalized PageRank needs >=1 seed in the graph")
+    val sW = seedNodes.withColumn("__sw", lit(1.0 / nSeeds))
+    val eNorm = e
+      .join(e.groupBy("src").agg(sum("wt").as("__outw")), "src")
+      .select(col("src"), col("dst"), (col("wt") / col("__outw")).as("frac"))
+      .localCheckpoint(true)
+    def rdd(df: DataFrame) = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+    val hasOut = eNorm.select(col("src").as("node")).distinct()
+      .withColumn("__has_out", lit(1))
+      .localCheckpoint(true)
+    // start AT the teleport distribution (the walk's stationary prior)
+    var ranks = nodes.join(sW, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__sw"), lit(0.0)).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val dangling = ranks.join(hasOut, Seq("node"), "left")
+        .filter(col("__has_out").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("s"))
+        .collect()(0).getDouble(0)
+      val contrib = ranks.join(eNorm, ranks("node") === eNorm("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") * col("frac")).as("__c"))
+      val stepped = nodes.join(contrib, Seq("node"), "left")
+        .join(sW, Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("__sw"), lit(0.0)) * lit(1.0 - damping) +
+            lit(damping) * (coalesce(col("__c"), lit(0.0)) +
+              lit(dangling) * coalesce(col("__sw"), lit(0.0))))
+            .as("rank"))
+        .localCheckpoint(true)
+      rdd(ranks).foreach(_.unpersist(false))
+      ranks = stepped
+    }
+    rdd(eNorm).foreach(_.unpersist(false))
+    rdd(hasOut).foreach(_.unpersist(false))
+    rdd(e).foreach(_.unpersist(false))
+    rdd(seedNodes).foreach(_.unpersist(false))
+    rdd(nodes).foreach(_.unpersist(false))
+    ranks
+  }
 }

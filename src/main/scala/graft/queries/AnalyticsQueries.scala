@@ -1348,6 +1348,27 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** TPC-H Q18 large-volume customers: aggregate-then-join. The only
+    * data-volume shuffle is the lineitem groupBy on its natural key;
+    * the HAVING cut reduces that output to the rare heavy orders
+    * BEFORE any join, so orders/customer join against a tiny keyed
+    * side (and at cluster SF the planner can broadcast it). Top-100
+    * is TakeOrderedAndProject.
+    */
+  def tpchQ18(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+  }
+
   /** Mutual information between customer segment and order priority —
     * the dependence screen for categorical feature pairs (feature
     * selection / leakage checks in a training pipeline). Cell counts

@@ -312,6 +312,60 @@ object TrainingQueries {
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** Diversity-aware retrieval: MMR top-10 from each of 5 query
+    * vectors' top-30 cosine pools (λ = 0.7). Engine-specific float
+    * ordering in the greedy step → rows-only; SimilaritySpec pins
+    * the selection semantics (rank-1 = top relevance, diversity vs
+    * the plain top-k cut, determinism).
+    */
+  def mmr(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.mmrSelect(emb, emb.filter(col("vec_id") < 5),
+        k = 10, poolSize = 30)
+      .orderBy("query_id", "mmr_rank")
+  }
+
+  /** Query expansion via personalized PageRank: random walk with
+    * restart over the token co-occurrence graph, teleporting to doc
+    * 0's tokens — the terms that surface are doc 0's vocabulary
+    * neighborhood, not the corpus-global hubs [[textRank]] finds.
+    * Iterative float method → rows-only; GraphSpec pins PPR itself.
+    */
+  def pprTerms(s: SparkSession, d: String): DataFrame = {
+    val bg = Dedup.shingles(Tables.documents(s, d), k = 2)
+      .select(split(col("shingle"), " ").getItem(0).as("src"),
+        split(col("shingle"), " ").getItem(1).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val sym = bg.unionByName(bg.select(col("dst").as("src"),
+      col("src").as("dst"), col("w")))
+    val seeds = Tables.documents(s, d).filter(col("doc_id") === 0)
+      .select(explode(graft.text.TextAnalysis.tokens(col("text")))
+        .as("node")).distinct()
+    graft.graph.PageRank.personalized(sym, seeds,
+        weightCol = Some("w"), iters = 10)
+      .select(col("node").as("token"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("token").asc)
+      .limit(20)
+  }
+
+  /** Consistent (hash-ordered) per-stratum sampling: the 5 docs with
+    * the smallest Knuth hash per language — unlike [[stratifiedSample]]
+    * (first-by-id), membership is stable under corpus growth: a doc
+    * enters/leaves the sample only if its own hash rank changes, the
+    * property that makes eval sets reproducible across snapshots.
+    * One window pass per stratum; pure BIGINT hash → exact oracle.
+    */
+  def consistentSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("h", knuthHash32(col("doc_id")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 5)
+      .select("lang", "doc_id", "h")
+      .orderBy("lang", "h", "doc_id")
+  }
+
   /** Asymmetric doc-in-doc dedup: shingle containment ≥ 0.9 (see
     * [[Dedup.containmentPairs]] for the prefix-filter scale argument).
     */

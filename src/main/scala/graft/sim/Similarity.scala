@@ -531,4 +531,77 @@ object Similarity {
       }
     }
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998): from each query's top-`poolSize` candidate pool,
+    * greedily select `k` items maximizing
+    * `λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s)` — the standard
+    * diversity-aware cut for retrieval-augmented data curation
+    * (dedup-at-selection-time for few-shot example sets).
+    *
+    * Scale shape: candidate generation is the distributed part
+    * ([[bruteForceTopK]]: corpus never shuffles, queries broadcast);
+    * the greedy O(k·pool²) selection runs per query INSIDE
+    * `flatMapGroups` — each group's state is the bounded pool, work
+    * distributes across queries, and nothing is collected to the
+    * driver. Ties break (higher relevance, smaller id) so the
+    * selection is deterministic on any engine.
+    * Output: `(query_id, neighbor_id, mmr_rank, mmr_score)`.
+    */
+  def mmrSelect(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                poolSize: Int = 30, lambda: Double = 0.7,
+                vecCol: String = "embedding",
+                idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && poolSize >= k && lambda >= 0 && lambda <= 1,
+      s"need 1<=k<=poolSize, lambda in [0,1]: $k/$poolSize/$lambda")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cu = withUnit(corpus, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("__unit").as("__u"))
+    // candidate pool + unit vectors (the id-keyed join re-attaches the
+    // vector once per surviving candidate, not once per scored pair)
+    val pool = bruteForceTopK(corpus, queries, poolSize, vecCol, idCol)
+      .join(cu, Seq("neighbor_id"))
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("cosine").cast("double"), col("__u").cast("array<double>"))
+      .as[(Long, Long, Double, Seq[Double])]
+    pool.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cand = it.toArray.sortBy(c => (-c._3, c._2))
+      val vecs = cand.map(_._4.toArray)
+      val n = cand.length
+      val picked = new Array[Boolean](n)
+      // max similarity to the selected set so far, per candidate
+      val maxSim = Array.fill(n)(0.0)
+      val out = Seq.newBuilder[(Long, Long, Long, Double)]
+      var rank = 1L
+      while (rank <= k.min(n)) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (!picked(i)) {
+            val s = lambda * cand(i)._3 -
+              (if (rank == 1L) 0.0 else (1 - lambda) * maxSim(i))
+            // strict > keeps the first (highest-rel, smallest-id) on ties
+            if (s > bestScore) { best = i; bestScore = s }
+          }
+          i += 1
+        }
+        picked(best) = true
+        out += ((qid, cand(best)._2, rank,
+          math.rint(bestScore * 1e6) / 1e6))
+        val bv = vecs(best)
+        i = 0
+        while (i < n) {
+          if (!picked(i)) {
+            var dot = 0.0; var j = 0
+            while (j < bv.length) { dot += bv(j) * vecs(i)(j); j += 1 }
+            if (dot > maxSim(i)) maxSim(i) = dot
+          }
+          i += 1
+        }
+        rank += 1
+      }
+      out.result()
+    }.toDF("query_id", "neighbor_id", "mmr_rank", "mmr_score")
+  }
 }

@@ -118,6 +118,61 @@ class GraphSpec extends SparkSpec {
     got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, k) }
   }
 
+  /** Driver-side PPR recompute mirroring [[pagerankOracle]] with the
+    * teleport (and dangling) mass restricted to the seed set.
+    */
+  private def pprOracle(edges: Seq[(String, String, Double)],
+                        seeds: Set[String], iters: Int,
+                        d: Double = 0.85): Map[String, Double] = {
+    val agg = edges.groupBy(e => (e._1, e._2))
+      .map { case (k, es) => k -> es.map(_._3).sum }
+    val nodes = agg.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct
+    val sIn = seeds.intersect(nodes.toSet)
+    def sw(v: String) = if (sIn.contains(v)) 1.0 / sIn.size else 0.0
+    val outW = agg.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum }
+    var ranks = nodes.map(v => v -> sw(v)).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(outW.contains).map(ranks).sum
+      val contrib = agg.toSeq
+        .map { case ((s, t), w) => t -> ranks(s) * w / outW(s) }
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+      ranks = nodes.map(v => v ->
+        ((1.0 - d) * sw(v) +
+          d * (contrib.getOrElse(v, 0.0) + dangling * sw(v)))).toMap
+    }
+    ranks
+  }
+
+  test("personalized pagerank: concentrates near seed, matches recompute") {
+    import spark.implicits._
+    // two loosely-coupled triangles; seed in the left one
+    val edges = Seq(
+      ("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0),
+      ("x", "y", 1.0), ("y", "z", 1.0), ("z", "x", 1.0),
+      ("c", "x", 0.1), ("z", "a", 0.1))
+    val got = graft.graph.PageRank.personalized(
+        edges.toDF("src", "dst", "w"), Seq("a").toDF("node"),
+        weightCol = Some("w"), iters = 12)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = pprOracle(edges, Set("a"), iters = 12)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, k) }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "mass conserved")
+    // the seeded community must outrank the far one
+    assert(got("a") > got("x") && got("b") > got("y"))
+  }
+
+  test("personalized pagerank: seeds outside the graph are ignored") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 1.0), ("b", "a", 1.0))
+    val got = graft.graph.PageRank.personalized(
+        edges.toDF("src", "dst", "w"),
+        Seq("a", "ghost").toDF("node"), weightCol = Some("w"), iters = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = pprOracle(edges, Set("a"), iters = 6) // ghost dropped
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, k) }
+  }
+
   test("hierarchy: pointer doubling matches driver parent-walk") {
     import spark.implicits._
     // deep chain + branching forest in one input: chain 100→…→199

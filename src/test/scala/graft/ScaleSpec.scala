@@ -167,9 +167,13 @@ class ScaleSpec extends SparkSpec {
     // explicit cross join of two grouped-DISTINCT-category aggregates —
     // bounded by category cardinality (|langs|·|sources|), not data
     // volume, the same class as q_cross_join's small×small product.
+    // q_mmr's candidate pool is one q_knn_brute leg (bounded
+    // |queries| × corpus broadcast product); the MMR re-rank after it
+    // is an equi-keyed join + per-group selection over the bounded
+    // pool.
     val allowed = Set("q_emb_neardup", "q_knn_brute", "q_knn_ivf",
       "q_cross_join", "q_rrf_fusion", "q_pq_topk", "q_pq_ivf", "q_pq_opq",
-      "q_chisq")
+      "q_chisq", "q_mmr")
     // 1-row-frame fan-outs (a global aggregate cross-joined back in,
     // e.g. tfidf's corpus count, assignCells' collected centroid array)
     // also plan as BNLJ but are ×1 by construction — recognizable

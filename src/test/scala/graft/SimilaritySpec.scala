@@ -34,6 +34,42 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(3L) - (-1.0)) < 1e-6)
   }
 
+  test("mmrSelect trades relevance for diversity; deterministic ties") {
+    val q = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.001f)),  // ~dup of 2, max relevance
+      (2L, Array(1.0f, -0.001f)), // ~dup of 1
+      (3L, Array(0.7f, 0.7f))     // diverse, lower relevance
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(corpus, q, k = 3, poolSize = 3,
+        lambda = 0.4)
+      .orderBy("mmr_rank").collect().map(_.getLong(1)).toSeq
+    // rank1: cosine ties at 1.0 after rounding -> smaller id (1);
+    // rank2: the near-dup 2 is penalized below the diverse 3
+    assert(got === Seq(1L, 3L, 2L))
+  }
+
+  test("mmrSelect: subset of pool, rank-1 = top relevance, stable") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3)
+    val pool = Similarity.bruteForceTopK(emb, queries, k = 30)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq }
+    val run1 = Similarity.mmrSelect(emb, queries, k = 10, poolSize = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+    val run2 = Similarity.mmrSelect(emb, queries, k = 10, poolSize = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+    assert(run1.sorted.toSeq === run2.sorted.toSeq, "deterministic")
+    run1.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to 10L))
+      val ids = rows.sortBy(_._2).map(_._3)
+      assert(ids.toSet.subsetOf(pool(q).toSet), s"query $q not in pool")
+      assert(ids.head === pool(q).head, s"query $q rank-1 = most relevant")
+      assert(ids.distinct.length === ids.length)
+    }
+  }
+
   test("IVF top-k recall@5 >= 0.6 vs brute force on real embeddings") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id").between(10, 19))
