@@ -193,6 +193,9 @@ object SparkEntry {
     "q_sql_q3"         -> (AnalyticsQueries.sqlQ3 _),
     "q_tpch_q1"        -> (AnalyticsQueries.tpchQ1 _),
     "q_tpch_q18"       -> (AnalyticsQueries.tpchQ18 _),
+    "q_event_paths"    -> (AnalyticsQueries.eventPaths _),
+    "q_attribution_ushape" -> (AnalyticsQueries.attributionUshape _),
+    "q_quantile_norm"  -> (AnalyticsQueries.quantileNorm _),
     "q_mmr"            -> (TrainingQueries.mmr _),
     "q_ppr_terms"      -> (TrainingQueries.pprTerms _),
     "q_consistent_sample" -> (TrainingQueries.consistentSample _),
@@ -2232,6 +2235,65 @@ object SparkEntry {
         |JOIN orders o ON big.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_event_paths" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    lag(ts) OVER w AS prev_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |b AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0
+        |    END AS is_break
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CAST(sum(is_break) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_id
+        |  FROM b),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p
+        |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin,
+    // credit arithmetic is CAST(... AS DOUBLE) throughout: DuckDB
+    // parses bare 0.2 as DECIMAL, and decimal division would diverge
+    // from Spark's double credit at the 4dp rounding
+    "q_attribution_ushape" ->
+      """WITH t AS (
+        |  SELECT user_id, ts AS t_ts, event_id AS t_id,
+        |    event_type AS touch
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |p AS (
+        |  SELECT user_id, ts AS p_ts, event_id AS p_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.p_id, p.value, t.touch, t.t_ts, t.t_id,
+        |    count(*) OVER (PARTITION BY p.p_id) AS n,
+        |    row_number() OVER (PARTITION BY p.p_id
+        |      ORDER BY t.t_ts, t.t_id) AS rnk
+        |  FROM p JOIN t ON p.user_id = t.user_id AND t.t_ts < p.p_ts),
+        |c AS (
+        |  SELECT touch, value,
+        |    CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+        |      WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+        |      WHEN rnk = 1 OR rnk = n THEN CAST(0.4 AS DOUBLE)
+        |      ELSE CAST(0.2 AS DOUBLE) / (n - 2) END AS credit
+        |  FROM j)
+        |SELECT touch, round(sum(credit), 4) AS credited_purchases,
+        |  round(sum(credit * value), 2) AS credited_revenue
+        |FROM c GROUP BY 1 ORDER BY touch""".stripMargin,
+    "q_quantile_norm" ->
+      """SELECT doc_id, source, n_chars,
+        |  round(percent_rank() OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id), 6) AS pct,
+        |  least(CAST(floor(round(percent_rank() OVER (
+        |    PARTITION BY source ORDER BY n_chars, doc_id), 6) * 10)
+        |    AS BIGINT), 9) AS decile
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_consistent_sample" ->
       """SELECT lang, doc_id, h FROM (
         |  SELECT lang, doc_id,

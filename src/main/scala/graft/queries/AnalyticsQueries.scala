@@ -1348,6 +1348,87 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** Session path mining: the top-15 event-type journeys through a
+    * 30-minute-gap sessionization (same break rule as q_sessionize).
+    * The path string is built ORDER-DETERMINISTICALLY by sorting the
+    * collected (ts, event_id, type) structs inside the row — a plain
+    * `collect_list` carries shuffle order, which no two runs need
+    * share. Two keyed aggregates (events→sessions, sessions→paths);
+    * path cardinality, not event volume, reaches the final top-k.
+    */
+  def eventPaths(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("is_break")
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(ts, event_id, " +
+          "event_type))), x -> x.event_type)"), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), asc("path"))
+      .limit(15)
+  }
+
+  /** U-shaped (position-based) multi-touch attribution: each purchase
+    * credits its user's PRIOR click/view touches 40% to the first,
+    * 40% to the last, 20% split over the middles (100% / 50-50 for
+    * one- and two-touch paths). The purchase×prior-touch pairing is
+    * an equi-join on user_id with a timestamp predicate — hash join
+    * plus filter, never a pair product across users; per-user event
+    * counts bound the pair fan-out, the same skew argument as
+    * q_sessionize. Credit shares are exact rationals in doubles
+    * (0.4/0.5/0.2/(n−2)) so both engines agree bit-for-bit.
+    */
+  def attributionUshape(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts").as("t_ts"),
+        col("event_id").as("t_id"), col("event_type").as("touch"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value"))
+    val byPurchase = Window.partitionBy("p_id")
+    val j = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ts") < col("p_ts"))
+      .withColumn("n", count(lit(1)).over(byPurchase))
+      .withColumn("rnk", row_number().over(
+        byPurchase.orderBy("t_ts", "t_id")))
+      .withColumn("credit",
+        when(col("n") === 1, 1.0)
+          .when(col("n") === 2, 0.5)
+          .when(col("rnk") === 1 || col("rnk") === col("n"), 0.4)
+          .otherwise(lit(0.2) / (col("n") - 2)))
+    j.groupBy("touch")
+      .agg(round(sum("credit"), 4).as("credited_purchases"),
+        round(sum(col("credit") * col("value")), 2).as("credited_revenue"))
+      .orderBy("touch")
+  }
+
+  /** Per-source quantile normalization: a document's length mapped to
+    * its percentile WITHIN its source — the cross-source score
+    * calibration step (raw scores aren't comparable between a forum
+    * dump and an encyclopedia; ranks are). One window per source
+    * partition; emitted as both percent_rank and the resulting
+    * cross-source decile so downstream mixing can bucket directly.
+    */
+  def quantileNorm(s: SparkSession, d: String): DataFrame = {
+    val bySource = Window.partitionBy("source")
+      .orderBy("n_chars", "doc_id")
+    Tables.documents(s, d)
+      .withColumn("pct", round(percent_rank().over(bySource), 6))
+      .withColumn("decile",
+        least(floor(col("pct") * 10).cast("long"), lit(9L)))
+      .select("doc_id", "source", "n_chars", "pct", "decile")
+      .orderBy("doc_id")
+  }
+
   /** TPC-H Q18 large-volume customers: aggregate-then-join. The only
     * data-volume shuffle is the lineitem groupBy on its natural key;
     * the HAVING cut reduces that output to the rare heavy orders

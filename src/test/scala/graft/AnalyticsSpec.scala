@@ -580,6 +580,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(total === nDocs)
   }
 
+  test("event paths: deterministic top-15, counts non-increasing") {
+    val rows = AnalyticsQueries.eventPaths(spark, sfDir).collect()
+    assert(rows.length === 15)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sameElements(counts.sortBy(-_)))
+    assert(rows.forall(_.getString(0).nonEmpty))
+    // re-run must agree exactly (collect_list order is pinned by sort)
+    val again = AnalyticsQueries.eventPaths(spark, sfDir).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      again.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("u-shaped attribution: credits sum to attributed purchases") {
+    import graft.io.Tables
+    val rows = AnalyticsQueries.attributionUshape(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalCredit = rows.map(_.getDouble(1)).sum
+    // every purchase with >=1 prior touch distributes exactly 1.0
+    val ev = Tables.events(spark, sfDir)
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts").as("t_ts"))
+    val attributed = ev.filter(col("event_type") === "purchase")
+      .join(touches, Seq("user_id"))
+      .filter(col("t_ts") < col("ts"))
+      .select("event_id").distinct().count()
+    assert(math.abs(totalCredit - attributed) < 1e-2,
+      s"credit $totalCredit vs $attributed purchases")
+  }
+
+  test("quantile norm: pct in [0,1], deciles 0-9, source max hits 1") {
+    val rows = AnalyticsQueries.quantileNorm(spark, sfDir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 9L)
+    }
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      if (rs.length > 1)
+        assert(math.abs(rs.map(_.getDouble(3)).max - 1.0) < 1e-9, src)
+    }
+  }
+
   test("benford: digits 1-9, observed shares sum to 1") {
     val rows = AnalyticsQueries.benford(spark, sfDir).collect()
     assert(rows.map(_.getInt(0)).toSeq === (1 to 9))
