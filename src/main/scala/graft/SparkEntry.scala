@@ -194,6 +194,9 @@ object SparkEntry {
     "q_tpch_q1"        -> (AnalyticsQueries.tpchQ1 _),
     "q_tpch_q18"       -> (AnalyticsQueries.tpchQ18 _),
     "q_event_paths"    -> (AnalyticsQueries.eventPaths _),
+    "q_funnel_windowed" -> (AnalyticsQueries.funnelWindowed _),
+    "q_hist2d"         -> (AnalyticsQueries.hist2d _),
+    "q_stl"            -> (AnalyticsQueries.stlDecompose _),
     "q_attribution_ushape" -> (AnalyticsQueries.attributionUshape _),
     "q_quantile_norm"  -> (AnalyticsQueries.quantileNorm _),
     "q_mmr"            -> (TrainingQueries.mmr _),
@@ -2235,6 +2238,68 @@ object SparkEntry {
         |JOIN orders o ON big.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    // deadline mirrors Spark's `cast(ts as long)` WHOLE-SECOND
+    // truncation (event timestamps carry microseconds)
+    "q_funnel_windowed" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s1d AS (
+        |  SELECT user_id, t1,
+        |    make_timestamp((CAST(floor(epoch(t1)) AS BIGINT) + 259200)
+        |      * 1000000) AS deadline
+        |  FROM s1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2, min(s.deadline) AS deadline
+        |  FROM events e JOIN s1d s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s.t1
+        |    AND e.ts <= s.deadline
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.deadline
+        |  GROUP BY 1)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT '2_click_72h', count(*) FROM s2
+        |  UNION ALL SELECT '3_purchase_72h', count(*) FROM s3)
+        |ORDER BY stage""".stripMargin,
+    "q_hist2d" ->
+      """SELECT CAST(hour(ts) AS BIGINT) AS hour,
+        |  least(CAST(floor(value / CAST(50.0 AS DOUBLE)) AS BIGINT), 9)
+        |    AS vband,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+        |    AS DOUBLE) / 100.0, 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, vband""".stripMargin,
+    "q_stl" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT day, cents,
+        |    CAST(sum(cents) OVER w7 AS BIGINT) AS t7,
+        |    count(*) OVER w7 AS c7,
+        |    dayofweek(day) AS dow
+        |  FROM daily WINDOW w7 AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |f AS (SELECT * FROM t WHERE c7 = 7),
+        |sn AS (
+        |  SELECT dow, CAST(sum(7 * cents - t7) AS BIGINT) AS num,
+        |    count(*) AS nd
+        |  FROM f GROUP BY 1)
+        |SELECT f.day,
+        |  round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+        |  round(CAST(t7 AS DOUBLE) / 700.0, 2) AS trend,
+        |  round(CAST(num AS DOUBLE) / (7.0 * nd) / 100.0, 2) AS seasonal,
+        |  round(CAST(cents AS DOUBLE) / 100.0
+        |    - CAST(t7 AS DOUBLE) / 700.0
+        |    - CAST(num AS DOUBLE) / (nd * 700.0), 2) AS residual
+        |FROM f JOIN sn ON f.dow = sn.dow ORDER BY day""".stripMargin,
     "q_event_paths" ->
       """WITH g AS (
         |  SELECT user_id, event_id, event_type, ts,

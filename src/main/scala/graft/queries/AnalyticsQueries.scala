@@ -1348,6 +1348,92 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** Time-bounded conversion funnel (the ClickHouse `windowFunnel`
+    * semantic): signup → click → purchase must ALL land within 72 h
+    * of the user's first signup, each stage strictly after the prior
+    * stage's earliest qualifying event. Same keyed min-aggregate
+    * chain as [[funnel]] — per-stage joins are equi on user_id and
+    * each stage's frame shrinks monotonically — with the deadline
+    * pushed into every stage filter, so late conversions fall out at
+    * the scan, not in a post-hoc subtraction.
+    */
+  def funnelWindowed(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val horizonS = 72L * 3600L
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+      .withColumn("deadline",
+        (col("t1").cast("long") + horizonS).cast("timestamp"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("deadline"))
+      .groupBy("user_id").agg(min("ts").as("t2"), min("deadline").as("deadline"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("deadline"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def stage(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(name))
+    stage(s1, "1_signup")
+      .unionByName(stage(s2, "2_click_72h"))
+      .unionByName(stage(s3, "3_purchase_72h"))
+      .select("stage", "n_users")
+      .orderBy("stage")
+  }
+
+  /** 2-D histogram: hour-of-day × value band occupancy grid over the
+    * event stream (the heatmap feed). Binning is a narrow projection
+    * (no data moves until the keyed aggregate over ≤ 24×10 cells);
+    * fixed-width bands with a top clamp so the grid is bounded no
+    * matter the value tail.
+    */
+  def hist2d(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(hour(col("ts")).cast("long").as("hour"),
+        least(floor(col("value") / 50.0), lit(9.0)).cast("long").as("vband"),
+        col("value"))
+      .groupBy("hour", "vband")
+      .agg(count(lit(1)).as("n"),
+        // integer-cents sum: a double Σ over hundreds of rows would
+        // drift by summation order between engines
+        round(sum(round(col("value") * 100).cast("long")) / 100.0, 2)
+          .as("sum_value"))
+      .orderBy("hour", "vband")
+
+  /** STL-lite seasonal decomposition of daily revenue:
+    * `trend` = centered 7-day moving average, `seasonal` = weekday
+    * mean of the detrended series, `residual` = the rest. Every
+    * intermediate stays EXACT integer cents until the final
+    * divisions — `t7` is the 7-day cent sum and the weekday effect is
+    * carried as the integer numerator `Σ(7·cents − t7)` — so both
+    * engines derive identical doubles from identical BIGINTs (free
+    * of summation-order drift, the float-parity rule all series
+    * queries here follow). Day-grain windows are calendar-bounded;
+    * the only data-volume pass is the first keyed aggregate.
+    */
+  def stlDecompose(s: SparkSession, d: String): DataFrame = {
+    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val t = daily
+      .withColumn("t7", sum("cents").over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .filter(col("c7") === 7)
+      .withColumn("dow", dayofweek(col("day")))
+    val sn = t.groupBy("dow")
+      .agg(sum(lit(7L) * col("cents") - col("t7")).as("num"),
+        count(lit(1)).as("nd"))
+    t.join(broadcast(sn), Seq("dow"))
+      .select(col("day"),
+        round(col("cents") / 100.0, 2).as("revenue"),
+        round(col("t7") / 700.0, 2).as("trend"),
+        round(col("num") / (lit(7.0) * col("nd")) / 100.0, 2).as("seasonal"),
+        round(col("cents") / 100.0 - col("t7") / 700.0 -
+          col("num") / (col("nd") * 700.0), 2).as("residual"))
+      .orderBy("day")
+  }
+
   /** Session path mining: the top-15 event-type journeys through a
     * 30-minute-gap sessionization (same break rule as q_sessionize).
     * The path string is built ORDER-DETERMINISTICALLY by sorting the

@@ -580,6 +580,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(total === nDocs)
   }
 
+  test("windowed funnel: monotone stages, bounded by unbounded funnel") {
+    val win = AnalyticsQueries.funnelWindowed(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val open = AnalyticsQueries.funnel(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(win("1_signup") === open("1_signup")) // same entry stage
+    assert(win("1_signup") >= win("2_click_72h"))
+    assert(win("2_click_72h") >= win("3_purchase_72h"))
+    // the deadline can only REMOVE conversions
+    assert(win("2_click_72h") <= open("2_click"))
+    assert(win("3_purchase_72h") <= open("3_purchase"))
+  }
+
+  test("hist2d: bounded grid, cell counts partition the stream") {
+    import graft.io.Tables
+    val rows = AnalyticsQueries.hist2d(spark, sfDir).collect()
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 23))
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 9))
+    assert(rows.map(_.getLong(2)).sum ===
+      Tables.events(spark, sfDir).count())
+  }
+
+  test("stl: decomposition reconstructs, seasonal repeats by weekday") {
+    val rows = AnalyticsQueries.stlDecompose(spark, sfDir).collect()
+    assert(rows.length > 100)
+    rows.foreach { r =>
+      val (rev, tr, se, res) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // components were rounded independently -> 2dp slack headroom
+      assert(math.abs(rev - (tr + se + res)) < 0.03, r)
+    }
+    // seasonal depends only on weekday -> at most 7 distinct values
+    assert(rows.map(_.getDouble(3)).distinct.length <= 7)
+  }
+
   test("event paths: deterministic top-15, counts non-increasing") {
     val rows = AnalyticsQueries.eventPaths(spark, sfDir).collect()
     assert(rows.length === 15)
