@@ -195,6 +195,8 @@ object SparkEntry {
     "q_tpch_q18"       -> (AnalyticsQueries.tpchQ18 _),
     "q_event_paths"    -> (AnalyticsQueries.eventPaths _),
     "q_funnel_windowed" -> (AnalyticsQueries.funnelWindowed _),
+    "q_rolling_distinct" -> (AnalyticsQueries.rollingDistinct _),
+    "q_entity_clusters" -> (AnalyticsQueries.entityClusters _),
     "q_hist2d"         -> (AnalyticsQueries.hist2d _),
     "q_stl"            -> (AnalyticsQueries.stlDecompose _),
     "q_attribution_ushape" -> (AnalyticsQueries.attributionUshape _),
@@ -2238,6 +2240,43 @@ object SparkEntry {
         |JOIN orders o ON big.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    // transitive closure via recursive CTE — tractable because the
+    // blocked pair graph is small; the Spark side scales via
+    // iterative min-label propagation instead
+    "q_entity_clusters" ->
+      """WITH RECURSIVE
+        |n AS (
+        |  SELECT DISTINCT p_name AS name FROM part
+        |  WHERE p_name IS NOT NULL),
+        |b AS (SELECT name, string_split(name, ' ')[-1] AS blk FROM n),
+        |pairs AS (
+        |  SELECT a.name AS na, c.name AS nb
+        |  FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+        |  WHERE levenshtein(a.name, c.name) <= 3),
+        |edges AS (
+        |  SELECT na AS a, nb AS b FROM pairs
+        |  UNION SELECT nb, na FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS v FROM edges),
+        |reach AS (
+        |  SELECT v AS src, v AS dst FROM nodes
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (SELECT src, min(dst) AS rep FROM reach GROUP BY 1)
+        |SELECT rep AS entity, count(*) AS n_variants
+        |FROM comp GROUP BY 1 ORDER BY entity""".stripMargin,
+    "q_rolling_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+        |c AS (
+        |  SELECT day + CAST(o AS INTEGER) AS day, user_id
+        |  FROM du, range(0, 7) t(o)),
+        |wau AS (
+        |  SELECT day, count(DISTINCT user_id) AS wau FROM c GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau,
+        |  round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+        |FROM dau d JOIN wau w ON d.day = w.day
+        |ORDER BY d.day""".stripMargin,
     // deadline mirrors Spark's `cast(ts as long)` WHOLE-SECOND
     // truncation (event timestamps carry microseconds)
     "q_funnel_windowed" ->

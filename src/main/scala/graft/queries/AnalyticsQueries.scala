@@ -163,6 +163,33 @@ object AnalyticsQueries {
         6))
       .orderBy("name_a", "name_b")
 
+  /** End-to-end entity resolution: [[fuzzyDedup]]'s blocked edit-
+    * distance pairs become edges, connected components merge
+    * transitively-linked name variants into one entity, and each
+    * cluster reports its canonical (minimum) name + size. Names ride
+    * through the iterative CC as xxhash64 LONGS (the label-sum
+    * convergence test needs numeric labels; the hash only identifies
+    * components internally — outputs are names, so the oracle needs
+    * no hash parity). The composition every MDM/record-linkage
+    * pipeline runs: block → compare → cluster → canonicalize.
+    */
+  def entityClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = graft.dedup.Dedup.fuzzyPairs(Tables.part(s, d), "p_name",
+      n => element_at(split(n, " "), -1), maxDist = 3)
+    val edges = pairs.select(xxhash64(col("name_a")).as("src"),
+      xxhash64(col("name_b")).as("dst"))
+    val names = pairs.select(col("name_a").as("name"))
+      .unionByName(pairs.select(col("name_b").as("name")))
+      .distinct()
+      .withColumn("id", xxhash64(col("name")))
+    val cc = graft.graph.ConnectedComponents.run(edges)
+    names.join(cc, names("id") === cc("id"))
+      .groupBy("component")
+      .agg(min("name").as("entity"), count(lit(1)).as("n_variants"))
+      .select("entity", "n_variants")
+      .orderBy("entity")
+  }
+
   /** Point-in-time (SCD2) dimension lookup: each purchase event joined
     * to the dimension version valid at its timestamp — the AS-OF join
     * over the [[scd2]] interval chain, which is how a warehouse reads
@@ -1346,6 +1373,34 @@ object AnalyticsQueries {
         col("n_name"), col("c_mktsegment"))
       .orderBy(desc("revenue"), asc("c_custkey"))
       .limit(20)
+  }
+
+  /** Rolling 7-day distinct actives: DAU, trailing-week WAU, and the
+    * DAU/WAU stickiness ratio per day. COUNT(DISTINCT) over a sliding
+    * window has no windowed form in any engine; the scale-safe shape
+    * is the bounded fan-out: reduce to daily-distinct (day, user)
+    * pairs first (the only data-volume shuffle), then each pair
+    * contributes to exactly 7 window-end days via an explode — 7×
+    * the daily-distinct volume, independent of raw event volume —
+    * and a distinct-count per window end finishes it. Window ends
+    * with no same-day actives drop via the inner join back to DAU
+    * (a trailing week is only reported for observed days).
+    */
+  def rollingDistinct(s: SparkSession, d: String): DataFrame = {
+    val du = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+      .select(col("user_id"), expr("date_add(day, off)").as("day"))
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
   }
 
   /** Time-bounded conversion funnel (the ClickHouse `windowFunnel`

@@ -580,6 +580,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(total === nDocs)
   }
 
+  test("rolling distinct: WAU >= DAU, stickiness in (0,1]") {
+    val rows = AnalyticsQueries.rollingDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), r)      // wau >= dau
+      val st = r.getDouble(3)
+      assert(st > 0.0 && st <= 1.0, r)
+    }
+  }
+
+  test("entity clusters: >=2 variants each, canonical names distinct") {
+    val rows = AnalyticsQueries.entityClusters(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every cluster came from at least one pair -> >= 2 members
+    rows.foreach(r => assert(r.getLong(1) >= 2, r))
+    val ents = rows.map(_.getString(0))
+    assert(ents.distinct.length === ents.length)
+  }
+
   test("windowed funnel: monotone stages, bounded by unbounded funnel") {
     val win = AnalyticsQueries.funnelWindowed(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
