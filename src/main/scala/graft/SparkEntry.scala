@@ -196,6 +196,10 @@ object SparkEntry {
     "q_event_paths"    -> (AnalyticsQueries.eventPaths _),
     "q_funnel_windowed" -> (AnalyticsQueries.funnelWindowed _),
     "q_rolling_distinct" -> (AnalyticsQueries.rollingDistinct _),
+    "q_auc"            -> (AnalyticsQueries.rocAuc _),
+    "q_ndcg"           -> (AnalyticsQueries.ndcgAt10 _),
+    "q_calibration"    -> (AnalyticsQueries.calibration _),
+    "q_xcorr"          -> (AnalyticsQueries.crossCorr _),
     "q_entity_clusters" -> (AnalyticsQueries.entityClusters _),
     "q_hist2d"         -> (AnalyticsQueries.hist2d _),
     "q_stl"            -> (AnalyticsQueries.stlDecompose _),
@@ -2277,6 +2281,76 @@ object SparkEntry {
         |  round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
         |FROM dau d JOIN wau w ON d.day = w.day
         |ORDER BY d.day""".stripMargin,
+    // exact tie-corrected Mann-Whitney AUC on the 3dp-quantized score;
+    // hugeint sums cast back to BIGINT for schema parity
+    "q_auc" ->
+      """WITH scored AS (
+        |  SELECT round(CAST(embedding[1] AS DOUBLE), 3) AS score,
+        |    CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos
+        |  FROM embeddings),
+        |bins AS (
+        |  SELECT score, sum(pos) AS pos_g, count(*) - sum(pos) AS neg_g
+        |  FROM scored GROUP BY 1),
+        |cum AS (
+        |  SELECT pos_g, neg_g, coalesce(sum(neg_g) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS neg_below
+        |  FROM bins)
+        |SELECT round(sum(pos_g * (neg_below + neg_g / 2.0)) /
+        |    (sum(pos_g) * sum(neg_g)), 6) AS auc,
+        |  CAST(sum(pos_g) AS BIGINT) AS n_pos,
+        |  CAST(sum(neg_g) AS BIGINT) AS n_neg
+        |FROM cum""".stripMargin,
+    "q_ndcg" ->
+      """WITH docs AS (
+        |  SELECT source, doc_id, n_chars,
+        |    least(3, CAST((length(text)
+        |      - length(replace(text, 'spark', ''))) / 5 AS INTEGER)) AS rel
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT source, rel, row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS pos
+        |  FROM docs),
+        |dcg AS (
+        |  SELECT source, sum((pow(2.0, rel) - 1) / log2(pos + 1)) AS dcg
+        |  FROM ranked WHERE pos <= 10 GROUP BY 1),
+        |ideal AS (
+        |  SELECT source, rel, row_number() OVER (PARTITION BY source
+        |    ORDER BY rel DESC, doc_id) AS ipos
+        |  FROM docs),
+        |idcg AS (
+        |  SELECT source, sum((pow(2.0, rel) - 1) / log2(ipos + 1)) AS idcg
+        |  FROM ideal WHERE ipos <= 10 GROUP BY 1)
+        |SELECT d.source, round(d.dcg / i.idcg, 6) AS ndcg10
+        |FROM dcg d JOIN idcg i USING (source)
+        |WHERE i.idcg > 0 ORDER BY source""".stripMargin,
+    "q_calibration" ->
+      """WITH u AS (
+        |  SELECT user_id, round(avg(value), 2) AS spend,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT least(1.0, spend / 100) AS p, y FROM u)
+        |SELECT CAST(least(9, floor(p * 10)) AS INTEGER) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  round(avg(p), 6) AS avg_p,
+        |  round(avg(CAST(y AS DOUBLE)), 6) AS pos_rate,
+        |  round(avg((p - y) * (p - y)), 6) AS brier
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_xcorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS clicks,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS purchases
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT CAST(o AS INTEGER) AS lag FROM range(-3, 4) t(o))
+        |SELECT l.lag, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(corr(CAST(x.clicks AS DOUBLE),
+        |    CAST(y.purchases AS DOUBLE)), 6) AS xcorr
+        |FROM daily x CROSS JOIN l
+        |JOIN daily y ON y.day = x.day + l.lag
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // deadline mirrors Spark's `cast(ts as long)` WHOLE-SECOND
     // truncation (event timestamps carry microseconds)
     "q_funnel_windowed" ->

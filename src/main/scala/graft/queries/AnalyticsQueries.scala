@@ -1624,4 +1624,115 @@ object AnalyticsQueries {
         round(col("mi_nats"), 6).as("mi_nats"))
       .orderBy("segment", "priority")
   }
+
+  /** ROC AUC (tie-corrected Mann-Whitney) of a scalar score against a
+    * binary label — the model-eval aggregate every curation/classifier
+    * pipeline ends with. The scale problem with AUC is the global rank:
+    * a window over every row is a single-partition sort. The scale-safe
+    * shape used here quantizes the score (3dp), reduces to per-bin
+    * (pos, neg) counts — the only data-volume shuffle — and computes
+    * the exact tie-corrected statistic on the bounded bin frame:
+    * AUC = Σ_bins pos_b·(neg_below + neg_b/2) / (P·N). The remaining
+    * global window runs over ≤ |bins| rows, not rows of data.
+    */
+  def rocAuc(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.embeddings(s, d)
+      .select(
+        round(element_at(col("embedding"), 1).cast("double"), 3).as("score"),
+        (col("label") % 2 === 1).cast("long").as("pos"))
+    val bins = scored.groupBy("score")
+      .agg(sum("pos").as("pos_g"),
+        (count(lit(1)) - sum("pos")).as("neg_g"))
+    val below = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bins
+      .withColumn("neg_below", coalesce(sum("neg_g").over(below), lit(0L)))
+      .agg(
+        sum(col("pos_g") * (col("neg_below").cast("double")
+          + col("neg_g").cast("double") / 2)).as("u"),
+        sum("pos_g").as("n_pos"), sum("neg_g").as("n_neg"))
+      .select(
+        round(col("u") / (col("n_pos") * col("n_neg")), 6).as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
+  /** NDCG@10 retrieval evaluation per query group: the ranking under
+    * test orders each source's documents by length (a stand-in ranker),
+    * graded relevance is the capped count of a probe term in the text,
+    * and DCG over the top 10 is normalized by the ideal (relevance-
+    * sorted) DCG. Two windows partitioned by the query key + a keyed
+    * join — per-query work is bounded by the cutoff, and the shuffles
+    * are all on the query key, so the eval scales with query count,
+    * never with corpus × corpus.
+    */
+  def ndcgAt10(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        least(lit(3), ((length(col("text"))
+          - length(expr("replace(text, 'spark', '')"))) / 5)
+          .cast("int")).as("rel"))
+    def dcgOf(orderPos: Column, name: String) = docs
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("source").orderBy(orderPos, col("doc_id"))))
+      .filter(col("pos") <= 10)
+      .groupBy("source")
+      .agg(sum((pow(lit(2.0), col("rel")) - 1) / log2(col("pos") + 1))
+        .as(name))
+    dcgOf(col("n_chars").desc, "dcg")
+      .join(dcgOf(col("rel").desc, "idcg"), "source")
+      .filter(col("idcg") > 0)
+      .select(col("source"), round(col("dcg") / col("idcg"), 6).as("ndcg10"))
+      .orderBy("source")
+  }
+
+  /** Calibration / reliability table: per-user predicted probability
+    * (clamped linear score of the user's mean event value — made
+    * deterministic across engines by a 2dp round before binning)
+    * versus the observed purchase outcome, bucketed into 10
+    * probability bins with the per-bin Brier score. One keyed
+    * aggregate to the user grain (the only data-volume shuffle), then
+    * a 10-row bin aggregate: the standard shape for monitoring a
+    * model's probability calibration at any scale.
+    */
+  def calibration(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(round(avg("value"), 2).as("spend"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("y"))
+      .withColumn("p", least(lit(1.0), col("spend") / 100))
+      .withColumn("bin", least(lit(9L), floor(col("p") * 10)).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_users"),
+        round(avg("p"), 6).as("avg_p"),
+        round(avg(col("y").cast("double")), 6).as("pos_rate"),
+        round(avg((col("p") - col("y")) * (col("p") - col("y"))), 6)
+          .as("brier"))
+      .orderBy("bin")
+
+  /** Lagged cross-correlation between two daily event series (clicks
+    * leading/lagging purchases by -3..+3 days) — the "does metric X
+    * predict metric Y" diagnostic. The only data-volume shuffle is the
+    * day-grain aggregate; the series frame (one row per day) is then
+    * lag-exploded 7× and self-joined on the shifted day, so the
+    * correlation stage costs |days|·|lags| regardless of event volume.
+    */
+  def crossCorr(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1).otherwise(0))
+          .as("clicks"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("purchases"))
+    val lagged = daily.select(col("day"), col("clicks"))
+      .withColumn("lag", explode(sequence(lit(-3), lit(3))))
+      .withColumn("yday", date_add(col("day"), col("lag")))
+    lagged
+      .join(daily.select(col("day").as("yday"), col("purchases")), "yday")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_days"),
+        round(corr(col("clicks").cast("double"),
+          col("purchases").cast("double")), 6).as("xcorr"))
+      .orderBy("lag")
+  }
 }

@@ -590,6 +590,53 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("roc auc: one row, auc in [0,1], counts partition the table") {
+    val r = AnalyticsQueries.rocAuc(spark, sfDir).collect()
+    assert(r.length === 1)
+    val auc = r(0).getDouble(0)
+    assert(auc >= 0.0 && auc <= 1.0)
+    val total = graft.io.Tables.embeddings(spark, sfDir).count()
+    assert(r(0).getLong(1) + r(0).getLong(2) === total)
+  }
+
+  test("ndcg@10: per-source values in (0,1]") {
+    val rows = AnalyticsQueries.ndcgAt10(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getDouble(1)
+      assert(v > 0.0 && v <= 1.0, r)
+    }
+  }
+
+  test("calibration: bins ordered, probabilities and brier in range") {
+    val rows = AnalyticsQueries.calibration(spark, sfDir).collect()
+    assert(rows.length >= 3, "calibration table should span several bins")
+    val bins = rows.map(_.getInt(0))
+    assert(bins.sameElements(bins.sorted) && bins.forall(b => b >= 0 && b <= 9))
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0, r) // avg_p
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, r) // pos_rate
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, r) // brier
+    }
+    val nUsers = rows.map(_.getLong(1)).sum
+    val total = graft.io.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(nUsers === total)
+  }
+
+  test("cross-correlation: 7 lags, values in [-1,1], lag 0 on full span") {
+    val rows = AnalyticsQueries.crossCorr(spark, sfDir).collect()
+    assert(rows.length === 7)
+    assert(rows.map(_.getInt(0)).sameElements(-3 to 3))
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.0 && c <= 1.0, r)
+    }
+    // lag 0 pairs every observed day with itself -> largest n_days
+    val n0 = rows.find(_.getInt(0) == 0).get.getLong(1)
+    assert(rows.forall(_.getLong(1) <= n0))
+  }
+
   test("entity clusters: >=2 variants each, canonical names distinct") {
     val rows = AnalyticsQueries.entityClusters(spark, sfDir).collect()
     assert(rows.nonEmpty)
