@@ -200,6 +200,11 @@ object SparkEntry {
     "q_ndcg"           -> (AnalyticsQueries.ndcgAt10 _),
     "q_calibration"    -> (AnalyticsQueries.calibration _),
     "q_xcorr"          -> (AnalyticsQueries.crossCorr _),
+    "q_ks_test"        -> (AnalyticsQueries.ksTest _),
+    "q_survival"       -> (AnalyticsQueries.survivalKm _),
+    "q_seasonal_naive" -> (AnalyticsQueries.seasonalNaive _),
+    "q_mann_kendall"   -> (AnalyticsQueries.mannKendall _),
+    "q_degree_dist"    -> (AnalyticsQueries.degreeDist _),
     "q_entity_clusters" -> (AnalyticsQueries.entityClusters _),
     "q_hist2d"         -> (AnalyticsQueries.hist2d _),
     "q_stl"            -> (AnalyticsQueries.stlDecompose _),
@@ -2336,6 +2341,117 @@ object SparkEntry {
         |  round(avg(CAST(y AS DOUBLE)), 6) AS pos_rate,
         |  round(avg((p - y) * (p - y)), 6) AS brier
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ks_test" ->
+      """WITH docs AS (
+        |  SELECT n_chars, source FROM documents
+        |  WHERE source IN ('src0', 'src1')),
+        |bins AS (
+        |  SELECT n_chars,
+        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_a,
+        |    sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c_b
+        |  FROM docs GROUP BY 1),
+        |cum AS (
+        |  SELECT
+        |    sum(c_a) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+        |    sum(c_b) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+        |    sum(c_a) OVER () AS n_a, sum(c_b) OVER () AS n_b
+        |  FROM bins)
+        |SELECT
+        |  round(max(abs(CAST(cum_a AS DOUBLE) / n_a
+        |    - CAST(cum_b AS DOUBLE) / n_b)), 6) AS d_stat,
+        |  round(1.358 * sqrt((max(n_a) + max(n_b))
+        |    / CAST(max(n_a) * max(n_b) AS DOUBLE)), 6) AS crit_05,
+        |  CAST(max(n_a) AS BIGINT) AS n_a,
+        |  CAST(max(n_b) AS BIGINT) AS n_b
+        |FROM cum""".stripMargin,
+    // ln-clamp mirrors the Spark side: a terminal d==n group must give
+    // S -> 0, not an ln(0) error
+    "q_survival" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type, value
+        |  FROM events),
+        |u AS (
+        |  SELECT date_diff('day', min(day),
+        |      coalesce(min(CASE WHEN event_type = 'purchase'
+        |        AND value > 95 THEN day END), max(day))) AS t,
+        |    CASE WHEN min(CASE WHEN event_type = 'purchase'
+        |        AND value > 95 THEN day END) IS NULL
+        |      THEN 1 ELSE 0 END AS censored
+        |  FROM ev GROUP BY user_id),
+        |byt AS (
+        |  SELECT t, count(*) AS n_t, sum(1 - censored) AS d_t
+        |  FROM u GROUP BY 1),
+        |r AS (
+        |  SELECT t, n_t, d_t,
+        |    sum(n_t) OVER () - coalesce(sum(n_t) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM byt),
+        |f AS (
+        |  SELECT t, n_risk, d_t,
+        |    exp(sum(ln(greatest(1.0 - CAST(d_t AS DOUBLE) / n_risk,
+        |      1e-300))) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS surv
+        |  FROM r WHERE d_t > 0)
+        |SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d_t AS BIGINT) AS d_events, round(surv, 6) AS survival
+        |FROM f ORDER BY 1""".stripMargin,
+    "q_seasonal_naive" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(sum(value), 2) AS rev
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(avg(abs(a.rev - f.rev) / a.rev), 6) AS mape,
+        |  round(avg(2.0 * abs(a.rev - f.rev)
+        |    / (abs(a.rev) + abs(f.rev))), 6) AS smape,
+        |  round(avg(f.rev - a.rev), 6) AS mean_bias
+        |FROM daily a JOIN daily f
+        |  ON a.event_type = f.event_type AND a.day = f.day + 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(sum(value), 2) AS rev
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT a.event_type,
+        |    sum(CASE WHEN b.rev > a.rev THEN 1
+        |      WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS s_stat
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |tg AS (
+        |  SELECT event_type, rev, count(*) AS t FROM daily GROUP BY 1, 2),
+        |ties AS (
+        |  SELECT event_type, sum(t) AS n,
+        |    sum(t * (t - 1) * (2 * t + 5)) AS tt
+        |  FROM tg GROUP BY 1)
+        |SELECT s.event_type, CAST(t.n AS BIGINT) AS n_days,
+        |  CAST(s.s_stat AS BIGINT) AS s_stat,
+        |  round(CAST(s.s_stat AS DOUBLE) / (t.n * (t.n - 1) / 2), 6)
+        |    AS tau,
+        |  round(CASE
+        |    WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+        |      / sqrt((t.n * (t.n - 1) * (2 * t.n + 5) - t.tt) / 18.0)
+        |    WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+        |      / sqrt((t.n * (t.n - 1) * (2 * t.n + 5) - t.tt) / 18.0)
+        |    ELSE 0.0 END, 6) AS z
+        |FROM sp s JOIN ties t USING (event_type) ORDER BY 1""".stripMargin,
+    "q_degree_dist" ->
+      """WITH deg AS (
+        |  SELECT l_partkey, count(DISTINCT l_orderkey) AS k
+        |  FROM lineitem GROUP BY 1),
+        |dist AS (SELECT k, count(*) AS n_parts FROM deg GROUP BY 1),
+        |sl AS (
+        |  SELECT regr_slope(ln(CAST(n_parts AS DOUBLE)),
+        |    ln(CAST(k AS DOUBLE))) AS slope
+        |  FROM dist)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n_parts AS BIGINT) AS n_parts,
+        |  round(sl.slope, 6) AS slope
+        |FROM dist CROSS JOIN sl ORDER BY k""".stripMargin,
     "q_xcorr" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day,

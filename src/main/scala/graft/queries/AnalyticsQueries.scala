@@ -1735,4 +1735,175 @@ object AnalyticsQueries {
           col("purchases").cast("double")), 6).as("xcorr"))
       .orderBy("lag")
   }
+
+  /** Two-sample Kolmogorov–Smirnov test: are two sources' document-
+    * length distributions the same? D = max |ECDF_a − ECDF_b|, with
+    * the 5% critical value c(α)·√((n_a+n_b)/(n_a·n_b)). Like [[rocAuc]],
+    * the global-rank problem is avoided by reducing to per-distinct-
+    * value counts first (the only data-volume shuffle); the cumulative
+    * window then runs over ≤ |distinct values| rows. This is the
+    * standard drift-detection primitive next to [[graft.queries
+    * .FuncQueries]]'s PSI, but distribution-free.
+    */
+  def ksTest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("n_chars"), col("source"))
+    val bins = docs.groupBy("n_chars")
+      .agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c_b"))
+    val cum = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+    bins
+      .withColumn("cum_a", sum("c_a").over(cum))
+      .withColumn("cum_b", sum("c_b").over(cum))
+      .withColumn("n_a", sum("c_a").over(all))
+      .withColumn("n_b", sum("c_b").over(all))
+      .agg(
+        max(abs(col("cum_a") / col("n_a") - col("cum_b") / col("n_b")))
+          .as("d_raw"),
+        max("n_a").as("n_a"), max("n_b").as("n_b"))
+      .select(
+        round(col("d_raw"), 6).as("d_stat"),
+        round(lit(1.358) * sqrt((col("n_a") + col("n_b"))
+          / (col("n_a") * col("n_b")).cast("double")), 6).as("crit_05"),
+        col("n_a"), col("n_b"))
+  }
+
+  /** Kaplan–Meier time-to-conversion curve: duration = days from a
+    * user's first event to their first high-value purchase
+    * (value > 95); users who never convert are right-censored at their
+    * last observed day. For each distinct conversion time t:
+    * n_risk = users with duration ≥ t, d = conversions at t,
+    * S(t) = Π_{t_i≤t} (1 − d_i/n_i), computed as exp(Σ ln·) over the
+    * ordered duration frame. The per-user aggregate is the only
+    * data-volume shuffle; the curve math runs on ≤ |distinct durations|
+    * rows. The factor is clamped away from zero so a terminal d==n
+    * group yields S→0 instead of ln(0) (engines disagree on ln(0):
+    * −∞ vs error).
+    */
+  def survivalKm(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"), col("value"))
+      .groupBy("user_id")
+      .agg(min("day").as("first_day"), max("day").as("last_day"),
+        min(when(col("event_type") === "purchase" && col("value") > 95,
+          col("day"))).as("conv_day"))
+      .select(
+        datediff(coalesce(col("conv_day"), col("last_day")),
+          col("first_day")).cast("long").as("t"),
+        col("conv_day").isNull.cast("long").as("censored"))
+    val byT = users.groupBy("t")
+      .agg(count(lit(1)).as("n_t"),
+        sum(lit(1L) - col("censored")).as("d_t"))
+    val before = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+    byT
+      .withColumn("n_risk",
+        sum("n_t").over(all) - coalesce(sum("n_t").over(before), lit(0L)))
+      .filter(col("d_t") > 0)
+      .withColumn("surv", exp(sum(log(greatest(
+        lit(1.0) - col("d_t").cast("double") / col("n_risk"),
+        lit(1e-300)))).over(upTo)))
+      .select(col("t").as("t_days"), col("n_risk"),
+        col("d_t").as("d_events"), round(col("surv"), 6).as("survival"))
+      .orderBy("t_days")
+  }
+
+  /** Seasonal-naive forecast backtest: tomorrow's revenue per event
+    * type is predicted by the value 7 days earlier, and the forecast
+    * error is scored with MAPE, SMAPE, and mean bias — the baseline
+    * every real forecasting pipeline must beat. Daily totals are
+    * rounded to 2dp before the ratio math so both engines bin the same
+    * values (double-sum ulp guard). The day-grain aggregate is the only
+    * data-volume shuffle; the backtest joins the one-row-per-day frame
+    * to itself on (type, day−7).
+    */
+  def seasonalNaive(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val actual = daily.select(col("event_type"), col("day"),
+      col("rev").as("a"))
+    val forecast = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("rev").as("f"))
+    actual.join(forecast, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(avg(abs(col("a") - col("f")) / col("a")), 6).as("mape"),
+        round(avg(lit(2.0) * abs(col("a") - col("f"))
+          / (abs(col("a")) + abs(col("f")))), 6).as("smape"),
+        round(avg(col("f") - col("a")), 6).as("mean_bias"))
+      .orderBy("event_type")
+  }
+
+  /** Mann–Kendall trend test per event type: is the daily-revenue
+    * series monotonically trending? S = Σ_{i<j} sign(x_j − x_i) over
+    * all day pairs, Kendall's τ = S/(n(n−1)/2), and the normal-
+    * approximation z with the tie-corrected variance
+    * (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))/18. The day-grain aggregate is
+    * the only data-volume shuffle; the pair join runs on the one-row-
+    * per-day frame (≤ |days|² per type, independent of event volume) —
+    * the standard nonparametric "is this metric drifting" monitor.
+    */
+  def mannKendall(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val a = daily.select(col("event_type"), col("day"), col("rev"))
+    val b = daily.select(col("event_type"), col("day").as("day2"),
+      col("rev").as("rev2"))
+    val sPart = a.join(b, Seq("event_type"))
+      .filter(col("day") < col("day2"))
+      .groupBy("event_type")
+      .agg(sum(when(col("rev2") > col("rev"), 1L)
+        .when(col("rev2") < col("rev"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = daily.groupBy("event_type", "rev")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum("t").as("n"),
+        sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("tt"))
+    sPart.join(ties, "event_type")
+      .withColumn("var_s",
+        (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) - col("tt"))
+          .cast("double") / 18)
+      .select(col("event_type"), col("n").as("n_days"), col("s_stat"),
+        round(col("s_stat").cast("double")
+          / (col("n") * (col("n") - 1) / lit(2L)), 6).as("tau"),
+        round(
+          when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double") / sqrt(col("var_s")))
+            .when(col("s_stat") < 0,
+              (col("s_stat") + 1).cast("double") / sqrt(col("var_s")))
+            .otherwise(lit(0.0)), 6).as("z"))
+      .orderBy("event_type")
+  }
+
+  /** Degree distribution + power-law tail fit: each part's degree is
+    * the number of orders containing it; P(k) is the count of parts at
+    * each degree; the log–log slope (regr_slope of ln count on ln k)
+    * estimates the power-law exponent. Two keyed aggregates — part,
+    * then degree — each a single shuffle, then a scalar regression over
+    * the ≤ |distinct degrees| frame: the first diagnostic run on any
+    * production graph before choosing a partitioning strategy (skew!).
+    */
+  def degreeDist(s: SparkSession, d: String): DataFrame = {
+    val deg = Tables.lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(countDistinct("l_orderkey").as("k"))
+    val dist = deg.groupBy("k").agg(count(lit(1)).as("n_parts"))
+    val all = Window.partitionBy(lit(1))
+    dist
+      .withColumn("slope",
+        regr_slope(log(col("n_parts").cast("double")),
+          log(col("k").cast("double"))).over(all))
+      .select(col("k"), col("n_parts"), round(col("slope"), 6).as("slope"))
+      .orderBy("k")
+  }
 }

@@ -637,6 +637,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.forall(_.getLong(1) <= n0))
   }
 
+  test("ks test: one row, D in [0,1], critical value positive") {
+    val r = AnalyticsQueries.ksTest(spark, sfDir).collect()
+    assert(r.length === 1)
+    val d = r(0).getDouble(0)
+    assert(d >= 0.0 && d <= 1.0)
+    assert(r(0).getDouble(1) > 0.0)
+    assert(r(0).getLong(2) > 0 && r(0).getLong(3) > 0)
+  }
+
+  test("survival: S non-increasing in (0,1], n_risk non-increasing") {
+    val rows = AnalyticsQueries.survivalKm(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val surv = rows.map(_.getDouble(3))
+    surv.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-9 })
+    val risk = rows.map(_.getLong(1))
+    assert(risk.zip(risk.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("seasonal naive: per-type backtest, smape bounded by 2") {
+    val rows = AnalyticsQueries.seasonalNaive(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, r)                    // n_days
+      assert(r.getDouble(2) >= 0.0, r)               // mape
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 2.0, r) // smape
+    }
+  }
+
+  test("mann-kendall: tau in [-1,1], z finite, s bounded by pair count") {
+    val rows = AnalyticsQueries.mannKendall(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1); val sStat = r.getLong(2)
+      assert(math.abs(sStat) <= n * (n - 1) / 2, r)
+      val tau = r.getDouble(3)
+      assert(tau >= -1.0 && tau <= 1.0, r)
+      assert(!r.getDouble(4).isNaN && !r.getDouble(4).isInfinite, r)
+    }
+  }
+
+  test("degree distribution: counts partition parts, slope negative") {
+    val rows = AnalyticsQueries.degreeDist(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalParts = rows.map(_.getLong(1)).sum
+    val distinctParts = graft.io.Tables.lineitem(spark, sfDir)
+      .select("l_partkey").distinct().count()
+    assert(totalParts === distinctParts)
+    // one slope value broadcast to every row
+    assert(rows.map(_.getDouble(2)).distinct.length === 1)
+  }
+
   test("entity clusters: >=2 variants each, canonical names distinct") {
     val rows = AnalyticsQueries.entityClusters(spark, sfDir).collect()
     assert(rows.nonEmpty)
