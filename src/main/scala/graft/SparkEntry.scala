@@ -205,6 +205,9 @@ object SparkEntry {
     "q_seasonal_naive" -> (AnalyticsQueries.seasonalNaive _),
     "q_mann_kendall"   -> (AnalyticsQueries.mannKendall _),
     "q_degree_dist"    -> (AnalyticsQueries.degreeDist _),
+    "q_did"            -> (AnalyticsQueries.diffInDiff _),
+    "q_seq_mining"     -> (AnalyticsQueries.seqMining _),
+    "q_concurrency"    -> (AnalyticsQueries.concurrency _),
     "q_entity_clusters" -> (AnalyticsQueries.entityClusters _),
     "q_hist2d"         -> (AnalyticsQueries.hist2d _),
     "q_stl"            -> (AnalyticsQueries.stlDecompose _),
@@ -2411,6 +2414,73 @@ object SparkEntry {
         |FROM daily a JOIN daily f
         |  ON a.event_type = f.event_type AND a.day = f.day + 7
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_did" ->
+      """WITH ev AS (
+        |  SELECT value, user_id % 2 = 1 AS treat,
+        |    CAST(ts AS DATE) >= DATE '2024-01-16' AS post
+        |  FROM events)
+        |SELECT
+        |  round(avg(CASE WHEN treat AND NOT post THEN value END), 6)
+        |    AS treat_pre,
+        |  round(avg(CASE WHEN treat AND post THEN value END), 6)
+        |    AS treat_post,
+        |  round(avg(CASE WHEN NOT treat AND NOT post THEN value END), 6)
+        |    AS ctrl_pre,
+        |  round(avg(CASE WHEN NOT treat AND post THEN value END), 6)
+        |    AS ctrl_post,
+        |  round((avg(CASE WHEN treat AND post THEN value END)
+        |      - avg(CASE WHEN treat AND NOT post THEN value END))
+        |    - (avg(CASE WHEN NOT treat AND post THEN value END)
+        |      - avg(CASE WHEN NOT treat AND NOT post THEN value END)), 6)
+        |    AS did
+        |FROM ev""".stripMargin,
+    "q_seq_mining" ->
+      """WITH steps AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS idx
+        |  FROM events QUALIFY idx <= 10)
+        |SELECT concat(a.event_type, '>', b.event_type, '>',
+        |    c.event_type) AS pattern,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS support
+        |FROM steps a
+        |JOIN steps b ON a.user_id = b.user_id AND a.idx < b.idx
+        |JOIN steps c ON b.user_id = c.user_id AND b.idx < c.idx
+        |GROUP BY 1 ORDER BY support DESC, pattern LIMIT 20""".stripMargin,
+    "q_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, lag(ts) OVER w AS prev_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |b AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR date_diff('second', prev_ts, ts) > 1800
+        |    THEN 1 ELSE 0 END AS is_break
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM b),
+        |sb AS (
+        |  SELECT min(CAST(ts AS DATE)) AS day,
+        |    CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+        |    CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s
+        |  FROM sess GROUP BY user_id, session_id),
+        |bounds AS (
+        |  SELECT day, start_s AS t, 1 AS delta FROM sb
+        |  UNION ALL SELECT day, end_s AS t, -1 AS delta FROM sb),
+        |sweep AS (
+        |  SELECT day, delta,
+        |    sum(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM bounds)
+        |SELECT day,
+        |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sessions,
+        |  CAST(max(conc) AS BIGINT) AS max_concurrent
+        |FROM sweep GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_mann_kendall" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

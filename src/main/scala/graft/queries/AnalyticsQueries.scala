@@ -1906,4 +1906,95 @@ object AnalyticsQueries {
       .select(col("k"), col("n_parts"), round(col("slope"), 6).as("slope"))
       .orderBy("k")
   }
+
+  /** Difference-in-differences: the 2×2 causal baseline. Users split
+    * into treat/control by a deterministic key hash (user_id parity —
+    * stands in for an assignment table), periods split at mid-window;
+    * the outcome is mean event value per (group, period), and the DiD
+    * estimate is (treat_post − treat_pre) − (ctrl_post − ctrl_pre).
+    * One conditional aggregate over the events scan — no joins, no
+    * windows — so it costs a single map-side-combined pass at any
+    * scale.
+    */
+  def diffInDiff(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("value"),
+        (col("user_id") % 2 === 1).as("treat"),
+        (to_date(col("ts")) >= lit("2024-01-16").cast("date")).as("post"))
+    def m(t: Boolean, p: Boolean) =
+      avg(when(col("treat") === t && col("post") === p, col("value")))
+    ev.agg(
+      round(m(true, false), 6).as("treat_pre"),
+      round(m(true, true), 6).as("treat_post"),
+      round(m(false, false), 6).as("ctrl_pre"),
+      round(m(false, true), 6).as("ctrl_post"),
+      round((m(true, true) - m(true, false))
+        - (m(false, true) - m(false, false)), 6).as("did"))
+  }
+
+  /** Sequential-pattern mining (GSP/PrefixSpan-lite): the top length-3
+    * event-type subsequences across user journeys, scored by distinct-
+    * user support. Journeys are capped at each user's first 10 events —
+    * the cap is what makes the subsequence expansion bounded (≤ C(10,3)
+    * candidates per user) and scale-linear in users; without it the
+    * three-way index join is cubic in journey length. Joins are all on
+    * the user key, so candidate generation never crosses users.
+    */
+  def seqMining(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val steps = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        row_number().over(w).as("idx"), col("ts"), col("event_id"))
+      .filter(col("idx") <= 10)
+      .select(col("user_id"), col("event_type"), col("idx"))
+    def leg(n: Int) = steps.select(col("user_id"),
+      col("event_type").as(s"e$n"), col("idx").as(s"i$n"))
+    leg(1)
+      .join(leg(2), Seq("user_id")).filter(col("i1") < col("i2"))
+      .join(leg(3), Seq("user_id")).filter(col("i2") < col("i3"))
+      .groupBy(concat_ws(">", col("e1"), col("e2"), col("e3"))
+        .as("pattern"))
+      .agg(countDistinct("user_id").as("support"))
+      .orderBy(col("support").desc, col("pattern"))
+      .limit(20)
+  }
+
+  /** Peak-concurrency via sweep line: sessions (same 30-min-gap rule as
+    * [[graft.queries.FuncQueries.sessionize]]) become +1/−1 boundary
+    * events; a running sum ordered by (time, delta desc) — starts
+    * before ends on ties, i.e. CLOSED intervals, so a zero-length
+    * single-event session still registers concurrency 1 — yields
+    * instantaneous concurrency, and the per-day max is the capacity-
+    * planning number. The sweep is partitioned by the day the session
+    * starts (the scale unit; a cross-midnight session counts toward
+    * its start day), so no global ordering exists anywhere in the
+    * plan.
+    */
+  def concurrency(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum("is_break").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts").cast("long")).as("start_s"),
+        max(col("ts").cast("long")).as("end_s"),
+        min(to_date(col("ts"))).as("day"))
+    val bounds = sessions
+      .select(col("day"), col("start_s").as("t"), lit(1L).as("delta"))
+      .unionByName(sessions
+        .select(col("day"), col("end_s").as("t"), lit(-1L).as("delta")))
+    val sweep = Window.partitionBy("day").orderBy(col("t"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bounds
+      .withColumn("conc", sum("delta").over(sweep))
+      .groupBy("day")
+      .agg(sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_sessions"),
+        max("conc").as("max_concurrent"))
+      .orderBy("day")
+  }
 }

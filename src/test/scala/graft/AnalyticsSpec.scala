@@ -689,6 +689,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getDouble(2)).distinct.length === 1)
   }
 
+  test("did: one row, estimate equals the 2x2 difference of rounded means") {
+    val r = AnalyticsQueries.diffInDiff(spark, sfDir).collect()
+    assert(r.length === 1)
+    val Seq(tp0, tp1, cp0, cp1, did) =
+      (0 to 4).map(r(0).getDouble).toSeq
+    assert(math.abs(((tp1 - tp0) - (cp1 - cp0)) - did) < 1e-4)
+  }
+
+  test("seq mining: 20 patterns, support descending and user-bounded") {
+    val rows = AnalyticsQueries.seqMining(spark, sfDir).collect()
+    assert(rows.length === 20)
+    val sup = rows.map(_.getLong(1))
+    assert(sup.zip(sup.tail).forall { case (a, b) => b <= a })
+    val nUsers = graft.io.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(sup.head <= nUsers)
+    rows.foreach(r => assert(r.getString(0).split(">").length === 3, r))
+  }
+
+  test("concurrency: per-day sweep bounded by session count") {
+    val rows = AnalyticsQueries.concurrency(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1, r)                  // max_concurrent
+      assert(r.getLong(2) <= r.getLong(1), r)       // <= n_sessions
+    }
+  }
+
   test("entity clusters: >=2 variants each, canonical names distinct") {
     val rows = AnalyticsQueries.entityClusters(spark, sfDir).collect()
     assert(rows.nonEmpty)
