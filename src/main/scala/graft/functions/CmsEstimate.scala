@@ -16,7 +16,7 @@ import org.apache.spark.util.sketch.CountMinSketch
   * bitwise — one tiny reduce regardless of input size), and this
   * expression answers "how many times did `value` occur?" with the CMS
   * guarantee `true ≤ estimate ≤ true + ε·N` (w.p. `conf`). Together
-  * with the Misra–Gries candidates ([[MisraGries]]) this is the
+  * with the Misra–Gries candidates ([[MisraGriesSketch]]) this is the
   * standard two-step heavy-hitter pipeline at 100 TB: MG proposes a
   * bounded candidate set in one pass, CMS refines each candidate's
   * count without ever materializing the full key→count map.

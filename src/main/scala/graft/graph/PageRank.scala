@@ -62,19 +62,23 @@ object PageRank {
       .localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
     for (_ <- 1 to iters) {
-      // rank parked on sinks this round, redistributed uniformly below
+      // rank parked on sinks this round, redistributed uniformly: a
+      // ONE-ROW broadcast cross join instead of a driver collect, so
+      // each round is a single job (the checkpoint action) — an
+      // iterative driver loop pays per-job scheduling latency ×
+      // iters, and halving the job count halves that fixed cost
       val dangling = ranks.join(hasOut, Seq("node"), "left")
         .filter(col("__has_out").isNull)
-        .agg(coalesce(sum("rank"), lit(0.0)).as("s"))
-        .collect()(0).getDouble(0)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dang"))
       val contrib = ranks.join(eNorm, ranks("node") === eNorm("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") * col("frac")).as("__c"))
       val stepped = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("__c"), lit(0.0)) +
-              lit(dangling / n))).as("rank"))
+              col("__dang") / lit(n.toDouble))).as("rank"))
         .localCheckpoint(true)
       rdd(ranks).foreach(_.unpersist(false))
       ranks = stepped
@@ -140,19 +144,20 @@ object PageRank {
       .select(col("node"), coalesce(col("__sw"), lit(0.0)).as("rank"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
+      // same one-row broadcast fold as [[run]]: one job per round
       val dangling = ranks.join(hasOut, Seq("node"), "left")
         .filter(col("__has_out").isNull)
-        .agg(coalesce(sum("rank"), lit(0.0)).as("s"))
-        .collect()(0).getDouble(0)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dang"))
       val contrib = ranks.join(eNorm, ranks("node") === eNorm("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") * col("frac")).as("__c"))
       val stepped = nodes.join(contrib, Seq("node"), "left")
         .join(sW, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"),
           (coalesce(col("__sw"), lit(0.0)) * lit(1.0 - damping) +
             lit(damping) * (coalesce(col("__c"), lit(0.0)) +
-              lit(dangling) * coalesce(col("__sw"), lit(0.0))))
+              col("__dang") * coalesce(col("__sw"), lit(0.0))))
             .as("rank"))
         .localCheckpoint(true)
       rdd(ranks).foreach(_.unpersist(false))

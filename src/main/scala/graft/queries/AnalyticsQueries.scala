@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,24 +13,24 @@ import graft.io.Tables
   */
 object AnalyticsQueries {
 
-  /** Top-5 orders per priority via the bounded [[graft.functions.TopKAgg]]
-    * Aggregator — the PARTIAL-aggregation alternative to the
-    * `row_number` window: each map task forwards at most k pairs per
-    * group across the shuffle instead of every row (see TopKAgg's
-    * Scaladoc for the cost law). Oracle = the window form, so this
-    * also proves the two operators agree.
+  /** Top-5 orders per priority via the bounded
+    * [[graft.functions.TopKPairs]] aggregate — the PARTIAL-aggregation
+    * alternative to the `row_number` window: each map task forwards at
+    * most k pairs per group across the shuffle instead of every row
+    * (see TopKPairs' Scaladoc for the cost law). Oracle = the window
+    * form, so this also proves the two operators agree.
     */
   def topKAgg(s: SparkSession, d: String): DataFrame = {
-    val topk = udaf(new graft.functions.TopKAgg(5),
-      ExpressionEncoder[(Double, Long)]())
+    import graft.functions.SketchAggregates
     Tables.orders(s, d)
       .groupBy("o_orderpriority")
-      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .agg(SketchAggregates.top_k_pairs(
+        col("o_totalprice"), col("o_orderkey"), 5).as("top"))
       .select(col("o_orderpriority"), posexplode(col("top")))
       .select(col("o_orderpriority"),
         (col("pos") + 1).cast("long").as("rank"),
-        col("col._2").as("order_key"),
-        round(col("col._1"), 2).as("total_price"))
+        col("col.id").as("order_key"),
+        round(col("col.score"), 2).as("total_price"))
       .orderBy("o_orderpriority", "rank")
   }
 

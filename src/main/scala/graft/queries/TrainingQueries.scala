@@ -88,19 +88,20 @@ object TrainingQueries {
       .orderBy("id_a", "id_b")
 
   /** Corpus heavy hitters via the Misra–Gries sketch (k=20 counters,
-    * [[graft.functions.MisraGries]]): top tokens with O(k) state per
-    * task instead of the full token-frequency shuffle of the exact
-    * [[termFreq]]. Sketch counts are order-sensitive by construction
-    * (no SQL oracle); the superset + error-bound guarantees are
-    * asserted against exact counts in FunctionsSpec.
+    * [[graft.functions.MisraGriesSketch]] — a native
+    * TypedImperativeAggregate, so the sketch buffer lives as a JVM
+    * object and serializes only across the shuffle): top tokens with
+    * O(k) state per task instead of the full token-frequency shuffle
+    * of the exact [[termFreq]]. Sketch counts are order-sensitive by
+    * construction (no SQL oracle); the superset + error-bound
+    * guarantees are asserted against exact counts in FunctionsSpec.
     */
   def heavyHitters(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val toks = Tables.documents(s, d)
+    import graft.functions.SketchAggregates
+    Tables.documents(s, d)
       .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
-      .filter(col("tok") =!= "").as[String]
-    toks.select(new graft.functions.MisraGries(20).toColumn)
-      .toDF("sketch")
+      .filter(col("tok") =!= "")
+      .agg(SketchAggregates.misra_gries(col("tok"), 20).as("sketch"))
       .select(explode(col("sketch")).as(Seq("token", "est_count")))
       .orderBy(desc("est_count"), col("token"))
   }

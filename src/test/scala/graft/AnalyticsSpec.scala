@@ -30,17 +30,31 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
-  test("TopKAgg buffer stays bounded and ties break by id asc") {
-    val agg = new graft.functions.TopKAgg(3)
-    var buf = agg.zero
+  test("TopKPairs buffer stays bounded and ties break by id asc") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val agg = graft.functions.TopKPairs(
+      BoundReference(0, DoubleType, nullable = true),
+      BoundReference(1, LongType, nullable = true), 3)
+    def finish(buf: scala.collection.mutable.ArrayBuffer[(Double, Long)])
+    : Seq[(Double, Long)] =
+      agg.eval(buf).asInstanceOf[GenericArrayData].array.toSeq
+        .map(_.asInstanceOf[InternalRow])
+        .map(r => (r.getDouble(0), r.getLong(1)))
+    var buf = agg.createAggregationBuffer()
     // 100 inserts, all the same score: tie-break must keep smallest ids
-    (1L to 100L).foreach { i => buf = agg.reduce(buf, (1.0, i)) }
+    (1L to 100L).foreach { i => buf = agg.update(buf, InternalRow(1.0, i)) }
     assert(buf.length < 6, "buffer must prune before 2k")
-    assert(agg.finish(buf) === Seq((1.0, 1L), (1.0, 2L), (1.0, 3L)))
-    // merge respects the same bound and ordering
-    var other = agg.zero
-    (101L to 200L).foreach { i => other = agg.reduce(other, (2.0, i)) }
-    val merged = agg.finish(agg.merge(buf, other))
+    assert(finish(buf) === Seq((1.0, 1L), (1.0, 2L), (1.0, 3L)))
+    // merge respects the same bound and ordering; serialize round-trips
+    var other = agg.createAggregationBuffer()
+    (101L to 200L).foreach { i =>
+      other = agg.update(other, InternalRow(2.0, i))
+    }
+    other = agg.deserialize(agg.serialize(other))
+    val merged = finish(agg.merge(buf, other))
     assert(merged === Seq((2.0, 101L), (2.0, 102L), (2.0, 103L)))
   }
 

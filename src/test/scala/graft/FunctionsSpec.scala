@@ -125,9 +125,9 @@ class FunctionsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val n = exact.values.sum
     val k = 20
-    val sketch: Map[String, Long] = toks.select(col("tok")).as[String]
-      .select(new graft.functions.MisraGries(k).toColumn)
-      .collect()(0)
+    val sketch: Map[String, Long] = toks
+      .agg(graft.functions.SketchAggregates.misra_gries(col("tok"), k))
+      .collect()(0).getAs[Map[String, Long]](0)
     val thresh = n.toDouble / (k + 1)
     // no false negatives above n/(k+1)
     exact.foreach { case (t, c) =>
