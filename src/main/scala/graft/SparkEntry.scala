@@ -231,7 +231,10 @@ object SparkEntry {
     "q_vocab_jaccard"  -> (TrainingQueries.vocabJaccard _),
     "q_assortativity"  -> (AnalyticsQueries.assortativity _),
     "q_burstiness"     -> (AnalyticsQueries.burstiness _),
-    "q_gap_stats"      -> (AnalyticsQueries.gapStats _)
+    "q_gap_stats"      -> (AnalyticsQueries.gapStats _),
+    "q_item_sim"       -> (AnalyticsQueries.itemSim _),
+    "q_communities"    -> (TrainingQueries.communities _),
+    "q_hop_dist"       -> (AnalyticsQueries.hopDist _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -2675,6 +2678,114 @@ object SparkEntry {
         |    CAST((doc_id * 2654435761) % 4294967296 % 5 AS BIGINT)
         |      AS fold
         |  FROM documents)
-        |GROUP BY 1 ORDER BY fold""".stripMargin
+        |GROUP BY 1 ORDER BY fold""".stripMargin,
+    "q_item_sim" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |pp AS (SELECT pk, count(*) AS n FROM li GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_pair
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+        |  GROUP BY 1, 2),
+        |sim AS (
+        |  SELECT part_a, part_b,
+        |    n_pair / sqrt(CAST(pa.n * pb.n AS DOUBLE)) AS cos
+        |  FROM pairs
+        |  JOIN pp pa ON pairs.part_a = pa.pk
+        |  JOIN pp pb ON pairs.part_b = pb.pk),
+        |r AS (
+        |  SELECT part_a, part_b, cos, row_number() OVER (
+        |    PARTITION BY part_a ORDER BY cos DESC, part_b) AS rn
+        |  FROM sim)
+        |SELECT part_a AS part, CAST(rn AS BIGINT) AS rank,
+        |  part_b AS neighbor, round(cos, 6) AS cosine
+        |FROM r WHERE rn <= 3 ORDER BY part, rank""".stripMargin,
+    "q_communities" ->
+      // the 4 deterministic LPA rounds unrolled as CTEs: each round
+      // re-derives every node's argmax-weight neighbor label (ties to
+      // the smallest label) from the previous round's labeling
+      """WITH tok AS (
+        |  SELECT list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    x -> x <> '') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS sh
+        |  FROM tok WHERE len(w) >= 2),
+        |cnt AS (
+        |  SELECT split_part(sh, ' ', 1) AS src,
+        |    split_part(sh, ' ', 2) AS dst, count(*) AS w
+        |  FROM bg GROUP BY 1, 2),
+        |e AS (
+        |  SELECT src, dst, sum(w) AS w FROM (
+        |    SELECT src, dst, w FROM cnt
+        |    UNION ALL
+        |    SELECT dst, src, w FROM cnt) u
+        |  GROUP BY 1, 2),
+        |r0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
+        |r1 AS (
+        |  SELECT r.id, coalesce(p.label, r.label) AS label
+        |  FROM r0 r LEFT JOIN (
+        |    SELECT id, label FROM (
+        |      SELECT e.dst AS id, l.label AS label,
+        |        row_number() OVER (PARTITION BY e.dst
+        |          ORDER BY sum(e.w) DESC, l.label ASC) AS rn
+        |      FROM e JOIN r0 l ON e.src = l.id
+        |      GROUP BY e.dst, l.label) f WHERE rn = 1) p
+        |    ON r.id = p.id),
+        |r2 AS (
+        |  SELECT r.id, coalesce(p.label, r.label) AS label
+        |  FROM r1 r LEFT JOIN (
+        |    SELECT id, label FROM (
+        |      SELECT e.dst AS id, l.label AS label,
+        |        row_number() OVER (PARTITION BY e.dst
+        |          ORDER BY sum(e.w) DESC, l.label ASC) AS rn
+        |      FROM e JOIN r1 l ON e.src = l.id
+        |      GROUP BY e.dst, l.label) f WHERE rn = 1) p
+        |    ON r.id = p.id),
+        |r3 AS (
+        |  SELECT r.id, coalesce(p.label, r.label) AS label
+        |  FROM r2 r LEFT JOIN (
+        |    SELECT id, label FROM (
+        |      SELECT e.dst AS id, l.label AS label,
+        |        row_number() OVER (PARTITION BY e.dst
+        |          ORDER BY sum(e.w) DESC, l.label ASC) AS rn
+        |      FROM e JOIN r2 l ON e.src = l.id
+        |      GROUP BY e.dst, l.label) f WHERE rn = 1) p
+        |    ON r.id = p.id),
+        |r4 AS (
+        |  SELECT r.id, coalesce(p.label, r.label) AS label
+        |  FROM r3 r LEFT JOIN (
+        |    SELECT id, label FROM (
+        |      SELECT e.dst AS id, l.label AS label,
+        |        row_number() OVER (PARTITION BY e.dst
+        |          ORDER BY sum(e.w) DESC, l.label ASC) AS rn
+        |      FROM e JOIN r3 l ON e.src = l.id
+        |      GROUP BY e.dst, l.label) f WHERE rn = 1) p
+        |    ON r.id = p.id)
+        |SELECT label AS community, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  min(id) AS sample_token
+        |FROM r4 GROUP BY 1
+        |ORDER BY n_tokens DESC, community LIMIT 20""".stripMargin,
+    "q_hop_dist" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+        |seeds AS (
+        |  SELECT p_partkey AS node FROM part WHERE p_partkey <= 10),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |walk(node, dist) AS (
+        |  SELECT s.node, 0 FROM seeds s JOIN nodes n ON s.node = n.node
+        |  UNION
+        |  SELECT e.dst, w.dist + 1
+        |  FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.dist < 4)
+        |SELECT node AS part, CAST(min(dist) AS BIGINT) AS hops
+        |FROM walk GROUP BY 1 ORDER BY part""".stripMargin
   )
 }

@@ -506,6 +506,69 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** Item-item collaborative filtering: top-3 most-similar parts per
+    * part by co-purchase cosine `n_ab / sqrt(n_a·n_b)` — the classic
+    * item-kNN recommender precompute (Sarwar et al., "Item-based
+    * collaborative filtering recommendation algorithms", WWW 2001).
+    * The pair generation is the same order-keyed self-join as
+    * [[basket]] (bounded by basket size², never |parts|²); the per-
+    * item top-3 uses the bounded [[graft.functions.TopKPairs]]
+    * aggregate, so only ≤ 3 neighbor candidates per item per task
+    * cross the final shuffle instead of every scored pair. Cosine is
+    * a single IEEE div/sqrt over exact integer counts ⇒ exact oracle
+    * (the window form, proving the aggregate once more).
+    */
+  def itemSim(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchAggregates
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val perPart = li.groupBy("pk").agg(count(lit(1)).as("n"))
+    val sim = li.select(col("ok"), col("pk").as("part_a"))
+      .join(li.select(col("ok"), col("pk").as("part_b")), Seq("ok"))
+      .filter(col("part_a") =!= col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_pair"))
+      .join(perPart.select(col("pk").as("part_a"), col("n").as("n_a")),
+        "part_a")
+      .join(perPart.select(col("pk").as("part_b"), col("n").as("n_b")),
+        "part_b")
+      .withColumn("cos", col("n_pair") / sqrt(col("n_a") * col("n_b")))
+    sim.groupBy("part_a")
+      .agg(SketchAggregates.top_k_pairs(col("cos"), col("part_b"), 3)
+        .as("top"))
+      .select(col("part_a"), posexplode(col("top")))
+      .select(col("part_a").as("part"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor"),
+        round(col("col.score"), 6).as("cosine"))
+      .orderBy("part", "rank")
+  }
+
+  /** Co-purchase hop distance: bounded-depth [[graft.graph.Bfs]] from
+    * a seed part set over the "bought in the same order" graph — the
+    * "link distance from trusted seeds" curation signal (TrustRank:
+    * Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004), applied to the
+    * product graph. Per-part minimum hops, depth-bounded at 4 so the
+    * round count — and the oracle's recursion — is fixed regardless
+    * of diameter. Integer node ids and hop counts ⇒ exact oracle
+    * (bounded recursive CTE).
+    */
+  def hopDist(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.select(col("ok"), col("pk").as("src"))
+      .join(li.select(col("ok"), col("pk").as("dst")), Seq("ok"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val seeds = Tables.part(s, d).filter(col("p_partkey") <= 10)
+      .select(col("p_partkey").as("node"))
+    graft.graph.Bfs.hopDistance(edges, seeds, maxDepth = 4)
+      .select(col("node").as("part"), col("dist").as("hops"))
+      .orderBy("part")
+  }
+
   /** Key-skew diagnostics — the report you run BEFORE picking join /
     * partition keys at 100 TB: per candidate key, cardinality, row
     * count, the hottest key's share, the p99/median count ratio, and

@@ -1205,4 +1205,44 @@ object TrainingQueries {
           / (col("va") + col("vb") - col("inter")), 6).as("jaccard"))
       .orderBy("source_a", "source_b")
   }
+
+  /** Symmetric token co-occurrence graph: lowercased whitespace
+    * tokens, per-doc-DISTINCT adjacent bigram edges, weight = number
+    * of documents containing the bigram (in either direction, summed).
+    * Shared substrate for [[communities]] and [[hopDist]]; kept
+    * integer-weighted so the LPA argmax and the oracle agree exactly.
+    */
+  private def tokenBigramGraph(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(
+      split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+    val bg = Tables.documents(s, d)
+      .select(toks.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(array_distinct(expr(
+        "transform(sequence(0, size(w) - 2)," +
+          " i -> struct(w[i] AS s, w[i+1] AS d))"))).as("e"))
+      .groupBy(col("e.s").as("src"), col("e.d").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    bg.unionByName(bg.select(col("dst").as("src"), col("src").as("dst"),
+        col("w")))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+  }
+
+  /** Community detection over the token co-occurrence graph via
+    * deterministic synchronous [[graft.graph.LabelPropagation]] (4
+    * rounds, ties to the smallest label): tokens of the same language
+    * co-occur and tokens of different languages almost never do, so
+    * the top communities recover the corpus's language clusters
+    * without ever reading the `lang` column. Deterministic integer
+    * weights + lexicographic tie-break ⇒ EXACT oracle (the 4 rounds
+    * unrolled as SQL CTEs).
+    */
+  def communities(s: SparkSession, d: String): DataFrame =
+    graft.graph.LabelPropagation.run(tokenBigramGraph(s, d),
+        weightCol = Some("w"), iters = 4)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_tokens"), min("id").as("sample_token"))
+      .orderBy(col("n_tokens").desc, col("community").asc)
+      .limit(20)
+
 }

@@ -731,6 +731,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("item sim: <=3 neighbors per part, cosine non-increasing, in (0,1]") {
+    val rows = AnalyticsQueries.itemSim(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (part, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.length <= 3, s"part $part")
+      assert(byRank.map(_.getLong(1)).toSeq === (1L to byRank.length))
+      val cos = byRank.map(_.getDouble(3))
+      assert(cos.forall(c => c > 0 && c <= 1), s"part $part cos: ${cos.toSeq}")
+      assert(cos.zip(cos.tail).forall { case (a, b) => b <= a })
+      assert(!byRank.map(_.getLong(2)).contains(part), "self-neighbor")
+    }
+  }
+
+  test("hop dist: seeds at 0, hops within bound, parts unique") {
+    val rows = AnalyticsQueries.hopDist(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length === rows.length, "dup parts")
+    assert(rows.forall { case (_, h) => h >= 0 && h <= 4 })
+    // every seed part present in the graph must sit at distance 0
+    rows.filter(_._1 <= 10).foreach { case (p, h) =>
+      assert(h === 0L, s"seed part $p at hops $h")
+    }
+    assert(rows.exists(_._2 > 0), "no ring beyond the seeds")
+  }
+
   test("entity clusters: >=2 variants each, canonical names distinct") {
     val rows = AnalyticsQueries.entityClusters(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -223,4 +223,75 @@ class GraphSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not settled"))
   }
+
+  // --- label propagation ---
+
+  private def symmetrize(edges: Seq[(String, String)]) = {
+    val e = edges.toDF("src", "dst")
+    e.union(e.select(col("dst"), col("src"))).toDF("src", "dst")
+  }
+
+  test("label propagation: barbell splits into its two triangles") {
+    // two triangles {a,b,c} and {d,e,f} joined by the bridge c-d;
+    // hand-traced 4 synchronous min-tie-break rounds land on labels
+    // a (left triangle) and c (right triangle — the bridge endpoint's
+    // round-1 label leaks across and wins by the min tie-break)
+    val edges = symmetrize(Seq("a" -> "b", "b" -> "c", "a" -> "c",
+      "d" -> "e", "e" -> "f", "d" -> "f", "c" -> "d"))
+    val got = graft.graph.LabelPropagation.run(edges, iters = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "c", "e" -> "c", "f" -> "c"))
+  }
+
+  test("label propagation: weight outvotes count") {
+    // x's neighbors: y (weight 10) vs u,v,w (weight 1 each, all
+    // labeled differently after round 0) — the heavy edge wins
+    val e = Seq(("y", "x", 10L), ("u", "x", 1L), ("v", "x", 1L),
+      ("w", "x", 1L)).toDF("src", "dst", "w")
+    val got = graft.graph.LabelPropagation.run(e, weightCol = Some("w"),
+        iters = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("x") === "y")
+  }
+
+  test("label propagation is deterministic across runs") {
+    val edges = symmetrize(Seq("a" -> "b", "b" -> "c", "c" -> "a",
+      "c" -> "d", "d" -> "e"))
+    val r1 = graft.graph.LabelPropagation.run(edges, iters = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val r2 = graft.graph.LabelPropagation.run(edges, iters = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(r1 === r2)
+  }
+
+  // --- bounded BFS ---
+
+  test("bfs: path graph distances from a single seed") {
+    val edges = symmetrize(Seq("a" -> "b", "b" -> "c", "c" -> "d",
+      "d" -> "e"))
+    val seeds = Seq("a").toDF("node")
+    val got = graft.graph.Bfs.hopDistance(edges, seeds, maxDepth = 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L,
+      "e" -> 4L))
+  }
+
+  test("bfs: depth bound truncates, multi-seed takes the min") {
+    val edges = symmetrize(Seq("a" -> "b", "b" -> "c", "c" -> "d",
+      "d" -> "e"))
+    val got = graft.graph.Bfs.hopDistance(edges,
+        Seq("a", "e").toDF("node"), maxDepth = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only the seeds and their 1-hop rings; c is 2 hops from both
+    assert(got === Map("a" -> 0L, "e" -> 0L, "b" -> 1L, "d" -> 1L))
+  }
+
+  test("bfs: seeds absent from the graph are ignored") {
+    val edges = symmetrize(Seq("a" -> "b"))
+    val got = graft.graph.Bfs.hopDistance(edges,
+        Seq("zzz", "a").toDF("node"), maxDepth = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 0L, "b" -> 1L))
+  }
 }

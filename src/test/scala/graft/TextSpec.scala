@@ -134,4 +134,18 @@ class TextSpec extends SparkSpec {
     assert(merges.head.left === "a")
     assert(merges.head.freq >= 3L)
   }
+
+  test("communities: token communities look like language clusters") {
+    val rows = graft.queries.TrainingQueries.communities(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // community sizes are positive and sorted descending
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.forall(_ >= 1))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => b <= a })
+    // the dominant community must be non-trivial: language-internal
+    // co-occurrence makes big label basins
+    assert(sizes.head >= 10, s"top community too small: ${sizes.head}")
+  }
+
 }
