@@ -234,7 +234,10 @@ object SparkEntry {
     "q_gap_stats"      -> (AnalyticsQueries.gapStats _),
     "q_item_sim"       -> (AnalyticsQueries.itemSim _),
     "q_communities"    -> (TrainingQueries.communities _),
-    "q_hop_dist"       -> (AnalyticsQueries.hopDist _)
+    "q_hop_dist"       -> (AnalyticsQueries.hopDist _),
+    "q_target_encode"  -> (TrainingQueries.targetEncode _),
+    "q_woe_bins"       -> (TrainingQueries.woeBins _),
+    "q_feature_hash"   -> (TrainingQueries.featureHash _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -2786,6 +2789,54 @@ object SparkEntry {
         |  FROM walk w JOIN e ON e.src = w.node
         |  WHERE w.dist < 4)
         |SELECT node AS part, CAST(min(dist) AS BIGINT) AS hops
-        |FROM walk GROUP BY 1 ORDER BY part""".stripMargin
+        |FROM walk GROUP BY 1 ORDER BY part""".stripMargin,
+    "q_target_encode" ->
+      """WITH li AS (
+        |  SELECT o.o_orderpriority AS cat,
+        |    CAST(l_returnflag = 'R' AS BIGINT) AS y,
+        |    CAST((l_orderkey * 8 + l_linenumber) * 2654435761
+        |      % 4294967296 % 5 AS BIGINT) AS fold
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |pf AS (
+        |  SELECT cat, fold, count(*) AS n_cf, sum(y) AS sum_cf
+        |  FROM li GROUP BY 1, 2),
+        |pc AS (
+        |  SELECT cat, count(*) AS n_c, sum(y) AS sum_c
+        |  FROM li GROUP BY 1),
+        |pr AS (SELECT sum(y) / CAST(count(*) AS DOUBLE) AS prior FROM li)
+        |SELECT pf.cat, pf.fold,
+        |  CAST(pc.n_c - pf.n_cf AS BIGINT) AS n_oof,
+        |  round((CAST(pc.sum_c - pf.sum_cf AS DOUBLE) + 20.0 * pr.prior)
+        |    / (CAST(pc.n_c - pf.n_cf AS DOUBLE) + 20.0), 6) AS enc
+        |FROM pf JOIN pc ON pf.cat = pc.cat CROSS JOIN pr
+        |ORDER BY pf.cat, fold""".stripMargin,
+    "q_woe_bins" ->
+      """WITH li AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(l_returnflag = 'R' AS BIGINT) AS bad
+        |  FROM lineitem),
+        |bounds AS (SELECT min(cents) AS lo, max(cents) AS hi FROM li),
+        |binned AS (
+        |  SELECT least(9, ((cents - lo) * 10) // (hi - lo + 1)) AS bin,
+        |    count(*) AS n, sum(bad) AS n_bad
+        |  FROM li CROSS JOIN bounds GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(n - n_bad) AS tot_good, sum(n_bad) AS tot_bad
+        |  FROM binned)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+        |  CAST(n_bad AS BIGINT) AS n_bad,
+        |  round(ln(((n - n_bad + 0.5) / tot_good)
+        |    / ((n_bad + 0.5) / tot_bad)), 6) AS woe
+        |FROM binned CROSS JOIN tot ORDER BY bin""".stripMargin,
+    "q_feature_hash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    x -> x <> '')) AS tok
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id,
+        |  ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS bucket,
+        |  count(*) AS n
+        |FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
   )
 }

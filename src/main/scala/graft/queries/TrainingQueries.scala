@@ -1206,6 +1206,103 @@ object TrainingQueries {
       .orderBy("source_a", "source_b")
   }
 
+  /** Out-of-fold target encoding: replace a categorical feature by the
+    * target mean computed WITHOUT the row's own fold — the standard
+    * leakage guard for high-cardinality categoricals in gradient-
+    * boosting / linear pipelines (fold k's encoding uses only folds
+    * ≠ k, so a row never sees its own label). Smoothed toward the
+    * global prior with pseudo-count m=20 (Micci-Barreca, "A
+    * preprocessing scheme for high-cardinality categorical
+    * attributes", SIGKDD Expl. 2001). Everything is two keyed
+    * aggregates + a one-row global prior broadcast — the OOF values
+    * come from (category totals − fold totals), never a per-row
+    * recompute, so the output is |categories|×|folds| rows at any
+    * data size. Deterministic fold hash (Knuth) ⇒ exact oracle.
+    */
+  def targetEncode(s: SparkSession, d: String): DataFrame = {
+    // orders is a fact table: NO broadcast hint — the equi-join keys
+    // both sides by orderkey and AQE may still demote it to broadcast
+    // at small scale
+    val li = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority").as("cat")), "l_orderkey")
+      .select(col("cat"),
+        (col("l_returnflag") === "R").cast("long").as("y"),
+        pmod(knuthHash32(col("l_orderkey") * 8 + col("l_linenumber")),
+          lit(5L)).as("fold"))
+    val perFold = li.groupBy("cat", "fold")
+      .agg(count(lit(1)).as("n_cf"), sum("y").as("sum_cf"))
+    val perCat = li.groupBy("cat")
+      .agg(count(lit(1)).as("n_c"), sum("y").as("sum_c"))
+    val prior = li.agg(
+      (sum("y").cast("double") / count(lit(1))).as("prior"))
+    perFold.join(perCat, "cat")
+      .crossJoin(broadcast(prior))
+      .select(col("cat"), col("fold"),
+        (col("n_c") - col("n_cf")).as("n_oof"),
+        round((  (col("sum_c") - col("sum_cf")).cast("double")
+               + lit(20.0) * col("prior"))
+          / ((col("n_c") - col("n_cf")).cast("double") + lit(20.0)), 6)
+          .as("enc"))
+      .orderBy("cat", "fold")
+  }
+
+  /** Weight-of-evidence binning + information value: equi-width decile
+    * bins over EXACT integer cents (no float boundary ambiguity
+    * between engines), per-bin `WOE = ln(%good/%bad)` with 0.5
+    * Laplace smoothing and the bin's IV contribution — the credit-
+    * scoring / feature-screening standard (Siddiqi, "Credit Risk
+    * Scorecards", 2006). One pass for min/max (one-row broadcast),
+    * one keyed aggregate for the bins: two scans, no window, no
+    * global sort — binning at 100 TB must never be an ntile over a
+    * single-partition window.
+    */
+  def woeBins(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      round(col("l_extendedprice") * 100).cast("long").as("cents"),
+      (col("l_returnflag") === "R").cast("long").as("bad"))
+    val bounds = li.agg(min("cents").as("lo"), max("cents").as("hi"))
+    val binned = li.crossJoin(broadcast(bounds))
+      // integer DIV keeps the bin boundary exact in every engine —
+      // no IEEE quotient to disagree on
+      .select(least(lit(9L),
+          expr("((cents - lo) * 10) div (hi - lo + 1)")).as("bin"),
+        col("bad"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("bad").as("n_bad"))
+    val tot = binned.agg(sum(col("n") - col("n_bad")).as("tot_good"),
+      sum("n_bad").as("tot_bad"))
+    binned.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_bad"),
+        round(log(
+          ((col("n") - col("n_bad") + lit(0.5)) / col("tot_good"))
+            / ((col("n_bad") + lit(0.5)) / col("tot_bad"))), 6)
+          .as("woe"))
+      .orderBy("bin")
+  }
+
+  /** Feature hashing (the "hashing trick": Weinberger et al., ICML
+    * 2009): tokens → fixed 256-bucket sparse counts per document via
+    * an ENGINE-PORTABLE hash (first 8 hex digits of md5 — both Spark
+    * and the oracle compute the identical bucket, unlike
+    * `xxhash64`/`hash` which are engine-private). A narrow map +
+    * explode + one keyed aggregate; the fixed bucket space is what
+    * lets a 100 TB corpus feed a fixed-width linear model with no
+    * vocabulary table at all. Restricted to doc_id < 50 to keep the
+    * verification dump small; the plan is corpus-size-agnostic.
+    */
+  def featureHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(filter(
+        split(lower(trim(col("text"))), "\\s+"), t => t =!= "")).as("tok"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+          lit(256L)).as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("doc_id", "bucket")
+
   /** Symmetric token co-occurrence graph: lowercased whitespace
     * tokens, per-doc-DISTINCT adjacent bigram edges, weight = number
     * of documents containing the bigram (in either direction, summed).

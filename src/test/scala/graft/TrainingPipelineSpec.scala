@@ -78,4 +78,48 @@ class TrainingPipelineSpec extends SparkSpec {
     val ratio = train / perDoc.count()
     assert(ratio > 0.75 && ratio < 1.0, s"train ratio $ratio")
   }
+
+  test("target encode: OOF means exclude the own fold, bounded by [0,1]") {
+    import graft.queries.TrainingQueries
+    val rows = TrainingQueries.targetEncode(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // |cats| x |folds| rows, every encoding a smoothed probability
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0 && r.getDouble(3) < 1, r)
+      assert(r.getLong(2) > 0, r)
+    }
+    // within a category the five OOF encodings are not all identical
+    // (each fold's exclusion shifts the mean) unless folds are empty
+    val anyVariation = rows.groupBy(_.getString(0)).exists {
+      case (_, rs) => rs.map(_.getDouble(3)).distinct.length > 1
+    }
+    assert(anyVariation, "OOF exclusion had no effect on any category")
+  }
+
+  test("woe bins: 10 bins, IV components finite, counts add up") {
+    import graft.queries.TrainingQueries
+    val rows = TrainingQueries.woeBins(spark, sfDir).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), r)        // n_bad <= n
+      assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite, r)
+    }
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    assert(rows.map(_.getLong(1)).sum === li, "bins must partition rows")
+  }
+
+  test("feature hash: buckets in [0,256), per-doc counts match tokens") {
+    import graft.queries.TrainingQueries
+    val rows = TrainingQueries.featureHash(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 256))
+    // bucket counts per doc must sum to the doc's token count
+    val got = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    val want = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), size(split(lower(trim(col("text"))), "\\s+"))
+        .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (doc, n) => assert(n === want(doc), s"doc $doc") }
+  }
 }
