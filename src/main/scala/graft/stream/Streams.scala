@@ -285,15 +285,31 @@ object Streams {
 
   /** Drain-everything-then-stop runner (ST1 cron path): AvailableNow +
     * processAllAvailable, memory sink for inspection.
+    *
+    * `statePartitions` pins `spark.sql.shuffle.partitions` for THIS
+    * stream (restored after): a streaming job must size its state
+    * partition count to key cardinality and state volume explicitly —
+    * the count freezes into the checkpoint at first run (repartitioning
+    * state later means a rebuild), and every stateful operator opens
+    * one state store per partition per micro-batch, so inheriting a
+    * batch-tuned 200 (or 32) multiplies fixed per-batch cost for no
+    * parallelism gain when keys are few. Callers with genuinely large
+    * key spaces pass a larger value.
     */
   def runAvailableNow(df: DataFrame, queryName: String,
-                      outputMode: String = "append"): Unit = {
-    val q = df.writeStream
-      .outputMode(outputMode)
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+                      outputMode: String = "append",
+                      statePartitions: Int = 8): Unit = {
+    val spark = df.sparkSession
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = df.writeStream
+        .outputMode(outputMode)
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
   }
 }
