@@ -191,6 +191,51 @@ object ScaleProbe {
         time(s"bucketed join  (run $i)")(
           joinAgg(spark.table(s"$db.fact_b"), spark.table(s"$db.dim_b")))
     }
+
+    // Round-3 additions.
+    // (a) Misra–Gries as a TypedImperativeAggregate: update must be
+    //     O(1)/row with O(k) task state — wall should track the token
+    //     scan, not the sketch (the kryo-buffer Aggregator it replaced
+    //     paid a full sketch (de)serialization PER ROW).
+    for (k <- Seq(1, 8)) {
+      println(s"=== sketch scale: docs x$k ===")
+      val toks = docsX(k).select(explode(
+          graft.text.TextAnalysis.tokens(lower(col("text")))).as("tok"))
+        .filter(col("tok") =!= "")
+      time("misra-gries k=20")(
+        toks.agg(graft.functions.SketchAggregates
+          .misra_gries(col("tok"), 20)).count())
+    }
+    // (b) Label propagation: cost law is rounds × edges (rounds fixed
+    //     at 4) — the same disjoint-star topology as the CC probe, so
+    //     edge count scales linearly with k and community count with
+    //     corpus.
+    // (c) Bounded BFS: per-round cost is FRONTIER edges only; on a
+    //     ring the depth-6 ball is 13 nodes whatever the graph size,
+    //     so wall should show only the one-time edge-dedup scan
+    //     (linear) — never depth × |E|.
+    val nDocs = docs.count()
+    for (k <- Seq(1, 4, 16)) {
+      println(s"=== graph ops scale x$k ===")
+      val star = docsX(k).select(
+        (col("doc_id") - pmod(col("doc_id"), lit(4L))).as("src"),
+        col("doc_id").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val starSym = star.union(star.select(col("dst"), col("src")))
+        .toDF("src", "dst")
+      time("label propagation (4 rounds)")(
+        graft.graph.LabelPropagation.run(starSym, iters = 4).count())
+      // ring within each replica: id -> (id+1) mod nDocs, offset back
+      // to the replica's id range
+      val off = pmod(col("doc_id"), lit(100000L))
+      val ring = docsX(k).select(col("doc_id").as("src"),
+        (col("doc_id") - off + pmod(off + 1, lit(nDocs))).as("dst"))
+      val ringSym = ring.union(ring.select(col("dst"), col("src")))
+        .toDF("src", "dst")
+      val seeds = spark.range(1).select(lit(0L).as("node"))
+      time(s"bfs depth-6 (ring n=${nDocs * k})")(
+        graft.graph.Bfs.hopDistance(ringSym, seeds, maxDepth = 6).count())
+    }
     spark.stop()
   }
 }
