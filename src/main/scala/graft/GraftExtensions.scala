@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{ArrayCosine, ArrayDot, JaroWinklerSim, TokenShingles, UnicodeNfc}
+import graft.functions.{ArrayCosine, ArrayDot, JaroWinklerSim, MisraGriesSketch, TokenShingles, TopKPairs, UnicodeNfc}
 
 /** `SparkSessionExtensions` hook: registers the graft native functions
   * so SQL users get `array_dot`/`array_cosine` without touching the
@@ -11,6 +11,24 @@ import graft.functions.{ArrayCosine, ArrayDot, JaroWinklerSim, TokenShingles, Un
   * `.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** A sketch bound must be a plan-time constant (it sizes the
+    * aggregation buffer); reject anything non-foldable loudly.
+    */
+  private def foldableInt(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String): Int = e match {
+    case lit if lit.foldable =>
+      lit.eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$fn: bound must be an integer literal, got $other")
+      }
+    case _ => throw new IllegalArgumentException(
+      s"$fn: bound must be a literal, got ${e.sql}")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("array_dot"),
@@ -42,6 +60,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[TokenShingles].getName, "token_shingles"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           TokenShingles(exprs(0), exprs(1))))
+    // sketch aggregates: SQL form takes the bound as a foldable int
+    // literal (the buffer size must be fixed at plan time)
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("misra_gries"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[MisraGriesSketch].getName, "misra_gries"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          MisraGriesSketch(exprs(0), foldableInt(exprs(1), "misra_gries"))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("top_k_pairs"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[TopKPairs].getName, "top_k_pairs"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          TopKPairs(exprs(0), exprs(1), foldableInt(exprs(2), "top_k_pairs"))))
     // whole-operator surface: plans the AsofJoinPlan logical node onto
     // the sorted-merge AsofJoinExec
     e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

@@ -116,6 +116,40 @@ class FunctionsSpec extends SparkSpec {
     assert(got(3L) === None)
   }
 
+  test("GraftExtensions: SQL surface incl. sketch aggregates end-to-end") {
+    import org.apache.spark.sql.SparkSession
+    val root = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // same JVM/SparkContext, fresh session so the extensions hook
+      // actually runs (getOrCreate would return the shared session)
+      val s2 = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val mg = s2.sql(
+        "SELECT misra_gries(c, 2) AS m FROM VALUES ('a'),('a'),('b'),('a') t(c)")
+        .collect()(0).getAs[Map[String, Long]](0)
+      assert(mg === Map("a" -> 3L, "b" -> 1L))
+      val tk = s2.sql(
+        "SELECT top_k_pairs(s, i, 2) AS t FROM VALUES " +
+          "(1.0D, 1L), (3.0D, 2L), (2.0D, 3L) t(s, i)")
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      assert(tk === Seq((3.0, 2L), (2.0, 3L)))
+      // non-literal bound must fail loudly, not mis-plan
+      val e = intercept[Exception] {
+        s2.sql("SELECT top_k_pairs(s, i, CAST(i AS INT)) FROM VALUES " +
+          "(1.0D, 1L) t(s, i)").collect()
+      }
+      assert(e.getMessage.contains("literal"), e.getMessage)
+    } finally {
+      SparkSession.setDefaultSession(root)
+      SparkSession.setActiveSession(root)
+    }
+  }
+
   test("MisraGries: superset of true heavy hitters, bounded undercount") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val toks = docs.select(explode(split(lower(trim(col("text"))), "\\s+"))
