@@ -237,7 +237,9 @@ object SparkEntry {
     "q_hop_dist"       -> (AnalyticsQueries.hopDist _),
     "q_target_encode"  -> (TrainingQueries.targetEncode _),
     "q_woe_bins"       -> (TrainingQueries.woeBins _),
-    "q_feature_hash"   -> (TrainingQueries.featureHash _)
+    "q_feature_hash"   -> (TrainingQueries.featureHash _),
+    "q_cuped"          -> (AnalyticsQueries.cuped _),
+    "q_srm"            -> (AnalyticsQueries.srm _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -2837,6 +2839,41 @@ object SparkEntry {
         |SELECT doc_id,
         |  ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS bucket,
         |  count(*) AS n
-        |FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
+        |FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+    "q_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    coalesce(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |      THEN value END), 0.0) AS x,
+        |    coalesce(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |      THEN value END), 0.0) AS y,
+        |    user_id % 2 = 1 AS treat
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  round(covar_pop(x, y) / var_pop(x), 6) AS theta,
+        |  round(avg(CASE WHEN treat THEN y END)
+        |    - avg(CASE WHEN NOT treat THEN y END), 6) AS diff_raw,
+        |  round((avg(CASE WHEN treat THEN y END)
+        |      - covar_pop(x, y) / var_pop(x)
+        |        * avg(CASE WHEN treat THEN x END))
+        |    - (avg(CASE WHEN NOT treat THEN y END)
+        |      - covar_pop(x, y) / var_pop(x)
+        |        * avg(CASE WHEN NOT treat THEN x END)), 6) AS diff_cuped,
+        |  round(corr(x, y) * corr(x, y), 6) AS var_reduction
+        |FROM pu""".stripMargin,
+    "q_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |c AS (
+        |  SELECT CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(count(CASE WHEN user_id % 2 = 1 THEN 1 END)
+        |      AS BIGINT) AS n_b
+        |  FROM u)
+        |SELECT n_a, n_b,
+        |  round((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+        |      / ((n_a + n_b) / 2.0)
+        |    + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+        |      / ((n_a + n_b) / 2.0), 6) AS chi2
+        |FROM c""".stripMargin
   )
 }

@@ -1261,6 +1261,56 @@ object AnalyticsQueries {
           * (lit(1d) / col("n_a") + lit(1d) / col("n_b"))), 6).as("z"))
   }
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, "Improving
+    * the sensitivity of online controlled experiments by utilizing
+    * pre-experiment data", WSDM 2013): per-user pre-period value is
+    * the covariate, θ = cov(x,y)/var(x) pooled, adjusted effect =
+    * (ȳ_t − θx̄_t) − (ȳ_c − θx̄_c); the variance-reduction fraction
+    * is corr(x,y)² by the CUPED identity var(y−θx) = var(y)(1−ρ²).
+    * One user-level keyed aggregate + ONE global aggregate — the
+    * whole readout is two map-side-combined passes at any scale,
+    * no joins.
+    */
+  def cuped(s: SparkSession, d: String): DataFrame = {
+    val split = lit("2024-01-16").cast("date")
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        coalesce(sum(when(to_date(col("ts")) < split, col("value"))),
+          lit(0.0)).as("x"),
+        coalesce(sum(when(to_date(col("ts")) >= split, col("value"))),
+          lit(0.0)).as("y"))
+      .withColumn("treat", col("user_id") % 2 === 1)
+    val theta = covar_pop(col("x"), col("y")) / var_pop(col("x"))
+    def m(c: String, t: Boolean) = avg(when(col("treat") === t, col(c)))
+    perUser.agg(
+      round(theta, 6).as("theta"),
+      round(m("y", true) - m("y", false), 6).as("diff_raw"),
+      round((m("y", true) - theta * m("x", true))
+        - (m("y", false) - theta * m("x", false)), 6).as("diff_cuped"),
+      round(corr(col("x"), col("y")) * corr(col("x"), col("y")), 6)
+        .as("var_reduction"))
+  }
+
+  /** Sample-ratio-mismatch guardrail: chi-square statistic of the
+    * observed assignment split vs the designed 50/50 — the first
+    * sanity check of every experiment readout (a skewed split
+    * invalidates the test before any metric is read). One global
+    * conditional aggregate.
+    */
+  def srm(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id")).distinct()
+      .agg(count(when(col("user_id") % 2 === 0, 1)).as("n_a"),
+        count(when(col("user_id") % 2 === 1, 1)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round((col("n_a") - (col("n_a") + col("n_b")) / 2.0)
+            * (col("n_a") - (col("n_a") + col("n_b")) / 2.0)
+            / ((col("n_a") + col("n_b")) / 2.0)
+          + (col("n_b") - (col("n_a") + col("n_b")) / 2.0)
+            * (col("n_b") - (col("n_a") + col("n_b")) / 2.0)
+            / ((col("n_a") + col("n_b")) / 2.0), 6).as("chi2"))
+
   /** Degree assortativity of the co-purchase graph: do well-connected
     * parts co-occur with other well-connected parts (r > 0) or with
     * niche ones (r < 0)? Edges are DISTINCT part pairs sharing an

@@ -758,6 +758,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.exists(_._2 > 0), "no ring beyond the seeds")
   }
 
+  test("cuped: variance reduction in [0,1), adjusted effect finite") {
+    val r = AnalyticsQueries.cuped(spark, sfDir).collect()(0)
+    val Seq(theta, diffRaw, diffCuped, vr) = (0 to 3).map(r.getDouble)
+    assert(!theta.isNaN && !diffRaw.isNaN && !diffCuped.isNaN)
+    assert(vr >= 0 && vr < 1, s"var_reduction $vr")
+    // CUPED must not invent an effect when the raw diff is tiny: the
+    // adjustment shifts by theta * (pre-period imbalance) only
+    assert(math.abs(diffCuped - diffRaw) < math.abs(theta) * 1000 + 1)
+  }
+
+  test("srm: counts partition users, chi2 non-negative") {
+    val r = AnalyticsQueries.srm(spark, sfDir).collect()(0)
+    val users = graft.io.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(1) === users)
+    assert(r.getDouble(2) >= 0)
+  }
+
   test("entity clusters: >=2 variants each, canonical names distinct") {
     val rows = AnalyticsQueries.entityClusters(spark, sfDir).collect()
     assert(rows.nonEmpty)
