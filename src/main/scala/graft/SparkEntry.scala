@@ -239,7 +239,10 @@ object SparkEntry {
     "q_woe_bins"       -> (TrainingQueries.woeBins _),
     "q_feature_hash"   -> (TrainingQueries.featureHash _),
     "q_cuped"          -> (AnalyticsQueries.cuped _),
-    "q_srm"            -> (AnalyticsQueries.srm _)
+    "q_srm"            -> (AnalyticsQueries.srm _),
+    "q_theil_sen"      -> (AnalyticsQueries.theilSen _),
+    "q_stump"          -> (AnalyticsQueries.stump _),
+    "q_kl_sources"     -> (TrainingQueries.klSources _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -2874,6 +2877,70 @@ object SparkEntry {
         |      / ((n_a + n_b) / 2.0)
         |    + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
         |      / ((n_a + n_b) / 2.0), 6) AS chi2
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', day) AS DOUBLE)
+        |      AS t, v
+        |  FROM daily),
+        |pairs AS (
+        |  SELECT a.event_type, (b.v - a.v) / (b.t - a.t) AS slope
+        |  FROM dd a JOIN dd b
+        |    ON a.event_type = b.event_type AND a.t < b.t)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(quantile_cont(slope, 0.5), 6) AS sen_slope
+        |FROM pairs GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_stump" ->
+      """WITH li AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(l_returnflag = 'R' AS BIGINT) AS pos
+        |  FROM lineitem),
+        |bounds AS (SELECT min(cents) AS lo, max(cents) AS hi FROM li),
+        |bins AS (
+        |  SELECT least(99, ((cents - lo) * 100) // (hi - lo + 1)) AS bin,
+        |    count(*) AS n, sum(pos) AS p
+        |  FROM li CROSS JOIN bounds GROUP BY 1),
+        |tot AS (SELECT sum(n) AS nt, sum(p) AS pt FROM bins),
+        |cum AS (
+        |  SELECT bin,
+        |    sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS nl,
+        |    sum(p) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS pl
+        |  FROM bins),
+        |sp AS (
+        |  SELECT bin, nl, nt - nl AS nr,
+        |    CAST(pl AS DOUBLE) / nl AS fl,
+        |    CAST(pt - pl AS DOUBLE) / (nt - nl) AS fr, nt
+        |  FROM cum CROSS JOIN tot WHERE nl < nt),
+        |g AS (
+        |  SELECT bin, nl, nr,
+        |    round((nl / CAST(nt AS DOUBLE)) * (2.0 * fl * (1.0 - fl))
+        |      + (nr / CAST(nt AS DOUBLE)) * (2.0 * fr * (1.0 - fr)), 6)
+        |      AS gini
+        |  FROM sp)
+        |SELECT bin AS split_bin, CAST(nl AS BIGINT) AS nl,
+        |  CAST(nr AS BIGINT) AS nr, gini
+        |FROM g ORDER BY gini, split_bin LIMIT 1""".stripMargin,
+    "q_kl_sources" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |bs AS (SELECT source, tok, count(*) AS c_st FROM tk GROUP BY 1, 2),
+        |st AS (SELECT source, count(*) AS tot_s FROM tk GROUP BY 1),
+        |bt AS (SELECT tok, count(*) AS c_t FROM tk GROUP BY 1),
+        |t AS (SELECT count(*) AS tot FROM tk)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(sum((CAST(c_st AS DOUBLE) / tot_s)
+        |    * ln((CAST(c_st AS DOUBLE) / tot_s)
+        |      / (CAST(c_t AS DOUBLE) / tot))), 6) AS kl
+        |FROM bs JOIN bt USING (tok) JOIN st USING (source) CROSS JOIN t
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1311,6 +1311,82 @@ object AnalyticsQueries {
             * (col("n_b") - (col("n_a") + col("n_b")) / 2.0)
             / ((col("n_a") + col("n_b")) / 2.0), 6).as("chi2"))
 
+  /** Theil–Sen robust trend (Sen, "Estimates of the regression
+    * coefficient based on Kendall's tau", JASA 1968): per event type,
+    * the MEDIAN of all pairwise daily-value slopes — immune to the
+    * outlier days that drag an OLS fit ([[regression]]). The pair
+    * generation is an equi-join on the type key over the DAILY
+    * aggregate, so the quadratic blowup is bounded by days², never
+    * rows² — at 100 TB the daily rollup is the scale reduction and
+    * the pair step is noise.
+    */
+  def theilSen(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum("value").as("v"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date"))
+          .cast("double").as("t"),
+        col("v"))
+    daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.t") < col("b.t"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.v") - col("a.v")) / (col("b.t") - col("a.t")))
+          .as("slope"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 6).as("sen_slope"))
+      .orderBy("event_type")
+  }
+
+  /** Best 1-D decision stump: the split threshold over integer price
+    * cents minimizing weighted Gini impurity for the returnflag
+    * target — the inner loop of tree learning, done the distributed
+    * way: bin to a bounded grid (100 equi-width cells), ONE keyed
+    * aggregate for per-bin class counts, then the split scan is a
+    * window over ≤ 100 rows (a driver-scale frame, whatever the
+    * corpus size). Deterministic tie-break: lowest gini, then lowest
+    * bin.
+    */
+  def stump(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(
+      round(col("l_extendedprice") * 100).cast("long").as("cents"),
+      (col("l_returnflag") === "R").cast("long").as("pos"))
+    val bounds = li.agg(min("cents").as("lo"), max("cents").as("hi"))
+    val bins = li.crossJoin(broadcast(bounds))
+      .select(least(lit(99L),
+        expr("((cents - lo) * 100) div (hi - lo + 1)")).as("bin"),
+        col("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("pos").as("p"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = bins.agg(sum("n").as("nt"), sum("p").as("pt"))
+    val splits = bins
+      .withColumn("nl", sum("n").over(w))
+      .withColumn("pl", sum("p").over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("nl") < col("nt")) // a split must leave a right side
+      .select(col("bin"), col("nl"), (col("nt") - col("nl")).as("nr"),
+        (col("pl").cast("double") / col("nl")).as("fl"),
+        ((col("pt") - col("pl")).cast("double")
+          / (col("nt") - col("nl"))).as("fr"),
+        col("nt"))
+      .select(col("bin"), col("nl"), col("nr"),
+        round((col("nl") / col("nt").cast("double"))
+            * (lit(2.0) * col("fl") * (lit(1.0) - col("fl")))
+          + (col("nr") / col("nt").cast("double"))
+            * (lit(2.0) * col("fr") * (lit(1.0) - col("fr"))), 6)
+          .as("gini"))
+    splits
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("gini").asc, col("bin").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("bin").as("split_bin"), col("nl"), col("nr"),
+        col("gini"))
+  }
+
   /** Degree assortativity of the co-purchase graph: do well-connected
     * parts co-occur with other well-connected parts (r > 0) or with
     * niche ones (r < 0)? Edges are DISTINCT part pairs sharing an

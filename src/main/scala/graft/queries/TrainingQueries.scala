@@ -1303,6 +1303,37 @@ object TrainingQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("doc_id", "bucket")
 
+  /** Per-source KL divergence from the corpus token distribution:
+    * `KL(P_source ‖ P_corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t))` — the
+    * drift score that tells a data-mixing pipeline which source is
+    * most unlike the blend it feeds (the source-level analog of
+    * [[graft.queries.AnalyticsQueries.psi]]-style feature drift).
+    * Every source token exists in the corpus by construction, so no
+    * zero-probability guard is needed. Two keyed aggregates joined on
+    * the token, totals carried as broadcast one-row frames: linear
+    * passes at any corpus size.
+    */
+  def klSources(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(filter(
+        split(lower(trim(col("text"))), "\\s+"), t => t =!= "")).as("tok"))
+    val bySrc = toks.groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
+    val srcTot = toks.groupBy("source").agg(count(lit(1)).as("tot_s"))
+    val byTok = toks.groupBy("tok").agg(count(lit(1)).as("c_t"))
+    val tot = toks.agg(count(lit(1)).as("tot"))
+    bySrc
+      .join(byTok, "tok")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"),
+        ((col("c_st").cast("double") / col("tot_s"))
+          * log((col("c_st").cast("double") / col("tot_s"))
+            / (col("c_t").cast("double") / col("tot")))).as("term"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), round(sum("term"), 6).as("kl"))
+      .orderBy("source")
+  }
+
   /** Symmetric token co-occurrence graph: lowercased whitespace
     * tokens, per-doc-DISTINCT adjacent bigram edges, weight = number
     * of documents containing the bigram (in either direction, summed).

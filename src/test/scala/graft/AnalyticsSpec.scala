@@ -776,6 +776,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getDouble(2) >= 0)
   }
 
+  test("theil-sen: pair counts are C(days,2), slopes finite") {
+    val rows = AnalyticsQueries.theilSen(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val days = graft.io.Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("d")).distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val n = days(r.getString(0))
+      assert(r.getLong(1) === n * (n - 1) / 2, r)
+      assert(!r.getDouble(2).isNaN, r)
+    }
+  }
+
+  test("stump: split leaves both sides non-empty, gini in [0,0.5]") {
+    val r = AnalyticsQueries.stump(spark, sfDir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) > 0 && r(0).getLong(2) > 0)
+    val g = r(0).getDouble(3)
+    assert(g >= 0 && g <= 0.5, s"gini $g")
+  }
+
   test("entity clusters: >=2 variants each, canonical names distinct") {
     val rows = AnalyticsQueries.entityClusters(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -135,6 +135,17 @@ class TextSpec extends SparkSpec {
     assert(merges.head.freq >= 3L)
   }
 
+  test("kl sources: non-negative (Gibbs), zero only for corpus-identical") {
+    val rows = graft.queries.TrainingQueries.klSources(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // KL >= 0 always; allow rounding slack at the 6th decimal
+      assert(r.getDouble(2) >= -1e-6, r)
+      assert(r.getLong(1) >= 1, r)
+    }
+  }
+
   test("communities: token communities look like language clusters") {
     val rows = graft.queries.TrainingQueries.communities(spark, sfDir)
       .collect()
