@@ -242,7 +242,9 @@ object SparkEntry {
     "q_srm"            -> (AnalyticsQueries.srm _),
     "q_theil_sen"      -> (AnalyticsQueries.theilSen _),
     "q_stump"          -> (AnalyticsQueries.stump _),
-    "q_kl_sources"     -> (TrainingQueries.klSources _)
+    "q_kl_sources"     -> (TrainingQueries.klSources _),
+    "q_funnel_latency" -> (AnalyticsQueries.funnelLatency _),
+    "q_ltv_cohort"     -> (AnalyticsQueries.ltvCohort _)
   )
 
   /** DuckDB oracles — same column names, same total ORDER BY, same
@@ -2941,6 +2943,48 @@ object SparkEntry {
         |    * ln((CAST(c_st AS DOUBLE) / tot_s)
         |      / (CAST(c_t AS DOUBLE) / tot))), 6) AS kl
         |FROM bs JOIN bt USING (tok) JOIN st USING (source) CROSS JOIN t
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_funnel_latency" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3, min(s1.t1) AS t1
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+        |  GROUP BY 1),
+        |l AS (
+        |  SELECT CAST(epoch_us(t3) - epoch_us(t1) AS DOUBLE) AS lat_us
+        |  FROM s3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  round(quantile_cont(lat_us, 0.5) / 1000000.0, 3) AS p50_s,
+        |  round(quantile_cont(lat_us, 0.9) / 1000000.0, 3) AS p90_s
+        |FROM l""".stripMargin,
+    "q_ltv_cohort" ->
+      """WITH first AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |  FROM events GROUP BY 1),
+        |sizes AS (
+        |  SELECT cw, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM first GROUP BY 1),
+        |weekly AS (
+        |  SELECT f.cw,
+        |    date_diff('day', f.cw, date_trunc('week', e.ts)) // 7
+        |      AS age_weeks,
+        |    sum(e.value) AS rev
+        |  FROM events e JOIN first f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cw, age_weeks,
+        |    sum(rev) OVER (PARTITION BY cw ORDER BY age_weeks
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_rev
+        |  FROM weekly)
+        |SELECT CAST(epoch_us(c.cw) AS BIGINT) AS cohort_week,
+        |  CAST(c.age_weeks AS BIGINT) AS age_weeks, s.n_users,
+        |  round(c.cum_rev / s.n_users, 6) AS ltv
+        |FROM cum c JOIN sizes s ON c.cw = s.cw
+        |ORDER BY cohort_week, age_weeks""".stripMargin
   )
 }

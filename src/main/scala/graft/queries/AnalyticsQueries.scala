@@ -84,6 +84,59 @@ object AnalyticsQueries {
       .orderBy("stage")
   }
 
+  /** Funnel latency distribution: exact p50/p90 of signup→first-
+    * purchase time — the "how fast do converters convert" number the
+    * stage-count funnel ([[funnel]]) can't answer. Latencies are
+    * exact integer microsecond differences (no float timestamp
+    * arithmetic); the percentile interpolates over the CONVERTED
+    * population only. Two keyed min-aggregates + one global
+    * percentile — the per-user reduction is the scale step.
+    */
+  def funnelLatency(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t3"), min("t1").as("t1"))
+    s3.select((unix_micros(col("t3")) - unix_micros(col("t1")))
+        .cast("double").as("lat_us"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(lat_us, 0.5)") / 1000000.0, 3)
+          .as("p50_s"),
+        round(expr("percentile(lat_us, 0.9)") / 1000000.0, 3)
+          .as("p90_s"))
+  }
+
+  /** Cohort LTV curve: average cumulative purchase value per cohort
+    * user by weeks-since-first-seen — the revenue twin of the
+    * retention triangle ([[cohort]]). Weekly revenue is one keyed
+    * aggregate; the running total is a window over cohort × age (a
+    * few dozen rows per cohort at any corpus size); cohort
+    * denominators come from the same first-seen aggregate.
+    */
+  def ltvCohort(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val first = ev.groupBy("user_id")
+      .agg(date_trunc("week", min("ts")).as("cw"))
+    val sizes = first.groupBy("cw")
+      .agg(countDistinct("user_id").as("n_users"))
+    val weekly = ev.filter(col("event_type") === "purchase")
+      .join(first, "user_id")
+      .withColumn("aw", date_trunc("week", col("ts")))
+      .groupBy(col("cw"), expr("datediff(aw, cw) div 7").as("age_weeks"))
+      .agg(sum("value").as("rev"))
+    val w = Window.partitionBy("cw").orderBy("age_weeks")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    weekly
+      .withColumn("cum_rev", sum("rev").over(w))
+      .join(sizes, "cw")
+      .select(unix_micros(col("cw")).as("cohort_week"),
+        col("age_weeks"), col("n_users"),
+        round(col("cum_rev") / col("n_users"), 6).as("ltv"))
+      .orderBy("cohort_week", "age_weeks")
+  }
+
   /** Cohort retention: users bucketed by first-seen week (cohort),
     * counted as active per calendar week. First-seen is one keyed
     * min-aggregate (150 users → broadcast back onto the stream); the

@@ -798,6 +798,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(g >= 0 && g <= 0.5, s"gini $g")
   }
 
+  test("funnel latency: p50 <= p90, converted bounded by funnel stage") {
+    val r = AnalyticsQueries.funnelLatency(spark, sfDir).collect()(0)
+    assert(r.getLong(0) > 0)
+    assert(r.getDouble(1) >= 0 && r.getDouble(1) <= r.getDouble(2))
+    val purchasers = AnalyticsQueries.funnel(spark, sfDir).collect()
+      .find(_.getString(0) == "1_signup").map(_.getLong(1)).get
+    assert(r.getLong(0) <= purchasers)
+  }
+
+  test("ltv cohort: curve is non-decreasing within each cohort") {
+    val rows = AnalyticsQueries.ltvCohort(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (cw, rs) =>
+      val curve = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      curve.zip(curve.tail).foreach { case (a, b) =>
+        assert(b >= a - 1e-9, s"cohort $cw LTV decreased: $a -> $b")
+      }
+    }
+  }
+
   test("entity clusters: >=2 variants each, canonical names distinct") {
     val rows = AnalyticsQueries.entityClusters(spark, sfDir).collect()
     assert(rows.nonEmpty)
