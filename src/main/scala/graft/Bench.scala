@@ -202,6 +202,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // SURVEY §4: coercion parity with the reference (errors='coerce')
       .config("spark.sql.ansi.enabled", "false")
+      // Naive parquet timestamps surface as TIMESTAMP, not NTZ — two
+      // rounds of testdata `ts` re-encodings (BASELINE.md §7); the
+      // type-driven repair in Tables.normalizeTs is the second belt.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -16,6 +16,10 @@ object Verify {
       // string→number site, so the suite is green under ANSI too; the
       // pin just makes the driver-run config explicit.
       .config("spark.sql.ansi.enabled", "false")
+      // Naive parquet timestamps surface as TIMESTAMP, not NTZ — two
+      // rounds of testdata `ts` re-encodings (BASELINE.md §7); the
+      // type-driven repair in Tables.normalizeTs is the second belt.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish testdata tables.
   *
@@ -22,28 +22,56 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark 4
-    * rejects outright. Read nanos as LONG (legacy conf) and rebuild the
-    * µs timestamp with INTEGER division — `div`, not `/`: a double
-    * round-trip at 1.7e18 nanos loses sub-ms precision (2^53 < ns
-    * epoch).
+  /** Normalize an event-time column to TIMESTAMP (instant / LTZ)
+    * regardless of how the source parquet encoded it. The driver has
+    * regenerated `events.parquet` with a different `ts` physical
+    * encoding in two consecutive rounds — TIMESTAMP(NANOS) (Spark 4
+    * surfaces it as LONG under `nanosAsLong`), then naive
+    * `timestamp[us]` (surfaced as TIMESTAMP_NTZ when
+    * `inferTimestampNTZ` is on) — so the loader normalizes by TYPE,
+    * not by provenance. Policy (per encoding actually observed):
     *
-    * SESSION-WIDE EFFECT, by necessity: the conf is re-read from the
-    * session at scan EXECUTION time (ParquetFileFormat bakes it into the
-    * hadoop conf when the RDD is built), so a set/restore scoped to this
-    * method would break the later action, and ParquetOptions exposes no
-    * per-read equivalent (verified against the 4.1.2 jars). The flag
-    * only changes how TIMESTAMP(NANOS) columns surface (as LONG); no
-    * other testdata table has one, and any caller-supplied parquet with
-    * nanos timestamps would otherwise fail the read outright — so the
-    * blast radius is "reads that would have thrown now yield LONG".
+    *  - TIMESTAMP: already an instant — pass through.
+    *  - TIMESTAMP_NTZ: naive wall-clock whose writer meant UTC; the
+    *    cast reinterprets it in the session zone, and every entry
+    *    point pins `spark.sql.session.timeZone=UTC`, so this is a pure
+    *    relabeling (DuckDB reads the same file as naive-UTC → oracle
+    *    hashes unaffected).
+    *  - LONG: an epoch count, nanos or micros. Discriminated per row
+    *    by magnitude with INTEGER division (`div`, not `/`: a double
+    *    round-trip at 1.7e18 ns loses sub-ms precision, 2^53 < ns
+    *    epoch). The 1e17 threshold reads as year 5138 in µs and 1973
+    *    in ns — unambiguous for any plausible event time.
+    */
+  def normalizeTs(df: DataFrame, c: String = "ts"): DataFrame =
+    if (!df.schema.fieldNames.contains(c)) df
+    else df.schema(c).dataType match {
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case LongType =>
+        df.withColumn(c,
+          when(abs(col(c)) > lit(100000000000000000L),
+            expr(s"timestamp_micros($c div 1000)"))
+            .otherwise(expr(s"timestamp_micros($c)")))
+      case _ => df
+    }
+
+  /** events.parquet, with `ts` normalized to TIMESTAMP (see
+    * [[normalizeTs]] for the encoding history).
+    *
+    * `nanosAsLong` SESSION-WIDE EFFECT, by necessity: the conf is
+    * re-read from the session at scan EXECUTION time (ParquetFileFormat
+    * bakes it into the hadoop conf when the RDD is built), so a
+    * set/restore scoped to this method would break the later action,
+    * and ParquetOptions exposes no per-read equivalent (verified
+    * against the 4.1.2 jars). The flag only changes how
+    * TIMESTAMP(NANOS) columns surface (as LONG); without it a nanos
+    * file fails the read outright — blast radius is "reads that would
+    * have thrown now yield LONG", which [[normalizeTs]] then repairs.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    normalizeTs(table(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -297,7 +297,10 @@ object FuncQueries {
   /** Streaming read of a testdata table. The file streaming source
     * lists DIRECTORIES: when the table is a single parquet file,
     * stream its parent filtered down to that file. Events get the same
-    * nanos→micros rebuild as the batch reader ([[Tables.events]]).
+    * encoding-agnostic `ts` normalization as the batch reader
+    * ([[Tables.normalizeTs]] — LONG nanos/µs, TIMESTAMP_NTZ, or
+    * TIMESTAMP all surface as TIMESTAMP, which `withWatermark`
+    * requires).
     */
   private def streamTable(s: SparkSession, d: String, name: String)
   : DataFrame = {
@@ -309,11 +312,7 @@ object FuncQueries {
         s.readStream.schema(rawSchema)
           .option("pathGlobFilter", s"$name.parquet").parquet(d)
       else s.readStream.schema(rawSchema).parquet(path)
-    if (raw.schema.fieldNames.contains("ts") &&
-        raw.schema("ts").dataType ==
-          org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    Tables.normalizeTs(raw)
   }
 
   def streamHourly(s: SparkSession, d: String): DataFrame = {

@@ -1,0 +1,60 @@
+package graft
+
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Loader policy gate for the `ts` column (VERDICT r4 item 2): the
+  * driver has shipped `events.parquet` with a different physical
+  * encoding in consecutive rounds — TIMESTAMP(NANOS) (rounds 1–3),
+  * then naive `timestamp[us]`/NTZ (round 4) — and each re-encoding
+  * broke the previous round's loader. This spec pins the policy:
+  * [[Tables.events]] must normalize by TYPE, yielding TIMESTAMP with
+  * identical instants for every encoding ever observed (plus plain
+  * LONG µs for completeness).
+  *
+  * Fixtures (committed, pyarrow-written, same 4 logical rows each):
+  * `src/test/resources/tsenc/{ltz,ntz,long_us,long_ns}/events.parquet`
+  *  - ltz:     timestamp[us] isAdjustedToUTC=true  → TIMESTAMP
+  *  - ntz:     timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ
+  *             (round-4 testdata encoding)
+  *  - long_us: plain int64 epoch-micros
+  *  - long_ns: TIMESTAMP(NANOS) → LONG under `nanosAsLong`
+  *             (round-1..3 testdata encoding)
+  */
+class TsEncodingSpec extends SparkSpec {
+  private val dir = "src/test/resources/tsenc"
+  private val encs = Seq("ltz", "ntz", "long_us", "long_ns")
+
+  private def instants(enc: String): Seq[Long] =
+    Tables.events(spark, s"$dir/$enc")
+      .orderBy("ts", "event_type")
+      .select(unix_micros(col("ts")))
+      .collect().map(_.getLong(0)).toSeq
+
+  test("every ts encoding loads as TIMESTAMP") {
+    encs.foreach { e =>
+      val dt = Tables.events(spark, s"$dir/$e").schema("ts").dataType
+      assert(dt == TimestampType, s"enc=$e surfaced $dt")
+    }
+  }
+
+  test("all encodings decode to identical instants (µs-exact)") {
+    val ref = instants("ltz")
+    // micro-precision guard: two fixture rows differ by exactly 1 µs,
+    // so a millis-rounding loader would collapse them.
+    assert(ref.distinct.size == ref.size)
+    encs.tail.foreach(e => assert(instants(e) == ref, s"enc=$e"))
+  }
+
+  test("NTZ normalizes identically whether inference is on or off") {
+    // The driver entry points pin inferTimestampNTZ=false (ts arrives
+    // TIMESTAMP directly); the default-config path arrives NTZ and
+    // takes the cast branch. Same instants either way.
+    val onPath = instants("ntz") // suite session: inference default=on
+    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    spark.conf.set(key, "false")
+    try assert(instants("ntz") == onPath)
+    finally spark.conf.unset(key)
+  }
+}
