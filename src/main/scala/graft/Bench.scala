@@ -64,8 +64,20 @@ object Bench {
       Array(runMs.sum, cpuNs.sum / 1000000L, gcMs.sum, tasks.sum)
   }
 
+  /** `codegenN` / `jitMs`: per-iteration deltas of the whole-stage-
+    * codegen compilation COUNT (CodegenMetrics, exact) and the JVM
+    * JIT's total compile time (CompilationMXBean) — the round-4 r3→r4
+    * forensics: q_agg_sum/q_join_salted swung 2.4–3.5× run-to-run
+    * with identical plans, and BASELINE.md §4's collation stall showed
+    * the mechanism is compile-queue pressure landing on whichever
+    * query runs while C2 is busy. These two columns attribute a slow
+    * ITERATION to "new codegen in this iteration" vs "JIT background
+    * load", instead of leaving the spread unexplained.
+    */
   final case class QueryResult(best: Double, walls: Seq[Double],
-                               metrics: Array[Long], err: Option[String])
+                               metrics: Array[Long], err: Option[String],
+                               codegenN: Seq[Long] = Nil,
+                               jitMs: Seq[Long] = Nil)
 
   /** Best-effort listener drain: `LiveListenerBus.waitUntilEmpty` has a
     * built-in 10 s timeout that THROWS — under exactly the stall
@@ -83,30 +95,49 @@ object Bench {
     * the MAXIMUM elapsed — a broken query must never look fast — and
     * the exception is carried in `err`.
     */
+  /** Compile-pressure snapshot: (codegen compilations so far, JVM JIT
+    * total compile ms so far). Count from the codahale histogram is
+    * exact; the JIT bean can be absent on exotic JVMs → -1 sentinel.
+    */
+  private def compileSnap(): (Long, Long) = {
+    val cg = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
+    val bean = java.lang.management.ManagementFactory.getCompilationMXBean
+    val jit = if (bean != null && bean.isCompilationTimeMonitoringSupported)
+      bean.getTotalCompilationTime else -1L
+    (cg, jit)
+  }
+
   def runQuery(spark: SparkSession, listener: MetricsListener, iters: Int)
               (run: () => Long): QueryResult = {
     var err: Option[String] = None
     val runs = (1 to iters).map { _ =>
       drainListenerBus(spark)
       val before = listener.snap
+      val (cg0, jit0) = compileSnap()
       val t0 = System.nanoTime()
       try {
         run()
         val wall = (System.nanoTime() - t0) / 1e9
         drainListenerBus(spark)
         val after = listener.snap
-        (wall, after.zip(before).map { case (a, b) => a - b }, true)
+        val (cg1, jit1) = compileSnap()
+        (wall, after.zip(before).map { case (a, b) => a - b }, true,
+          cg1 - cg0, if (jit0 < 0 || jit1 < 0) -1L else jit1 - jit0)
       } catch {
         case e: Throwable =>
           err = Some(s"${e.getClass.getSimpleName}: " +
             String.valueOf(e.getMessage).take(300))
-          ((System.nanoTime() - t0) / 1e9, Array(0L, 0L, 0L, 0L), false)
+          val (cg1, jit1) = compileSnap()
+          ((System.nanoTime() - t0) / 1e9, Array(0L, 0L, 0L, 0L), false,
+            cg1 - cg0, if (jit0 < 0 || jit1 < 0) -1L else jit1 - jit0)
       }
     }
     val walls = runs.map(_._1)
     val ok = runs.filter(_._3)
     val best = if (ok.nonEmpty) ok.minBy(_._1) else runs.maxBy(_._1)
-    QueryResult(best._1, walls, best._2, err)
+    QueryResult(best._1, walls, best._2, err,
+      runs.map(_._4), runs.map(_._5))
   }
 
   private def jsonNum(d: Double): String =
@@ -169,11 +200,14 @@ object Bench {
       s"${jsonStr(k)}:${jsonStr(brief(m))}" }
     val detail = results.map { case (k, r) =>
       val walls = r.walls.map(jsonNum).mkString("[", ",", "]")
+      val cg = r.codegenN.mkString("[", ",", "]")
+      val jit = r.jitMs.mkString("[", ",", "]")
       s"${jsonStr(k)}:{" +
         s""""best":${jsonNum(r.best)},"wall":$walls,""" +
         s""""run_ms":${r.metrics(0)},""" +
         s""""cpu_ms":${r.metrics(1)},"gc_ms":${r.metrics(2)},""" +
-        s""""tasks":${r.metrics(3)}}"""
+        s""""tasks":${r.metrics(3)},""" +
+        s""""codegen_n":$cg,"jit_ms":$jit}"""
     }.mkString("{", ",", "}")
     val errPart =
       if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
@@ -209,6 +243,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SparkLogs.quietIterativeCleanup()
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
 

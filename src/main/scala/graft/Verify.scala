@@ -23,6 +23,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SparkLogs.quietIterativeCleanup()
     new java.io.File(outDir).mkdirs()
     // Dev loop: SPARK_GRAFT_ONLY=q_a,q_b verifies a subset. The driver
     // sets no env, so its gate always runs the full set.

@@ -102,12 +102,27 @@ object PageRank {
     * round; the seed indicator is a broadcast-size left join (the
     * seed set is a query, not a corpus). Seeds not present in the
     * graph are ignored; seeds must intersect the node set.
+    *
+    * `radius = Some(r)`: iterate only over the seeds' r-hop ball
+    * (frontier-bounded [[Bfs]] expansion, computed once) instead of
+    * the whole graph — the 100 TB-scale form: PPR rank concentrates
+    * near the seeds (mass at hop distance j needs j consecutive
+    * non-restart steps, ≤ d^j, split across an exponentially growing
+    * frontier), so the far tail never surfaces in a top-k and paying
+    * a full-graph join × iters for it is the scale-killer. Truncation
+    * is FAITHFUL, not renormalized: edge fractions keep the
+    * full-graph out-weight denominator and dangling status is
+    * detected on the full graph, so within-ball flow is identical to
+    * the full run and mass crossing the boundary decays exactly as
+    * it would (it just isn't tracked further). Only ball nodes are
+    * returned; GraphSpec pins top-k equivalence vs the full run.
     */
   def personalized(edges: DataFrame, seeds: DataFrame,
                    srcCol: String = "src", dstCol: String = "dst",
                    seedCol: String = "node",
                    weightCol: Option[String] = None, iters: Int = 10,
-                   damping: Double = 0.85): DataFrame = {
+                   damping: Double = 0.85,
+                   radius: Option[Int] = None): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1,
       s"need iters>=1, 0<damping<1: $iters/$damping")
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
@@ -128,19 +143,37 @@ object PageRank {
     val nSeeds = seedNodes.count()
     require(nSeeds > 0, "personalized PageRank needs >=1 seed in the graph")
     val sW = seedNodes.withColumn("__sw", lit(1.0 / nSeeds))
-    val eNorm = e
-      .join(e.groupBy("src").agg(sum("wt").as("__outw")), "src")
-      .select(col("src"), col("dst"), (col("wt") / col("__outw")).as("frac"))
-      .localCheckpoint(true)
     def rdd(df: DataFrame) = df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
       case _ => None
     }
-    val hasOut = eNorm.select(col("src").as("node")).distinct()
+    // the seeds' r-hop ball, when bounded (frontier-only expansion:
+    // each node expanded once, total work O(edges reachable)); the
+    // returned frame is already checkpointed by Bfs — reuse it as-is
+    val ball = radius.map(r =>
+      Bfs.hopDistance(e, seedNodes, maxDepth = r))
+    // iteration domain: ball nodes if bounded, all nodes otherwise
+    val dom = ball.map(_.select("node")).getOrElse(nodes)
+    // full-graph out-weights: bounded truncation must keep the real
+    // denominator so within-ball fractions match the full dynamics
+    val eNormFull = e
+      .join(e.groupBy("src").agg(sum("wt").as("__outw")), "src")
+      .select(col("src"), col("dst"), (col("wt") / col("__outw")).as("frac"))
+    val eNorm = (ball match {
+      case Some(b) => eNormFull
+        .join(b.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(b.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      case None => eNormFull
+    }).localCheckpoint(true)
+    // dangling = no out-edges in the FULL graph: a boundary node whose
+    // out-edges all leave the ball is NOT dangling — its mass exits,
+    // exactly as in the full run — only true sinks teleport back
+    val hasOut = e.select(col("src").as("node")).distinct()
+      .join(dom, Seq("node"), "left_semi")
       .withColumn("__has_out", lit(1))
       .localCheckpoint(true)
     // start AT the teleport distribution (the walk's stationary prior)
-    var ranks = nodes.join(sW, Seq("node"), "left")
+    var ranks = dom.join(sW, Seq("node"), "left")
       .select(col("node"), coalesce(col("__sw"), lit(0.0)).as("rank"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
@@ -151,7 +184,7 @@ object PageRank {
       val contrib = ranks.join(eNorm, ranks("node") === eNorm("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") * col("frac")).as("__c"))
-      val stepped = nodes.join(contrib, Seq("node"), "left")
+      val stepped = dom.join(contrib, Seq("node"), "left")
         .join(sW, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
@@ -168,6 +201,7 @@ object PageRank {
     rdd(e).foreach(_.unpersist(false))
     rdd(seedNodes).foreach(_.unpersist(false))
     rdd(nodes).foreach(_.unpersist(false))
+    ball.foreach(b => rdd(b).foreach(_.unpersist(false)))
     ranks
   }
 }

@@ -331,6 +331,13 @@ object TrainingQueries {
     * 0's tokens — the terms that surface are doc 0's vocabulary
     * neighborhood, not the corpus-global hubs [[textRank]] finds.
     * Iterative float method → rows-only; GraphSpec pins PPR itself.
+    *
+    * Bounded to the seeds' 3-hop ball (`radius = Some(3)`): the
+    * top-20 lives in the immediate vocabulary neighborhood, so the
+    * per-round join runs on the ball, not the full co-occurrence
+    * graph — the difference between O(ball) and O(corpus vocab²)
+    * per round at 100 TB. GraphSpec pins top-20 equivalence vs the
+    * unbounded run.
     */
   def pprTerms(s: SparkSession, d: String): DataFrame = {
     val bg = Dedup.shingles(Tables.documents(s, d), k = 2)
@@ -343,7 +350,7 @@ object TrainingQueries {
       .select(explode(graft.text.TextAnalysis.tokens(col("text")))
         .as("node")).distinct()
     graft.graph.PageRank.personalized(sym, seeds,
-        weightCol = Some("w"), iters = 10)
+        weightCol = Some("w"), iters = 10, radius = Some(3))
       .select(col("node").as("token"), round(col("rank"), 6).as("rank"))
       .orderBy(col("rank").desc, col("token").asc)
       .limit(20)

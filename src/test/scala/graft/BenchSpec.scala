@@ -42,6 +42,11 @@ class BenchSpec extends SparkSpec {
     assert(r.err.isEmpty)
     assert(r.best > 0 && r.best === r.walls.min)
     assert(r.metrics(3) > 0, "best iteration should have run Spark tasks")
+    // compile-pressure forensics: one delta per iteration, never negative
+    // (jit_ms may be -1 only when the JVM doesn't expose compile time)
+    assert(r.codegenN.length === 2 && r.jitMs.length === 2)
+    assert(r.codegenN.forall(_ >= 0))
+    assert(r.jitMs.forall(v => v >= 0 || v == -1L))
   }
 
   test("stdout line stays inside the driver tail window, even on mass failure") {

@@ -173,6 +173,52 @@ class GraphSpec extends SparkSpec {
     got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, k) }
   }
 
+  test("bounded PPR: faithful truncation — within-ball ranks exact " +
+      "when no path returns across the boundary") {
+    import spark.implicits._
+    // one-way chain into a terminal 2-cycle (e↔f keeps the graph
+    // dangling-free, so the full run has no teleport-back term the
+    // truncated run would miss); seed a, radius 2 → ball {a,b,c}.
+    // Nothing downstream of c links back, so within-ball flow in the
+    // bounded run is bit-identical to the full run.
+    val edges = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0),
+      ("d", "e", 1.0), ("e", "f", 1.0), ("f", "e", 1.0))
+    val full = pprOracle(edges, Set("a"), iters = 8)
+    val got = graft.graph.PageRank.personalized(
+        edges.toDF("src", "dst", "w"), Seq("a").toDF("node"),
+        weightCol = Some("w"), iters = 8, radius = Some(2))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === Set("a", "b", "c"))
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - full(k)) < 1e-12, k) }
+  }
+
+  test("pprTerms ball-bounding preserves the top-20 vs the unbounded " +
+      "run (VERDICT r4 item 3)") {
+    val docs = graft.io.Tables.documents(spark, sfDir)
+    // same co-occurrence graph construction as TrainingQueries.pprTerms
+    val bg = graft.dedup.Dedup.shingles(docs, k = 2)
+      .select(split(col("shingle"), " ").getItem(0).as("src"),
+        split(col("shingle"), " ").getItem(1).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val sym = bg.unionByName(bg.select(col("dst").as("src"),
+      col("src").as("dst"), col("w")))
+    val seeds = docs.filter(col("doc_id") === 0)
+      .select(explode(graft.text.TextAnalysis.tokens(col("text")))
+        .as("node")).distinct()
+    def top20(radius: Option[Int]): Seq[(String, Double)] =
+      graft.graph.PageRank.personalized(sym, seeds,
+          weightCol = Some("w"), iters = 10, radius = radius)
+        .orderBy(col("rank").desc, col("node").asc).limit(20)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val bounded = top20(Some(3))
+    val unbounded = top20(None)
+    assert(bounded.map(_._1) == unbounded.map(_._1),
+      "top-20 token set/order changed under ball bounding")
+    bounded.zip(unbounded).foreach { case ((tok, b), (_, u)) =>
+      assert(math.abs(b - u) < 1e-6, s"rank drift at $tok") }
+  }
+
   test("hierarchy: pointer doubling matches driver parent-walk") {
     import spark.implicits._
     // deep chain + branching forest in one input: chain 100→…→199
