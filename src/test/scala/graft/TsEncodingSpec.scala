@@ -47,6 +47,14 @@ class TsEncodingSpec extends SparkSpec {
     encs.tail.foreach(e => assert(instants(e) == ref, s"enc=$e"))
   }
 
+  test("CANARY: live testdata events.ts loads as TIMESTAMP " +
+      "(fails here first if the driver re-encodes ts again)") {
+    val dt = graft.io.Tables.events(spark, sfDir).schema("ts").dataType
+    assert(dt == TimestampType,
+      s"testdata events.ts surfaced as $dt — a NEW encoding; extend " +
+        "the tsenc fixtures and Tables.normalizeTs (BASELINE.md §7)")
+  }
+
   test("NTZ normalizes identically whether inference is on or off") {
     // The driver entry points pin inferTimestampNTZ=false (ts arrives
     // TIMESTAMP directly); the default-config path arrives NTZ and
