@@ -605,19 +605,31 @@ object AnalyticsQueries {
     * product graph. Per-part minimum hops, depth-bounded at 4 so the
     * round count — and the oracle's recursion — is fixed regardless
     * of diameter. Integer node ids and hop counts ⇒ exact oracle
-    * (bounded recursive CTE).
+    * (bounded recursive CTE over the pair graph).
+    *
+    * The BFS itself runs on the part–order INCIDENCE list via
+    * [[graft.graph.Bfs.hopDistanceHyper]] — orders are hyperedges,
+    * never projected to the part–part pair list: the edge footprint
+    * stays LINEAR in order size (a 1000-line order contributes 1000
+    * incidence rows, not ~10⁶ pairs) and each hop is two keyed joins
+    * with ONE checkpoint barrier. That Σ|e| vs Σ|e|² gap is the
+    * difference between a scan and a blowup at 100 TB (this query was
+    * the suite's top executor-CPU consumer with the materialized pair
+    * list). Single-part orders are dropped first so the reachable
+    * node set — parts with at least one co-purchase partner — matches
+    * the pair-graph semantics (and the oracle) exactly.
     */
   def hopDist(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    val edges = li.select(col("ok"), col("pk").as("src"))
-      .join(li.select(col("ok"), col("pk").as("dst")), Seq("ok"))
-      .filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
+    val multi = li.groupBy("ok").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("ok")
+    val inc = li.join(multi, Seq("ok"), "left_semi")
     val seeds = Tables.part(s, d).filter(col("p_partkey") <= 10)
       .select(col("p_partkey").as("node"))
-    graft.graph.Bfs.hopDistance(edges, seeds, maxDepth = 4)
+    graft.graph.Bfs.hopDistanceHyper(inc, seeds,
+        nodeCol = "pk", edgeCol = "ok", maxDepth = 4)
       .select(col("node").as("part"), col("dist").as("hops"))
       .orderBy("part")
   }

@@ -219,6 +219,36 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(b - u) < 1e-6, s"rank drift at $tok") }
   }
 
+  test("hyperedge BFS == pairwise BFS on the projected graph " +
+      "(random hypergraph)") {
+    import spark.implicits._
+    // 60 nodes, 40 hyperedges of size 1–5 (singletons included to
+    // exercise the documented pre-filter), deterministic LCG
+    var x = 12345L
+    def nxt(m: Int) = { x = (x * 1103515245L + 12345L) % 2147483648L
+      (x % m).toInt }
+    val inc = (0 until 40).flatMap { e =>
+      val size = 1 + nxt(5)
+      (0 until size).map(_ => (nxt(60).toLong, e.toLong))
+    }.distinct
+    // pairwise projection of the same hypergraph, singleton edges gone
+    val pairs = inc.groupBy(_._2).values.flatMap { ms =>
+      val ns = ms.map(_._1).distinct
+      for (a <- ns; b <- ns if a != b) yield (a, b)
+    }.toSeq.distinct
+    val multi = inc.groupBy(_._2).filter(_._2.map(_._1).distinct.size >= 2)
+      .keys.toSet
+    val incMulti = inc.filter { case (_, e) => multi(e) }
+    val seeds = Seq(inc.head._1, 59L).distinct.toDF("node")
+    val viaPairs = graft.graph.Bfs.hopDistance(
+        pairs.toDF("src", "dst"), seeds, maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaHyper = graft.graph.Bfs.hopDistanceHyper(
+        incMulti.toDF("node", "edge"), seeds, maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaHyper === viaPairs)
+  }
+
   test("hierarchy: pointer doubling matches driver parent-walk") {
     import spark.implicits._
     // deep chain + branching forest in one input: chain 100→…→199
