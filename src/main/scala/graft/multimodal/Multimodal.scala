@@ -90,6 +90,19 @@ object Multimodal {
     }
   }
 
+  /** Batch resize: same `mapPartitions` batch shape as
+    * [[extractFeatures]] (per-partition codec init amortized), blob
+    * replaced by its resized form and metadata updated — the
+    * normalize-before-training step of an image pipeline.
+    */
+  def resizeMedia(media: Dataset[MediaRow], targetBytes: Int)
+                 (implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => r.copy(media = FakeCodec.resize(r.media, targetBytes)))
+    }
+  }
+
   /** Frame sampling as a flatMap (one media row → many frame rows). */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int)
                   (implicit spark: SparkSession): Dataset[Frame] = {

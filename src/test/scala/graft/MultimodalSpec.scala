@@ -31,6 +31,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeMedia: every blob lands at the target size, ids kept") {
+    implicit val s = spark
+    val media = Seq(
+      MediaRow(1L, Array.tabulate[Byte](100)(_.toByte), "fake/utf8", 10, 10),
+      MediaRow(2L, Array.tabulate[Byte](7)(_.toByte), "fake/utf8", 7, 1))
+      .toDS()
+    val out = Multimodal.resizeMedia(media, targetBytes = 32)
+      .collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq === Seq(1L, 2L))
+    assert(out.forall(_.media.length === 32))
+    // truncation keeps the prefix; padding zero-fills past the source
+    assert(out(0).media.toSeq === (0 until 32).map(_.toByte).toSeq)
+    assert(out(1).media.slice(0, 7).toSeq === (0 until 7).map(_.toByte).toSeq)
+    assert(out(1).media.drop(7).forall(_ === 0.toByte))
+  }
+
   test("sampleFrames: stride-2 keeps every other fixed-size chunk") {
     implicit val s = spark
     val media = Seq(MediaRow(1L, Array.tabulate[Byte](100)(_.toByte),
