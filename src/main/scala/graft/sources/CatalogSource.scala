@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Not, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,6 +29,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    doesn't ask for it must never touch file contents. The scan's
   *    `readSchema()` is the proof (asserted in SourcesSpec), not a
   *    code comment.
+  *  - **filter pushdown** (`SupportsPushDownFilters`): predicates on
+  *    the LISTING metadata (`name`/`path`/`length`) prune the file set
+  *    BEFORE partition planning, so files excluded by
+  *    `name LIKE 'pr.%'`-style filters are never md5-hashed — at
+  *    catalog scale (millions of objects) the filter decides how many
+  *    files get READ, not just how many rows survive. Pushed filters
+  *    are reported (visible in `.explain`) but ALSO returned as
+  *    residuals, so Spark re-evaluates them post-scan — pruning is an
+  *    optimization, never the correctness boundary (exact null /
+  *    collation semantics stay with the engine).
   *  - **distributed evaluation**: files are split round-robin into
   *    input partitions; hashing runs executor-side, one task per
   *    partition — the listing is driver-side (like every file index)
@@ -52,6 +62,96 @@ object CatalogSource {
     StructField("md5", StringType)))
 }
 
+/** Test observability (the `HiveCatalogMetrics` pattern from Spark's
+  * own source): counts md5 file reads so SourcesSpec can prove that
+  * filter pushdown skipped the excluded files' content, not just
+  * their rows.
+  */
+private[graft] object CatalogMetrics {
+  val md5Reads = new java.util.concurrent.atomic.LongAdder
+}
+
+/** Driver-side evaluation of pushed filters against listing metadata
+  * `(name, path, length)`. Conservative by construction: any filter
+  * shape or column outside the supported set simply does not prune
+  * (`matches` defaults true for unknown nodes) — the engine-side
+  * residual evaluation owns exactness.
+  */
+private[sources] object CatalogFilters {
+  private val cols = Set("name", "path", "length")
+
+  def prunable(f: Filter): Boolean = f match {
+    case And(l, r) => prunable(l) && prunable(r)
+    case Or(l, r) => prunable(l) && prunable(r)
+    case Not(c) => prunable(c)
+    case EqualTo(a, _) => cols(a)
+    case In(a, _) => cols(a)
+    case GreaterThan(a, _) => cols(a)
+    case GreaterThanOrEqual(a, _) => cols(a)
+    case LessThan(a, _) => cols(a)
+    case LessThanOrEqual(a, _) => cols(a)
+    case StringStartsWith(a, _) => cols(a)
+    case StringEndsWith(a, _) => cols(a)
+    case StringContains(a, _) => cols(a)
+    case IsNotNull(a) => cols(a)
+    case _ => false
+  }
+
+  /** Keep the file unless the filter PROVABLY rejects it. Kleene
+    * three-valued evaluation: an unevaluable leaf is `None`
+    * (unknown), which propagates through And/Or/Not correctly — a
+    * plain "unknown = true" default would invert to a wrong prune
+    * under `Not`.
+    */
+  def keeps(f: Filter, name: String, path: String, length: Long)
+  : Boolean = eval(f, name, path, length).getOrElse(true)
+
+  private def eval(f: Filter, name: String, path: String, length: Long)
+  : Option[Boolean] = {
+    def str(a: String): Option[String] = a match {
+      case "name" => Some(name)
+      case "path" => Some(path)
+      case _ => None
+    }
+    def cmp(a: String, v: Any): Option[Int] = (a, v) match {
+      case ("length", n: Number) =>
+        Some(java.lang.Long.compare(length, n.longValue()))
+      case (_, s: String) => str(a).map(_.compareTo(s))
+      case _ => None
+    }
+    f match {
+      case And(l, r) =>
+        (eval(l, name, path, length), eval(r, name, path, length)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+      case Or(l, r) =>
+        (eval(l, name, path, length), eval(r, name, path, length)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+      case Not(c) => eval(c, name, path, length).map(!_)
+      case EqualTo(a, v) => cmp(a, v).map(_ == 0)
+      case In(a, vs) =>
+        val es = vs.toSeq.map(v => cmp(a, v).map(_ == 0))
+        if (es.contains(Some(true))) Some(true)
+        else if (es.forall(_ == Some(false))) Some(false)
+        else None
+      case GreaterThan(a, v) => cmp(a, v).map(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v).map(_ >= 0)
+      case LessThan(a, v) => cmp(a, v).map(_ < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v).map(_ <= 0)
+      case StringStartsWith(a, v) => str(a).map(_.startsWith(v))
+      case StringEndsWith(a, v) => str(a).map(_.endsWith(v))
+      case StringContains(a, v) => str(a).map(_.contains(v))
+      case IsNotNull(_) => Some(true) // listing metadata is never null
+      case _ => None
+    }
+  }
+}
+
 private[sources] class CatalogTable(path: String)
     extends Table with SupportsRead {
   require(path != null, "graft-catalog requires a load(path)")
@@ -64,29 +164,45 @@ private[sources] class CatalogTable(path: String)
 }
 
 private[sources] class CatalogScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = CatalogSource.schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new CatalogScan(path, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(CatalogFilters.prunable)
+    // everything stays residual: the scan prunes files with the
+    // pushed subset, the engine re-applies ALL filters on the rows
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new CatalogScan(path, required, pushed)
 }
 
 private[sources] case class FilesPartition(
     files: Array[(String, String, Long, Long)]) extends InputPartition
 
-private[sources] class CatalogScan(path: String, required: StructType)
+private[sources] class CatalogScan(path: String, required: StructType,
+                                   pushed: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-catalog $path readSchema=${required.fieldNames.mkString(",")}"
+    s"graft-catalog $path readSchema=${required.fieldNames.mkString(",")}" +
+      s" PushedFilters: [${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     // driver-side: reuse the shared recursive listing with the active
     // session's hadoop conf (fs settings, credentials)
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
-    val files = graft.io.Catalog.listRaw(path, conf).toArray
+    // pushed filters prune HERE — before partition planning, so an
+    // excluded file is never shipped to an executor, let alone hashed
+    val files = graft.io.Catalog.listRaw(path, conf)
+      .filter { case (name, p, len, _) =>
+        pushed.forall(CatalogFilters.keeps(_, name, p, len)) }
+      .toArray
     val slices = math.max(1, math.min(4, files.length))
     (0 until slices).map(i => FilesPartition(
       files.zipWithIndex.collect { case (f, j) if j % slices == i => f }))
@@ -129,6 +245,7 @@ private[sources] class CatalogReader(partition: FilesPartition,
   }
 
   private def md5Hex(filePath: String): String = {
+    CatalogMetrics.md5Reads.increment()
     val p = new Path(filePath)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val digest = java.security.MessageDigest.getInstance("MD5")

@@ -50,6 +50,40 @@ class SourcesSpec extends SparkSpec {
     assert(fullScan.head.contains("md5"))
   }
 
+  test("filter pushdown prunes files BEFORE md5: excluded content " +
+      "never read") {
+    import graft.sources.CatalogMetrics
+    // warm lazy dir creation, then measure md5 reads for a filtered scan
+    val q = spark.read.format("graft-catalog").load(dir)
+      .filter(col("name").startsWith("a"))
+      .select("name", "md5")
+    val before = CatalogMetrics.md5Reads.sum()
+    val rows = q.collect()
+    val reads = CatalogMetrics.md5Reads.sum() - before
+    assert(rows.map(_.getString(0)).toSeq === Seq("a.txt"))
+    assert(reads === 1L,
+      s"only the matching file may be hashed, got $reads md5 reads")
+    // the pushed filter is visible on the scan node
+    val desc = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }.mkString
+    assert(desc.contains("PushedFilters: [") && desc.contains("a"), desc)
+  }
+
+  test("pushdown keeps exact semantics under Not / unsupported shapes") {
+    val base = spark.read.format("graft-catalog").load(dir)
+      .select("name", "length")
+    // Not(StartsWith) must not over-prune (three-valued eval guard)
+    assert(base.filter(!col("name").startsWith("a"))
+      .collect().map(_.getString(0)).sorted.toSeq === Seq("b.txt", "c.json"))
+    // filter on md5 (not prunable) still evaluates correctly post-scan
+    val md5OfEmpty = "99914b932bd37a50b983c5e7c90ae93b" // md5("{}")
+    val viaMd5 = spark.read.format("graft-catalog").load(dir)
+      .filter(col("md5") === md5OfEmpty)
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(viaMd5 === Seq("c.json"))
+  }
+
   test("files spread over multiple input partitions") {
     val df = spark.read.format("graft-catalog").load(dir)
     val parts = df.select(
