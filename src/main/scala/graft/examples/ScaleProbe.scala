@@ -236,6 +236,29 @@ object ScaleProbe {
       time(s"bfs depth-6 (ring n=${nDocs * k})")(
         graft.graph.Bfs.hopDistance(ringSym, seeds, maxDepth = 6).count())
     }
+    // Round-5: hyperedge BFS vs pairwise projection. The scaling axis
+    // is HYPEREDGE SIZE at fixed incidence volume (100k membership
+    // rows): the pairwise projection materializes m·b·(b−1) edges —
+    // quadratic in basket size b — while the incidence form stays at
+    // m·b rows whatever b is. Wall for the hyper path should be ~flat
+    // across b; the pairwise path should grow ~b×. (This is the
+    // q_hop_dist rewrite's cost law, measured.)
+    for (b <- Seq(4, 16, 64)) {
+      val m = 100000 / b
+      println(s"=== hyper-BFS cost law: $m baskets × size $b " +
+        s"(pairs would be ${m.toLong * b * (b - 1)}) ===")
+      val inc = spark.range(m.toLong * b).select(
+        (col("id") % (m * 4)).as("node"), expr(s"id div $b").as("edge"))
+      val seeds = spark.range(1).select(lit(0L).as("node"))
+      time(s"hyper BFS depth-3 (b=$b)")(
+        graft.graph.Bfs.hopDistanceHyper(inc, seeds, maxDepth = 3).count())
+      time(s"pairwise BFS depth-3 (b=$b)")({
+        val pairs = inc.as("a").join(inc.as("b"), Seq("edge"))
+          .select(col("a.node").as("src"), col("b.node").as("dst"))
+          .filter(col("src") =!= col("dst"))
+        graft.graph.Bfs.hopDistance(pairs, seeds, maxDepth = 3).count()
+      })
+    }
     spark.stop()
   }
 }
