@@ -2944,6 +2944,149 @@ object SparkEntry {
         |      / (CAST(c_t AS DOUBLE) / tot))), 6) AS kl
         |FROM bs JOIN bt USING (tok) JOIN st USING (source) CROSS JOIN t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Mirrors TextAnalysis.languageId exactly: score = count of the
+    // lang profile's DISTINCT words present among the doc's tokens
+    // (array_intersect semantics), argmax per doc with ties to the
+    // lexicographically smallest code (row_number ORDER score DESC,
+    // lang ASC), zero-score docs included via the doc x lang grid.
+    "q_lang_id" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(
+        |    regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |prof(lang, word) AS (VALUES
+        |  ('en','the'),('en','and'),('en','of'),('en','to'),('en','in'),
+        |  ('en','is'),('en','that'),('en','it'),('en','for'),('en','was'),
+        |  ('es','de'),('es','la'),('es','que'),('es','el'),('es','en'),
+        |  ('es','los'),('es','del'),('es','las'),('es','por'),('es','un'),
+        |  ('fr','de'),('fr','la'),('fr','le'),('fr','et'),('fr','les'),
+        |  ('fr','des'),('fr','en'),('fr','du'),('fr','que'),('fr','une'),
+        |  ('de','der'),('de','die'),('de','und'),('de','das'),('de','von'),
+        |  ('de','den'),('de','des'),('de','im'),('de','ein'),('de','mit'),
+        |  ('zh','的'),('zh','了'),('zh','是'),('zh','在'),('zh','我'),
+        |  ('zh','有'),('zh','和'),('zh','就'),('zh','不'),('zh','人')),
+        |hit AS (
+        |  SELECT t.doc_id, p.lang, count(DISTINCT p.word) AS score
+        |  FROM tk t JOIN prof p ON t.tok = p.word GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.doc_id, l.lang, coalesce(h.score, 0) AS score
+        |  FROM (SELECT doc_id FROM documents) d
+        |  CROSS JOIN (SELECT DISTINCT lang FROM prof) l
+        |  LEFT JOIN hit h ON h.doc_id = d.doc_id AND h.lang = l.lang),
+        |pred AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, lang ASC) AS rn
+        |  FROM grid)
+        |SELECT lang AS lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pred WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The END-TO-END curation pipeline, exactly: each stage below is
+    // the already-oracled fragment of its standalone query (quality =
+    // q_text_quality's score, lang-ID = q_lang_id, exact dedup =
+    // q_dedup_exact, near-dup drop = q_dedup_ngram's pairs, chunking =
+    // q_chunks at 32/24, split = q_train_test_split's Knuth bucket),
+    // composed in TrainingPipeline.curate's staging order: score →
+    // filter ≥ 0.2 → exact dedup (min doc_id per fingerprint) →
+    // drop doc_b of each ≥ 0.8 pair among survivors → chunk → split.
+    "q_curate" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    round(length(regexp_replace(trim(text), '\s+', '', 'g')) /
+        |      nullif(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |        AS DOUBLE), 0.0), 6) AS mean_token_len,
+        |    round(len(regexp_extract_all(text, '[^\w\s]')) /
+        |      nullif(CAST(length(text) AS DOUBLE), 0.0), 6) AS punct_ratio
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, text, round(greatest(
+        |      least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+        |      * (1.0 - least(punct_ratio * 5.0, 1.0))
+        |      * (1.0 - (CASE WHEN mean_token_len IS NULL THEN 1.0
+        |          WHEN mean_token_len < 2.0 OR mean_token_len > 12.0
+        |            THEN 0.5 ELSE 0.0 END) * 0.5),
+        |      0.0), 6) AS quality_score
+        |  FROM m),
+        |kept AS (
+        |  SELECT doc_id, text, quality_score FROM q
+        |  WHERE quality_score >= 0.2),
+        |ltk AS (
+        |  SELECT doc_id, unnest(
+        |    regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM kept),
+        |prof(lang, word) AS (VALUES
+        |  ('en','the'),('en','and'),('en','of'),('en','to'),('en','in'),
+        |  ('en','is'),('en','that'),('en','it'),('en','for'),('en','was'),
+        |  ('es','de'),('es','la'),('es','que'),('es','el'),('es','en'),
+        |  ('es','los'),('es','del'),('es','las'),('es','por'),('es','un'),
+        |  ('fr','de'),('fr','la'),('fr','le'),('fr','et'),('fr','les'),
+        |  ('fr','des'),('fr','en'),('fr','du'),('fr','que'),('fr','une'),
+        |  ('de','der'),('de','die'),('de','und'),('de','das'),('de','von'),
+        |  ('de','den'),('de','des'),('de','im'),('de','ein'),('de','mit'),
+        |  ('zh','的'),('zh','了'),('zh','是'),('zh','在'),('zh','我'),
+        |  ('zh','有'),('zh','和'),('zh','就'),('zh','不'),('zh','人')),
+        |hit AS (
+        |  SELECT t.doc_id, p.lang, count(DISTINCT p.word) AS score
+        |  FROM ltk t JOIN prof p ON t.tok = p.word GROUP BY 1, 2),
+        |lp AS (
+        |  SELECT k.doc_id, l.lang, coalesce(h.score, 0) AS score
+        |  FROM (SELECT doc_id FROM kept) k
+        |  CROSS JOIN (SELECT DISTINCT lang FROM prof) l
+        |  LEFT JOIN hit h ON h.doc_id = k.doc_id AND h.lang = l.lang),
+        |lang1 AS (
+        |  SELECT doc_id, lang AS lang_pred FROM (
+        |    SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, lang ASC) AS rn FROM lp)
+        |  WHERE rn = 1),
+        |ex AS (
+        |  SELECT doc_id, text, quality_score FROM (
+        |    SELECT doc_id, text, quality_score, row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(lower(trim(text)),
+        |        '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |    FROM kept) WHERE rn = 1),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |     for i in range(1, len(w) - 1)])) AS shingle
+        |  FROM (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS w FROM ex)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_both
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |drop_ids AS (
+        |  SELECT DISTINCT doc_b AS doc_id
+        |  FROM pairs
+        |  JOIN cnt ca ON ca.doc_id = doc_a
+        |  JOIN cnt cb ON cb.doc_id = doc_b
+        |  WHERE round(n_both / (ca.n + cb.n - n_both), 6) >= 0.8),
+        |uniq AS (
+        |  SELECT * FROM ex
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)),
+        |nc AS (
+        |  SELECT doc_id, quality_score, w,
+        |    CASE WHEN len(w) <= 32 THEN 1
+        |      ELSE (len(w) - 32 + 23) // 24 + 1 END AS n_chunks
+        |  FROM (SELECT doc_id, quality_score,
+        |    regexp_split_to_array(trim(text), '\s+') AS w FROM uniq)),
+        |c AS (
+        |  SELECT doc_id, quality_score, len(w) AS n,
+        |    unnest([{ci: i,
+        |      txt: array_to_string(w[(i*24+1):(i*24+32)], ' ')}
+        |      for i in range(0, n_chunks)]) AS ch
+        |  FROM nc)
+        |SELECT c.doc_id, CAST(c.ch.ci AS BIGINT) AS chunk_id,
+        |  c.ch.txt AS chunk_text,
+        |  CAST(least(32, c.n - c.ch.ci * 24) AS BIGINT) AS chunk_tokens,
+        |  l.lang_pred, c.quality_score,
+        |  CASE WHEN (c.doc_id * 2654435761) % 4294967296 % 100 < 90
+        |    THEN 'train' ELSE 'test' END AS split
+        |FROM c JOIN lang1 l ON l.doc_id = c.doc_id
+        |ORDER BY c.doc_id, chunk_id""".stripMargin,
     "q_funnel_latency" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events
