@@ -3087,6 +3087,27 @@ object SparkEntry {
         |    THEN 'train' ELSE 'test' END AS split
         |FROM c JOIN lang1 l ON l.doc_id = c.doc_id
         |ORDER BY c.doc_id, chunk_id""".stripMargin,
+    // Parity argument: both engines fold |x| with max (order-free),
+    // compute the identical IEEE double (x·127)/absmax, and round
+    // ties away from zero (Spark HALF_UP via the double's canonical
+    // decimal form; DuckDB std::round) — bit-equal inputs, same tie
+    // rule, so the quantized ints agree everywhere, not just off the
+    // .5 boundary.
+    "q_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS absmax
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  round(absmax / 127.0, 6) AS qscale,
+        |  CAST(CASE WHEN absmax = 0.0 THEN 0
+        |    ELSE list_sum(list_transform(embedding, x ->
+        |      abs(CAST(greatest(-127.0, least(127.0,
+        |        round(CAST(x AS DOUBLE) * 127.0 / absmax))) AS INT))))
+        |    END AS BIGINT) AS q_l1,
+        |  CAST(len(embedding) AS BIGINT) AS dim
+        |FROM e ORDER BY vec_id""".stripMargin,
     "q_funnel_latency" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events

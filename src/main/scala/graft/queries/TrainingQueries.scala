@@ -619,9 +619,11 @@ object TrainingQueries {
 
   /** Int8 embedding quantization summary: per-vector scale + integer
     * L1 norm (exact) + dimensionality. Quantized dot products are the
-    * 4×-smaller ANN storage path; rounding parity across engines is
-    * not contractual (half-up boundary cases) → rows-only; cosine
-    * preservation is asserted in SimilaritySpec.
+    * 4×-smaller ANN storage path. Oracle-checked (since r5): both
+    * engines fold |x| with an order-free max, produce the identical
+    * IEEE double (x·127)/absmax, and round ties away from zero, so
+    * the quantized ints agree bit-for-bit; cosine preservation is
+    * additionally asserted in SimilaritySpec.
     */
   def quantize(s: SparkSession, d: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(s, d))
