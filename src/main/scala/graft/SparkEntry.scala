@@ -2970,16 +2970,22 @@ object SparkEntry {
         |  FROM tk t JOIN prof p ON t.tok = p.word GROUP BY 1, 2),
         |grid AS (
         |  SELECT d.doc_id, l.lang, coalesce(h.score, 0) AS score
-        |  FROM (SELECT doc_id FROM documents) d
+        |  FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
         |  CROSS JOIN (SELECT DISTINCT lang FROM prof) l
         |  LEFT JOIN hit h ON h.doc_id = d.doc_id AND h.lang = l.lang),
         |pred AS (
         |  SELECT doc_id, lang,
         |    row_number() OVER (PARTITION BY doc_id
         |      ORDER BY score DESC, lang ASC) AS rn
-        |  FROM grid)
-        |SELECT lang AS lang_pred, CAST(count(*) AS BIGINT) AS n_docs
-        |FROM pred WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  FROM grid),
+        |lp AS (
+        |  SELECT lang AS lang_pred FROM pred WHERE rn = 1
+        |  UNION ALL
+        |  -- NULL text propagates: scores are NULL, no lang matches the
+        |  -- NULL max, so the Spark side predicts NULL — mirror it
+        |  SELECT NULL FROM documents WHERE text IS NULL)
+        |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM lp GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     // The END-TO-END curation pipeline, exactly: each stage below is
     // the already-oracled fragment of its standalone query (quality =
     // q_text_quality's score, lang-ID = q_lang_id, exact dedup =

@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.logging.log4j.Level
-import org.apache.logging.log4j.core.config.Configurator
+import org.apache.logging.log4j.LogManager
+import org.apache.logging.log4j.core.{Filter, LoggerContext}
+import org.apache.logging.log4j.core.filter.RegexFilter
 
 /** Log hygiene for the driver-run mains.
   *
@@ -15,17 +16,25 @@ import org.apache.logging.log4j.core.config.Configurator
   * unconditional WARN ("was locally checkpointed, its lineage has
   * been truncated and cannot be recomputed") for ANY locally-
   * checkpointed RDD, with no safe/unsafe distinction — in our usage
-  * nothing ever references the unpersisted round again (the verdict's
-  * round-4 audit confirmed zero recompute failures across the whole
-  * suite), so the warning is pure noise that floods the bench tail.
-  * Demote that one logger category to ERROR instead of weakening the
-  * cleanup discipline or the global WARN level.
+  * nothing ever references the unpersisted round again (the round-4
+  * audit confirmed zero recompute failures across the whole suite),
+  * so that one message is pure noise that floods the bench tail.
+  *
+  * Suppression is MESSAGE-targeted, not level- or package-targeted: a
+  * regex DENY filter on the root logger config drops exactly this
+  * message and nothing else, so every other WARN in
+  * `org.apache.spark.rdd` (input-split problems, caching fallbacks,
+  * future deprecations) still reaches the driver logs.
   */
 object SparkLogs {
-  /** Silence the cosmetic locally-checkpointed-unpersist WARN (logged
-    * under the concrete RDD class, e.g.
-    * `org.apache.spark.rdd.MapPartitionsRDD` — suppress the package).
-    */
   def quietIterativeCleanup(): Unit =
-    Configurator.setLevel("org.apache.spark.rdd", Level.ERROR)
+    LogManager.getContext(false) match {
+      case ctx: LoggerContext =>
+        val filter = RegexFilter.createFilter(
+          ".*locally checkpointed.*", null, java.lang.Boolean.FALSE,
+          Filter.Result.DENY, Filter.Result.NEUTRAL)
+        ctx.getConfiguration.getRootLogger.addFilter(filter)
+        ctx.updateLoggers()
+      case _ => () // non-core log4j binding: leave logging untouched
+    }
 }

@@ -40,10 +40,6 @@ object Bfs {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-    def rdd(df: DataFrame) = df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
-      case _ => None
-    }
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .join(nodes, Seq("node"))
       .withColumn("dist", lit(0L))
@@ -56,10 +52,10 @@ object Bfs {
       val merged = dist.unionByName(next)
         .groupBy("node").agg(min("dist").as("dist"))
         .localCheckpoint(true)
-      rdd(dist).foreach(_.unpersist(false))
+      IterState.release(dist)
       dist = merged
     }
-    rdd(e).foreach(_.unpersist(false))
+    IterState.release(e)
     dist
   }
 
@@ -94,10 +90,6 @@ object Bfs {
       .distinct()
       .localCheckpoint(true)
     val nodes = inc.select("node").distinct()
-    def rdd(df: DataFrame) = df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
-      case _ => None
-    }
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .join(nodes, Seq("node"))
       .withColumn("dist", lit(0L))
@@ -112,10 +104,10 @@ object Bfs {
       val merged = dist.unionByName(next)
         .groupBy("node").agg(min("dist").as("dist"))
         .localCheckpoint(true)
-      rdd(dist).foreach(_.unpersist(false))
+      IterState.release(dist)
       dist = merged
     }
-    rdd(inc).foreach(_.unpersist(false))
+    IterState.release(inc)
     dist
   }
 }

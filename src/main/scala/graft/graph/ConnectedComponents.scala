@@ -66,10 +66,6 @@ object ConnectedComponents {
     // materialized nothing references the prior round again). The
     // RETURNED labels stay cached deliberately: callers typically
     // consume them several times (join back, count, write).
-    def checkpointedRdd(df: DataFrame) = df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
-      case _ => None
-    }
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -86,11 +82,11 @@ object ConnectedComponents {
       val s = labelSum(stepped)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      checkpointedRdd(labels).foreach(_.unpersist(false))
+      IterState.release(labels)
       labels = stepped
       iter += 1
     }
-    checkpointedRdd(sym).foreach(_.unpersist(false))
+    IterState.release(sym)
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge in $maxIter rounds " +
         "(graph diameter exceeds maxIter)")

@@ -45,10 +45,6 @@ object LabelPropagation {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .groupBy("src", "dst").agg(sum("wt").as("wt"))
       .localCheckpoint(true)
-    def rdd(df: DataFrame) = df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
-      case _ => None
-    }
     var labels = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
@@ -69,10 +65,10 @@ object LabelPropagation {
         .select(col("id"),
           coalesce(col("__new"), col("label")).as("label"))
         .localCheckpoint(true)
-      rdd(labels).foreach(_.unpersist(false))
+      IterState.release(labels)
       labels = stepped
     }
-    rdd(e).foreach(_.unpersist(false))
+    IterState.release(e)
     labels
   }
 }

@@ -53,10 +53,6 @@ object PageRank {
       .join(e.groupBy("src").agg(sum("wt").as("__outw")), "src")
       .select(col("src"), col("dst"), (col("wt") / col("__outw")).as("frac"))
       .localCheckpoint(true)
-    def rdd(df: DataFrame) = df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
-      case _ => None
-    }
     val hasOut = eNorm.select(col("src").as("node")).distinct()
       .withColumn("__has_out", lit(1))
       .localCheckpoint(true)
@@ -80,15 +76,15 @@ object PageRank {
             lit(damping) * (coalesce(col("__c"), lit(0.0)) +
               col("__dang") / lit(n.toDouble))).as("rank"))
         .localCheckpoint(true)
-      rdd(ranks).foreach(_.unpersist(false))
+      IterState.release(ranks)
       ranks = stepped
     }
-    rdd(eNorm).foreach(_.unpersist(false))
-    rdd(hasOut).foreach(_.unpersist(false))
-    rdd(e).foreach(_.unpersist(false))
+    IterState.release(eNorm)
+    IterState.release(hasOut)
+    IterState.release(e)
     // the final ranks frame is itself checkpointed — nothing references
     // the intermediate frames anymore
-    rdd(nodes).foreach(_.unpersist(false))
+    IterState.release(nodes)
     ranks
   }
 
@@ -143,10 +139,6 @@ object PageRank {
     val nSeeds = seedNodes.count()
     require(nSeeds > 0, "personalized PageRank needs >=1 seed in the graph")
     val sW = seedNodes.withColumn("__sw", lit(1.0 / nSeeds))
-    def rdd(df: DataFrame) = df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
-      case _ => None
-    }
     // the seeds' r-hop ball, when bounded (frontier-only expansion:
     // each node expanded once, total work O(edges reachable)); the
     // returned frame is already checkpointed by Bfs — reuse it as-is
@@ -154,21 +146,32 @@ object PageRank {
       Bfs.hopDistance(e, seedNodes, maxDepth = r))
     // iteration domain: ball nodes if bounded, all nodes otherwise
     val dom = ball.map(_.select("node")).getOrElse(nodes)
-    // full-graph out-weights: bounded truncation must keep the real
-    // denominator so within-ball fractions match the full dynamics
-    val eNormFull = e
-      .join(e.groupBy("src").agg(sum("wt").as("__outw")), "src")
+    // When bounded, restrict to ball-SOURCE edges BEFORE the
+    // out-weight aggregation: a src semi-join keeps each surviving
+    // source's COMPLETE out-edge set, so the full-graph denominators
+    // — the faithful-truncation requirement — are unchanged, while
+    // the one-time aggregation+join shuffles O(ball-incident edges)
+    // instead of the whole graph.
+    val eBall = ball match {
+      case Some(b) => e
+        .join(b.select(col("node").as("src")), Seq("src"), "left_semi")
+        .localCheckpoint(true)
+      case None => e
+    }
+    val eNormFull = eBall
+      .join(eBall.groupBy("src").agg(sum("wt").as("__outw")), "src")
       .select(col("src"), col("dst"), (col("wt") / col("__outw")).as("frac"))
     val eNorm = (ball match {
       case Some(b) => eNormFull
-        .join(b.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(b.select(col("node").as("dst")), Seq("dst"), "left_semi")
       case None => eNormFull
     }).localCheckpoint(true)
     // dangling = no out-edges in the FULL graph: a boundary node whose
     // out-edges all leave the ball is NOT dangling — its mass exits,
-    // exactly as in the full run — only true sinks teleport back
-    val hasOut = e.select(col("src").as("node")).distinct()
+    // exactly as in the full run — only true sinks teleport back.
+    // (eBall suffices: a dom node's out-edges, if any, all survive the
+    // src semi-join.)
+    val hasOut = eBall.select(col("src").as("node")).distinct()
       .join(dom, Seq("node"), "left_semi")
       .withColumn("__has_out", lit(1))
       .localCheckpoint(true)
@@ -193,15 +196,16 @@ object PageRank {
               col("__dang") * coalesce(col("__sw"), lit(0.0))))
             .as("rank"))
         .localCheckpoint(true)
-      rdd(ranks).foreach(_.unpersist(false))
+      IterState.release(ranks)
       ranks = stepped
     }
-    rdd(eNorm).foreach(_.unpersist(false))
-    rdd(hasOut).foreach(_.unpersist(false))
-    rdd(e).foreach(_.unpersist(false))
-    rdd(seedNodes).foreach(_.unpersist(false))
-    rdd(nodes).foreach(_.unpersist(false))
-    ball.foreach(b => rdd(b).foreach(_.unpersist(false)))
+    IterState.release(eNorm)
+    IterState.release(hasOut)
+    IterState.release(e)
+    if (ball.isDefined) IterState.release(eBall)
+    IterState.release(seedNodes)
+    IterState.release(nodes)
+    ball.foreach(b => IterState.release(b))
     ranks
   }
 }

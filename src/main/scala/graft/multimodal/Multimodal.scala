@@ -92,8 +92,11 @@ object Multimodal {
 
   /** Batch resize: same `mapPartitions` batch shape as
     * [[extractFeatures]] (per-partition codec init amortized), blob
-    * replaced by its resized form and metadata updated — the
-    * normalize-before-training step of an image pipeline.
+    * replaced by its byte-resized form — the normalize-before-training
+    * step of an image pipeline. `width`/`height` are deliberately
+    * UNTOUCHED: the stub codec resizes bytes, not pixels, so
+    * rewriting pixel metadata here would fabricate dimensions; a real
+    * codec swap updates them from its actual output frame.
     */
   def resizeMedia(media: Dataset[MediaRow], targetBytes: Int)
                  (implicit spark: SparkSession): Dataset[MediaRow] = {

@@ -113,10 +113,28 @@ private[sources] object CatalogFilters {
       case "path" => Some(path)
       case _ => None
     }
+    // Spark compares StringType in UTF8String BINARY order (UTF-8
+    // bytes, unsigned); Java's String.compareTo is UTF-16 code-unit
+    // order, and the two DIVERGE for supplementary characters (an
+    // emoji-named file sorts before U+F900 in UTF-16 but after it in
+    // UTF-8). A wrong ordering here over-prunes — the file is never
+    // read, so the engine's residual filter cannot bring the row back
+    // — so range comparisons must replicate the engine's byte order.
+    def utf8Cmp(x: String, y: String): Int = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
     def cmp(a: String, v: Any): Option[Int] = (a, v) match {
       case ("length", n: Number) =>
         Some(java.lang.Long.compare(length, n.longValue()))
-      case (_, s: String) => str(a).map(_.compareTo(s))
+      case (_, s: String) => str(a).map(utf8Cmp(_, s))
       case _ => None
     }
     f match {
@@ -209,15 +227,31 @@ private[sources] class CatalogScan(path: String, required: StructType,
       .toArray[InputPartition]
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new CatalogReaderFactory(required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // capture the SESSION hadoop conf driver-side (credentials, fs
+    // impls) as plain entries — Configuration itself isn't
+    // serializable, and a fresh executor-side `new Configuration()`
+    // would lose exactly the settings that made the driver-side
+    // LISTING succeed (s3a credentials etc.)
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val entries = {
+      val it = conf.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    new CatalogReaderFactory(required, entries)
+  }
 }
 
-private[sources] class CatalogReaderFactory(required: StructType)
+private[sources] class CatalogReaderFactory(
+    required: StructType, confEntries: Array[(String, String)])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
   : PartitionReader[InternalRow] =
-    new CatalogReader(partition.asInstanceOf[FilesPartition], required)
+    new CatalogReader(partition.asInstanceOf[FilesPartition], required,
+      confEntries)
 }
 
 /** Executor-side reader: one row per listed file; `md5` (the only
@@ -225,10 +259,17 @@ private[sources] class CatalogReaderFactory(required: StructType)
   * asks for it.
   */
 private[sources] class CatalogReader(partition: FilesPartition,
-                                     required: StructType)
+                                     required: StructType,
+                                     confEntries: Array[(String, String)])
     extends PartitionReader[InternalRow] {
   private val wantMd5 = required.fieldNames.contains("md5")
   private var i = -1
+  // rebuilt once per reader from the shipped session entries
+  private lazy val hconf = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    confEntries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
 
   override def next(): Boolean = { i += 1; i < partition.files.length }
 
@@ -247,7 +288,7 @@ private[sources] class CatalogReader(partition: FilesPartition,
   private def md5Hex(filePath: String): String = {
     CatalogMetrics.md5Reads.increment()
     val p = new Path(filePath)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hconf)
     val digest = java.security.MessageDigest.getInstance("MD5")
     val in = fs.open(p)
     try {
