@@ -41,13 +41,13 @@ object Bucketing {
     */
   def ensureDatabase(spark: SparkSession, db: String, location: String): Unit = {
     if (!spark.catalog.databaseExists(db)) {
-      val p = java.nio.file.Paths.get(location)
-      if (java.nio.file.Files.exists(p)) {
-        val walk = java.nio.file.Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => java.nio.file.Files.deleteIfExists(q))
-        finally walk.close()
-      }
+      // Hadoop FS, not java.nio: the location may be hdfs://, s3a://,
+      // etc., where a local-path existence probe silently no-ops and
+      // the stale files then fail the saveAsTable this cleanup exists
+      // to protect (same per-scheme resolution as Sinks/SyncJob).
+      val p = new org.apache.hadoop.fs.Path(location)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
     }
     spark.sql(
       s"CREATE DATABASE IF NOT EXISTS $db LOCATION '${location.replace("'", "''")}'")
@@ -76,16 +76,30 @@ object Bucketing {
     * Sort — assert via [[isShuffleFree]] in tests.
     *
     * Spark stopped exposing bucket sort order by default (SPARK-28173:
-    * with >1 file per bucket the scan would need an expensive merge-read),
-    * so the sorted-scan conf is opted into here explicitly — safe because
-    * [[writeBucketed]] repartitions by the bucket key pre-write, which
-    * guarantees exactly one file per bucket. Without the conf the join is
+    * with >1 file per bucket the scan would report an ordering that
+    * does not hold across files — an INCORRECT-RESULTS hazard), so the
+    * sorted-scan conf is opted in only for THIS join's planning — safe
+    * because [[writeBucketed]] repartitions by the bucket key
+    * pre-write, guaranteeing exactly one file per bucket. The conf is
+    * restored immediately after the plan is forced: leaking it
+    * session-wide would extend the one-file-per-bucket assumption to
+    * every other bucketed table in the session, which is exactly the
+    * SPARK-28173 wrong-results condition. Without the conf the join is
     * still exchange-free; it merely re-sorts each bucket in memory.
     */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    key: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    spark.table(leftTable).join(spark.table(rightTable), key)
+    val confKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "true")
+    try {
+      val joined = spark.table(leftTable).join(spark.table(rightTable), key)
+      joined.queryExecution.executedPlan // bake the sorted scan NOW
+      joined
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
   }
 
   /** True when the executed plan contains no shuffle exchange (the scan's

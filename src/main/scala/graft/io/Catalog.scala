@@ -48,9 +48,20 @@ object Catalog {
     * md5 it — the reference streams 8KB chunks through hashlib
     * (`Task_1_sync_bls_files.py:99-105`); here each file is one task and
     * the hash is the Catalyst `md5` over the content column.
+    *
+    * `recursive = true` descends into plain subdirectories
+    * (`recursiveFileLookup`, which also disables partition-style
+    * directory inference — the right semantics for a FILE catalog);
+    * the default keeps the reference's flat-prefix LIST behavior.
+    * `name` stays the basename either way — callers needing a
+    * collision-free key under recursion derive it from `path`
+    * (see SyncJob's relative-path key).
     */
-  def withContentHash(spark: SparkSession, dir: String): DataFrame =
-    spark.read.format("binaryFile").load(dir)
+  def withContentHash(spark: SparkSession, dir: String,
+                      recursive: Boolean = false): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", recursive.toString)
+      .load(dir)
       .select(
         element_at(split(col("path"), "/"), -1).as("name"),
         col("path"), col("length"),

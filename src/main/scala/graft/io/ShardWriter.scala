@@ -32,6 +32,11 @@ object ShardWriter {
   def write(df: DataFrame, dir: String, nShards: Int, keyCol: String,
             checksum: Boolean = true): DataFrame = {
     require(nShards >= 1, s"nShards must be positive: $nShards")
+    // loud, not silent: withColumn would overwrite a pre-existing
+    // `shard` column (plausible in training exports) and lose its data
+    require(!df.columns.contains("shard"),
+      "ShardWriter.write: input already has a 'shard' column — rename " +
+        "it first; the writer owns that name for the partition layout")
     val spark = df.sparkSession
     df.withColumn("shard",
         pmod(xxhash64(col(keyCol)), lit(nShards.toLong)).cast("int"))

@@ -44,26 +44,54 @@ object Sinks {
     * least one file per partition; a day of 1-minute batches leaves
     * thousands of KB-sized files whose per-file open/footer cost
     * dominates scans at 100 TB). Target count is derived from the
-    * CURRENT on-disk byte size (listing metadata only, no data read),
-    * written to a temp dir then atomically swapped via rename so a
-    * concurrent reader sees old or new, never a partial mix.
+    * CURRENT on-disk byte size (listing metadata only, no data read).
+    *
+    * Swap protocol (the HDFS-style FS API has no multi-path atomic
+    * op, so honesty about the window matters): rewrite to
+    * `<dir>.__compact_tmp`, then `dir→__compact_old`,
+    * `__compact_tmp→dir`, delete old. Each rename RESULT is checked
+    * and a failure throws before anything destructive; residue from a
+    * prior crash is detected up front — `__compact_old` present
+    * WITHOUT `dir` means a swap died between renames (the live data is
+    * in `__compact_old`) and the call refuses so a human restores it,
+    * while stale temps alongside a live `dir` are garbage and are
+    * cleared. A concurrent reader can still observe the one-rename
+    * window where `dir` is briefly absent (path-not-found, fail-fast),
+    * but never a HALF-compacted directory.
+    *
+    * Refuses hive-partitioned layouts: a flat rewrite would read
+    * `k=v` directories as data columns and silently destroy partition
+    * pruning for every downstream reader — compact each partition
+    * directory individually instead.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(s"$dir.__compact_old")
+    val tmpP = new org.apache.hadoop.fs.Path(s"$dir.__compact_tmp")
+    require(!(fs.exists(old) && !fs.exists(p)),
+      s"compact: $old exists but $dir does not — a previous swap " +
+        "crashed between renames; the live data is in the __compact_old " +
+        "directory, restore it manually before compacting")
+    if (fs.exists(old)) fs.delete(old, true)   // garbage from a crash
+    if (fs.exists(tmpP)) fs.delete(tmpP, true) // after the rewrite
+    require(!fs.listStatus(p).exists(s =>
+        s.isDirectory && s.getPath.getName.contains("=")),
+      s"compact: $dir has hive-style partition subdirectories; " +
+        "compact each partition directory individually")
     val bytes = Catalog.listRaw(dir, conf)
       .filter(_._1.endsWith(".parquet")).map(_._3).sum
     val nFiles = math.max(1L,
       (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val tmp = s"$dir.__compact_tmp"
     spark.read.parquet(dir)
       .repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp)
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(conf)
-    val old = new org.apache.hadoop.fs.Path(s"$dir.__compact_old")
-    fs.rename(p, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+      .write.mode("overwrite").parquet(tmpP.toString)
+    def mv(a: org.apache.hadoop.fs.Path, b: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(a, b), s"compact: rename $a -> $b failed")
+    mv(p, old)
+    mv(tmpP, p)
     fs.delete(old, true)
   }
 

@@ -42,19 +42,30 @@ object StatsIndex {
   }
 
   /** Incremental maintenance: index ONLY files not yet in `existing`
-    * and union with it. The new-file predicate is on
-    * `_metadata.file_path`, which Spark applies at file-listing time
-    * (metadata filters prune whole files before any footer/data read —
-    * SPARK-37768), so maintaining the index costs one scan of the NEW
-    * files, never a re-scan of the indexed ones. The already-indexed
-    * path list rides along as an `isin` filter: it is metadata-plane
-    * (1 entry per known file, same scale as the listing itself).
+    * and union with it. Below `isinMaxKnown` known files, the new-file
+    * predicate is an `isin` on `_metadata.file_path`, which Spark
+    * applies at file-listing time (metadata filters prune whole files
+    * before any footer/data read — SPARK-37768), so maintenance costs
+    * one scan of the NEW files only. Beyond that, a million-literal
+    * `In` blows up Catalyst planning (constant-pool/codegen limits,
+    * driver memory) — the fallback is a left-anti join against the
+    * known set: planning stays O(1) in index size at the cost of
+    * per-file (not per-row — the join key is constant per file and
+    * the aggregate is file-keyed) re-listing. At the scale where that
+    * bites, the structural answer is a transaction-log table format,
+    * not a bigger filter.
     */
   def update(spark: SparkSession, dir: String, existing: DataFrame,
-             cols: Seq[String]): DataFrame = {
+             cols: Seq[String], isinMaxKnown: Int = 10000): DataFrame = {
     val known = existing.select("file_path").collect().map(_.getString(0))
-    val fresh = spark.read.parquet(dir)
-      .where(!col("_metadata.file_path").isin(known.toIndexedSeq: _*))
+    val scan = spark.read.parquet(dir)
+    val newOnly =
+      if (known.length <= isinMaxKnown)
+        scan.where(!col("_metadata.file_path").isin(known.toIndexedSeq: _*))
+      else
+        scan.join(existing.select(col("file_path").as("__known")),
+          col("_metadata.file_path") === col("__known"), "left_anti")
+    val fresh = newOnly
       .select(col("_metadata.file_path").as("file_path") +: cols.map(col): _*)
       .groupBy("file_path")
       .agg(count(lit(1)).as("n_rows"), cols.flatMap(c =>

@@ -77,10 +77,17 @@ object IncrementalView {
         .agg(sum(col(aggCol)).as(aggCol))
       val v = s"v$batchId"
       merged.write.mode("overwrite").parquet(s"$dir/$v")
-      // pointer swap LAST — readers never see a partial snapshot
+      // pointer swap LAST — readers never see a partial snapshot. The
+      // pointer itself gets the same protection as the snapshot:
+      // write-to-temp + ATOMIC_MOVE, because an in-place truncate-
+      // then-write leaves a window where a concurrent latest() reads
+      // an empty/partial pointer and crashes parsing it.
       Files.createDirectories(Paths.get(dir))
-      Files.write(pointerPath(dir),
-        s"$v:$batchId".getBytes(StandardCharsets.UTF_8))
+      val tmp = Paths.get(dir, "._latest.tmp")
+      Files.write(tmp, s"$v:$batchId".getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, pointerPath(dir),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       true
     }
   }

@@ -38,9 +38,17 @@ object SyncJob {
     // cached file listing for this path or pass 2 reads ghosts of
     // files pass 1 deleted
     spark.catalog.refreshByPath(dir)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-      Catalog.withContentHash(spark, dir)
-    else spark.createDataFrame(
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+      // key on the path RELATIVE to dir, not the basename: the binary
+      // listing recurses into subdirectories, where a basename key
+      // both reconstructs the wrong copy path ($dir/<basename>) and
+      // collides for same-named files in different subdirs — the
+      // relative path round-trips to the true location on either side
+      val qualified = fs.makeQualified(p).toString
+      Catalog.withContentHash(spark, dir, recursive = true)
+        .withColumn("name",
+          expr(s"substring(path, ${qualified.length + 2})"))
+    } else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], catalogSchema)
   }
 

@@ -94,6 +94,44 @@ class IoSpec extends SparkSpec {
     assert(Files.readString(empty.resolve("f_same")) === "same")
   }
 
+  test("SyncJob keys on relative paths: nested files sync correctly") {
+    import graft.sync.SyncJob
+    val src = Files.createTempDirectory("sj_nest_src")
+    val dst = Files.createTempDirectory("sj_nest_dst")
+    Files.createDirectories(src.resolve("sub/deeper"))
+    Files.writeString(src.resolve("top.txt"), "t")
+    Files.writeString(src.resolve("sub/deeper/leaf.txt"), "l")
+    // same BASENAME in two places — a basename key would collide
+    Files.writeString(src.resolve("sub/top.txt"), "shadow")
+    val plan = SyncJob.run(spark, src.toString, dst.toString)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(plan === Map("top.txt" -> "insert",
+      "sub/deeper/leaf.txt" -> "insert", "sub/top.txt" -> "insert"))
+    assert(Files.readString(dst.resolve("top.txt")) === "t")
+    assert(Files.readString(dst.resolve("sub/deeper/leaf.txt")) === "l")
+    assert(Files.readString(dst.resolve("sub/top.txt")) === "shadow")
+    // second pass: all skip — the relative key round-trips both sides
+    val plan2 = SyncJob.run(spark, src.toString, dst.toString)
+      .collect().map(_.getString(1)).toSet
+    assert(plan2 === Set("skip"))
+  }
+
+  test("compact refuses partitioned layouts and crash residue") {
+    import spark.implicits._
+    // hive-style partition dirs must be refused, not flattened
+    val pdir = Files.createTempDirectory("cmp_part").toString + "/t"
+    Seq((1, "a"), (2, "b")).toDF("v", "k")
+      .write.partitionBy("k").parquet(pdir)
+    val e = intercept[IllegalArgumentException](Sinks.compact(spark, pdir))
+    assert(e.getMessage.contains("partition"))
+    // __compact_old without the live dir = a swap died mid-rename:
+    // refuse so the human restores, never delete the survivor
+    val gone = Files.createTempDirectory("cmp_crash").toString + "/t"
+    Seq(1, 2).toDF("v").write.parquet(gone + ".__compact_old")
+    val e2 = intercept[IllegalArgumentException](Sinks.compact(spark, gone))
+    assert(e2.getMessage.contains("__compact_old"))
+  }
+
   test("format round-trips: orc, csv (schema-first), json, text") {
     val base = Files.createTempDirectory("formats").toString
     val df = spark.read.parquet(s"$sfDir/nation.parquet")
