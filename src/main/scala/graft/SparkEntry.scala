@@ -713,7 +713,9 @@ object SparkEntry {
         |  SELECT doc_id,
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |  FROM documents)
-        |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY coalesce(fp, '__null_' || CAST(doc_id AS VARCHAR))
+        |  ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram" ->
       """WITH tok AS (
@@ -1051,7 +1053,9 @@ object SparkEntry {
         |batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 = 4),
         |first_in_batch AS (
         |  SELECT doc_id, fp FROM batch
-        |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY coalesce(fp, '__null_' || CAST(doc_id AS VARCHAR))
+        |    ORDER BY doc_id) = 1)
         |SELECT doc_id, fp FROM first_in_batch b
         |WHERE NOT EXISTS (SELECT 1 FROM old_idx o WHERE o.fp = b.fp)
         |ORDER BY doc_id""".stripMargin,

@@ -27,10 +27,18 @@ object Dedup {
 
   /** Exact dedup: keep the smallest `idCol` per content fingerprint
     * (md5 of normalized text). One shuffle on the fingerprint.
+    *
+    * NULL text yields a NULL fingerprint, and a bare window would put
+    * every null-fp row in ONE partition — silently discarding all but
+    * one of a batch of distinct null-text docs, while
+    * [[exactIncremental]]'s null-rejecting anti-join equality keeps
+    * them all. Policy (consistent across both): null text is never
+    * anyone's duplicate — each such row keys its own partition.
     */
   def exact(df: DataFrame, textCol: String = "text",
             idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col("fp")).orderBy(col(idCol).asc)
+    val key = coalesce(col("fp"), concat(lit("__null_"), col(idCol)))
+    val w = Window.partitionBy(key).orderBy(col(idCol).asc)
     df.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -52,7 +60,11 @@ object Dedup {
   def exactIncremental(batch: DataFrame, index: DataFrame,
                        textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col("fp")).orderBy(col(idCol).asc)
+    // same null-text policy as [[exact]]: a NULL fingerprint is never
+    // anyone's duplicate — per-row key within the batch (and the anti
+    // join's null-rejecting equality already keeps them vs the index)
+    val key = coalesce(col("fp"), concat(lit("__null_"), col(idCol)))
+    val w = Window.partitionBy(key).orderBy(col(idCol).asc)
     batch.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -122,9 +134,20 @@ object Dedup {
     *    `array_intersect` per candidate, never a per-shingle pair
     *    explosion.
     */
-  def ngramJaccard(df: DataFrame, threshold: Double = 0.8, k: Int = 3,
-                   textCol: String = "text", idCol: String = "doc_id",
-                   maxDf: Option[Int] = None): DataFrame = {
+  /** Shared prefix-filter substrate for [[ngramJaccard]] and
+    * [[containmentPairs]]: hashed (optionally df-capped) shingles plus
+    * each doc's shingle-hash array in GLOBAL RARITY order — (document
+    * frequency asc, hash asc), total and deterministic — so a prefix
+    * of the array is exactly the rarest shingles the prefix-filter
+    * theorems quantify over. Returns `(sh = (id, h), arrs = (id,
+    * hs, n))`; the caller derives its own prefix length (the slack
+    * and the length-filter differ between the Jaccard and containment
+    * forms). One definition so a fix to the rarity order, the cap, or
+    * the slack cannot silently miss one of the two operators.
+    */
+  private def prefixIndex(df: DataFrame, k: Int, textCol: String,
+                          idCol: String, maxDf: Option[Int])
+  : (DataFrame, DataFrame) = {
     val sh0 = shingles(df, k, textCol, idCol)
       .select(col(idCol), xxhash64(col("shingle")).as("h"))
     val sh = maxDf match {
@@ -134,21 +157,26 @@ object Dedup {
         sh0.join(ok.select("h"), Seq("h"))
       case None => sh0
     }
-    // Global rarity order: (document frequency asc, hash asc) — total
-    // and deterministic. Collect each doc's shingles in that order;
-    // the prefix is the first ⌊(1−t')·n⌋+1 of them. t' carries a 1e-6
-    // slack so pairs that only reach t after the 6-decimal rounding
-    // below are still guaranteed a prefix collision.
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    val tSlack = threshold - 1e-6
     val arrs = sh.join(dfreq, Seq("h"))
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("__s"))
       .select(col(idCol),
         expr("transform(__s, s -> s.h)").as("hs"),
         size(col("__s")).as("n"))
-      .withColumn("plen",
-        (floor(lit(1.0 - tSlack) * col("n")) + 1).cast("int"))
+    (sh, arrs)
+  }
+
+  def ngramJaccard(df: DataFrame, threshold: Double = 0.8, k: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   maxDf: Option[Int] = None): DataFrame = {
+    // prefix = the first ⌊(1−t')·n⌋+1 rarity-ordered shingles. t'
+    // carries a 1e-6 slack so pairs that only reach t after the
+    // 6-decimal rounding below are still guaranteed a prefix collision.
+    val tSlack = threshold - 1e-6
+    val (_, arrs0) = prefixIndex(df, k, textCol, idCol, maxDf)
+    val arrs = arrs0.withColumn("plen",
+      (floor(lit(1.0 - tSlack) * col("n")) + 1).cast("int"))
     val prefixes = arrs
       .select(col(idCol), col("n"),
         explode(slice(col("hs"), lit(1), col("plen"))).as("ph"))
@@ -189,23 +217,8 @@ object Dedup {
   def containmentPairs(df: DataFrame, threshold: Double = 0.9, k: Int = 3,
                        textCol: String = "text", idCol: String = "doc_id",
                        maxDf: Option[Int] = None): DataFrame = {
-    val sh0 = shingles(df, k, textCol, idCol)
-      .select(col(idCol), xxhash64(col("shingle")).as("h"))
-    val sh = maxDf match {
-      case Some(cap) =>
-        val ok = sh0.groupBy("h").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= cap)
-        sh0.join(ok.select("h"), Seq("h"))
-      case None => sh0
-    }
-    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val tSlack = threshold - 1e-6
-    val arrs = sh.join(dfreq, Seq("h"))
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("__s"))
-      .select(col(idCol),
-        expr("transform(__s, s -> s.h)").as("hs"),
-        size(col("__s")).as("n"))
+    val (sh, arrs) = prefixIndex(df, k, textCol, idCol, maxDf)
     val prefixes = arrs
       .withColumn("plen",
         (floor(lit(1.0 - tSlack) * col("n")) + 1).cast("int"))

@@ -211,7 +211,12 @@ case class TopKPairs(
     val s = score.eval(input)
     val i = id.eval(input)
     if (s == null || i == null) return buf
-    buf += ((s.asInstanceOf[Double], i.asInstanceOf[Long]))
+    val sv = s.asInstanceOf[Double]
+    // NaN is skipped like NULL: Ordering[Double] totals NaN ABOVE
+    // +Inf, so a single NaN score would otherwise permanently occupy
+    // a top-k slot and evict genuine winners
+    if (sv.isNaN) return buf
+    buf += ((sv, i.asInstanceOf[Long]))
     if (buf.length >= 2 * k) prune(buf) else buf
   }
 

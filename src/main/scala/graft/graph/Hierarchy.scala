@@ -76,7 +76,11 @@ object Hierarchy {
             .otherwise(concat(col("b_path"), lit("/"), col("path")))
             .as("path"))
         .localCheckpoint(true)
-      state.unpersist()
+      // IterState.release, not Dataset.unpersist: the latter goes
+      // through the CacheManager, which never registered the
+      // localCheckpoint blocks — a silent no-op that would retain
+      // every superseded round until GC-driven cleanup
+      IterState.release(state)
       state = stepped
       remaining = unresolved(state)
       iter += 1

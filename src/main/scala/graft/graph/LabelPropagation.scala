@@ -39,7 +39,11 @@ object LabelPropagation {
   def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
           weightCol: Option[String] = None, iters: Int = 4): DataFrame = {
     require(iters >= 1, s"need iters >= 1: $iters")
-    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    // double, not long: a long cast truncates fractional weights
+    // (cosine-similarity edges all become 0 and every vote ties) —
+    // integer weights stay exact as doubles up to 2^53, so the
+    // integer-weighted oracle queries are unaffected
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("wt"))
       .filter(col("src").isNotNull && col("dst").isNotNull)

@@ -73,9 +73,20 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
+    // Deterministic ties: the merge keeps the LAST right row accepted
+    // for a (key, ts), so with the sort ending at rightTime, equal-ts
+    // duplicates would be kept in partition-arrival order — a run-to-
+    // run nondeterminism the oracle hash-compare would eventually
+    // catch. Appending the orderable payload columns totals the order
+    // (the kept row becomes the payload-wise maximum); unorderable
+    // payload types (maps) are skipped, leaving ties among only those
+    // columns documented-unspecified.
+    val tieBreak = payload.filter(a => RowOrdering.isOrderable(a.dataType))
+    Seq(
+      (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+      ((rightKeys :+ rightTime) ++ tieBreak).map(SortOrder(_, Ascending)))
+  }
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =

@@ -99,7 +99,16 @@ object Pca {
     */
   def fit(df: DataFrame, vecCol: String, k: Int): Model = {
     import df.sparkSession.implicits._
-    val (n, sums, prods) = df.select(col(vecCol).as("value")).na.drop()
+    // normalize the element type BEFORE the typed boundary: a direct
+    // .as[Seq[Float]] rejects array<double> corpora at analysis and
+    // NPEs on a null ELEMENT (na.drop only removes null rows); the
+    // cast+coalesce accepts either width and applies the library-wide
+    // null-element-as-0 convention (ArrayDot, withUnit, quantizeInt8)
+    val (n, sums, prods) = df
+      .select(expr(
+        s"transform($vecCol, x -> coalesce(cast(x AS FLOAT), 0F))")
+        .as("value"))
+      .na.drop()
       .as[Seq[Float]]
       .select(udaf(MomentsAgg).apply(col("value")).as("m"))
       .select(col("m._1"), col("m._2"), col("m._3"))

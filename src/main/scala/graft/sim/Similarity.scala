@@ -31,9 +31,16 @@ object Similarity {
   private def normExpr(a: String): String =
     s"sqrt(${dotExpr(a, a)})"
 
-  /** Add a unit-normalized double copy of `vecCol` as `__unit`. */
+  /** Add a unit-normalized double copy of `vecCol` as `__unit`.
+    * Null ELEMENTS coalesce to 0 before the norm — the same null-as-0
+    * convention ArrayDot applies to the dot product — otherwise one
+    * null element nulls the whole norm, the CASE falls through, and
+    * the raw (un-normalized) vector competes by magnitude instead of
+    * cosine.
+    */
   private[sim] def withUnit(df: DataFrame, vecCol: String): DataFrame =
-    df.withColumn("__dvec", expr(s"transform($vecCol, x -> cast(x AS DOUBLE))"))
+    df.withColumn("__dvec",
+        expr(s"transform($vecCol, x -> coalesce(cast(x AS DOUBLE), 0D))"))
       .withColumn("__norm", expr(normExpr("__dvec")))
       .withColumn("__unit", expr(
         "CASE WHEN __norm > 0 THEN transform(__dvec, x -> x / __norm) " +
@@ -490,7 +497,10 @@ object Similarity {
     * filtered everything out.
     */
   private def probeDim(df: DataFrame, vecCol: String): Int = {
-    val h = df.select(size(col(vecCol)).as("d")).head(1)
+    // skip null vectors: size(null) is SQL NULL and getInt would NPE
+    // even though every other row is valid
+    val h = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).head(1)
     if (h.isEmpty) 1 else math.max(h(0).getInt(0), 1)
   }
 
