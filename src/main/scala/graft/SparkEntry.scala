@@ -1343,7 +1343,7 @@ object SparkEntry {
         |  FROM counts WINDOW w AS (ORDER BY freq DESC, token ASC))
         |SELECT rank, token, freq, round(cum / CAST(total AS DOUBLE), 6)
         |  AS cum_share
-        |FROM r WHERE cum - freq < 0.9 * total ORDER BY rank""".stripMargin,
+        |FROM r WHERE (cum - freq) * 10 < total * 9 ORDER BY rank""".stripMargin,
     "q_url_stats" ->
       """WITH u AS (
         |  SELECT doc_id, 'https://' || source || '.example.com/' || lang
@@ -1423,18 +1423,21 @@ object SparkEntry {
         |    count(CASE WHEN o_custkey IS NULL THEN 1 END) FROM orders
         |  UNION ALL
         |  SELECT 'orders_price_positive',
-        |    count(CASE WHEN NOT (o_totalprice > 0) THEN 1 END) FROM orders
+        |    count(CASE WHEN NOT coalesce(o_totalprice > 0, false) THEN 1 END) FROM orders
         |  UNION ALL
         |  SELECT 'orders_status_domain',
-        |    count(CASE WHEN NOT (o_orderstatus IN ('O','F','P')) THEN 1 END)
+        |    count(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), false)
+        |      THEN 1 END)
         |  FROM orders
         |  UNION ALL
         |  SELECT 'lineitem_qty_range',
-        |    count(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 END)
+        |    count(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, false)
+        |      THEN 1 END)
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'lineitem_discount_range',
-        |    count(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 END)
+        |    count(CASE WHEN NOT coalesce(l_discount BETWEEN 0.0 AND 0.1, false)
+        |      THEN 1 END)
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'orders_custkey_fk', count(*) FROM orders
@@ -1831,7 +1834,8 @@ object SparkEntry {
         |  round(CAST(na AS DOUBLE) / ta, 6) AS p_a,
         |  round(CAST(nb AS DOUBLE) / tb, 6) AS p_b,
         |  round((CAST(na AS DOUBLE) / ta - CAST(nb AS DOUBLE) / tb)
-        |    * ln((CAST(na AS DOUBLE) / ta) / (CAST(nb AS DOUBLE) / tb)),
+        |    * ln(greatest(CAST(na AS DOUBLE) / ta, 1e-9)
+        |      / greatest(CAST(nb AS DOUBLE) / tb, 1e-9)),
         |    6) AS psi_term
         |FROM t ORDER BY category""".stripMargin,
     "q_lift" ->
@@ -2886,7 +2890,8 @@ object SparkEntry {
         |FROM c""".stripMargin,
     "q_theil_sen" ->
       """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(sum(value), 2) AS v
         |  FROM events GROUP BY 1, 2),
         |dd AS (
         |  SELECT event_type,
@@ -3145,7 +3150,7 @@ object SparkEntry {
         |  SELECT f.cw,
         |    date_diff('day', f.cw, date_trunc('week', e.ts)) // 7
         |      AS age_weeks,
-        |    sum(e.value) AS rev
+        |    round(sum(e.value), 2) AS rev
         |  FROM events e JOIN first f ON e.user_id = f.user_id
         |  WHERE e.event_type = 'purchase'
         |  GROUP BY 1, 2),

@@ -74,6 +74,13 @@ object Profile {
       .select(lit(name).as("check"), col("n_violations"),
         (col("n_violations") === 0).as("passed"))
 
-  /** Count of rows violating a predicate — sugar for [[checks]] rows. */
-  def violates(pred: Column): Column = count(when(!pred, 1))
+  /** Count of rows violating a predicate — sugar for [[checks]] rows.
+    * NULL counts as a violation: `!pred` is NULL for a NULL predicate
+    * and `when(NULL, 1)` contributes nothing, so the bare form would
+    * report `passed = true` on exactly the NULL data a DQ suite exists
+    * to catch (a row with NULL discount trivially fails a range
+    * check). Coalescing the predicate to false makes NULL fail loudly.
+    */
+  def violates(pred: Column): Column =
+    count(when(!coalesce(pred, lit(false)), 1))
 }

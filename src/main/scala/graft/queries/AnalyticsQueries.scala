@@ -125,7 +125,10 @@ object AnalyticsQueries {
       .join(first, "user_id")
       .withColumn("aw", date_trunc("week", col("ts")))
       .groupBy(col("cw"), expr("datediff(aw, cw) div 7").as("age_weeks"))
-      .agg(sum("value").as("rev"))
+      // round(2) before the cumulative window: a last-bit drift in any
+      // week's double sum would otherwise propagate through every
+      // later cum_rev (same guard as theilSen/mannKendall)
+      .agg(round(sum("value"), 2).as("rev"))
     val w = Window.partitionBy("cw").orderBy("age_weeks")
       .rowsBetween(Window.unboundedPreceding, 0)
     weekly
@@ -334,12 +337,14 @@ object AnalyticsQueries {
 
   /** Skyline (Pareto frontier) of orders on (earliest date, highest
     * price): a row survives iff no other order is at least as early
-    * AND at least as expensive, strictly better in one. Computed with
-    * TWO window maxes instead of the quadratic NOT-EXISTS self-join —
-    * dominance against strictly-earlier dates is a running max over a
-    * RANGE frame, same-date dominance a per-date partition max. One
-    * sort on the date axis; O(n log n) where the textbook nested-loop
-    * skyline is O(n²).
+    * AND at least as expensive, strictly better in one. Dominance
+    * needs only the per-DAY max price, so the row-level table first
+    * collapses to the day grain (keyed aggregate, calendar-bounded
+    * cardinality); the running strictly-earlier max is then a window
+    * over that small frame — never a whole-table single-partition
+    * sort — and the day stats join back to rows as a broadcast-sized
+    * dimension. O(n) scan + O(days log days); the textbook
+    * NOT-EXISTS self-join is O(n²).
     */
   def skyline(s: SparkSession, d: String): DataFrame = {
     val base = Tables.orders(s, d)
@@ -348,11 +353,10 @@ object AnalyticsQueries {
           .cast("long").as("day"),
         col("o_totalprice").as("price"))
     val earlier = Window.orderBy("day")
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val sameDay = Window.partitionBy("day")
-    base
-      .withColumn("__m1", max("price").over(earlier))
-      .withColumn("__m2", max("price").over(sameDay))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dayStats = base.groupBy("day").agg(max("price").as("__m2"))
+      .withColumn("__m1", max("__m2").over(earlier))
+    base.join(broadcast(dayStats), Seq("day"))
       .filter((col("__m1").isNull || col("__m1") < col("price")) &&
         col("__m2") <= col("price"))
       .select("o_orderkey", "day", "price")
@@ -1013,7 +1017,13 @@ object AnalyticsQueries {
         count(when(col("o_orderstatus") === "F", 1)).as("nb"))
       .select(col("category"), col("na"), col("nb"),
         round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
-        round((pa - pb) * log(pa / pb), 6).as("psi_term"))
+        // epsilon floor inside the log only: a category with zero
+        // count in one cohort would otherwise yield log(0) — NULL psi
+        // silently UNDERSTATING drift when a category vanishes, which
+        // is precisely what PSI exists to flag. Values with both
+        // counts > 0 are bit-unchanged (the floor never binds).
+        round((pa - pb) * log(greatest(pa, lit(1e-9)) /
+          greatest(pb, lit(1e-9))), 6).as("psi_term"))
       .orderBy("category")
   }
 
@@ -1386,9 +1396,13 @@ object AnalyticsQueries {
     * the pair step is noise.
     */
   def theilSen(s: SparkSession, d: String): DataFrame = {
+    // round(2) on the daily sums: double-sum accumulation order drifts
+    // between engines/reruns and every pairwise slope runs through
+    // each day's value — the same float-parity guard mannKendall
+    // applies to the identical daily frame
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum("value").as("v"))
+      .agg(round(sum("value"), 2).as("v"))
       .select(col("event_type"),
         datediff(col("day"), lit("2024-01-01").cast("date"))
           .cast("double").as("t"),

@@ -443,13 +443,16 @@ object FuncQueries {
     * DataFrame spelling would produce.
     */
   def correlatedSubquery(s: SparkSession, d: String): DataFrame = {
-    Tables.customer(s, d).createOrReplaceTempView("customer")
-    Tables.orders(s, d).createOrReplaceTempView("orders")
+    // prefixed view names (the sqlQ3 convention): bare
+    // "customer"/"orders" temp views persist for the session and would
+    // SHADOW any real catalog table of the same name in later s.sql
+    Tables.customer(s, d).createOrReplaceTempView("v_sub_customer")
+    Tables.orders(s, d).createOrReplaceTempView("v_sub_orders")
     s.sql(
       """SELECT c_custkey, c_name,
-        |  (SELECT max(o_totalprice) FROM orders o
+        |  (SELECT max(o_totalprice) FROM v_sub_orders o
         |   WHERE o.o_custkey = c.c_custkey) AS max_order_price
-        |FROM customer c
+        |FROM v_sub_customer c
         |ORDER BY c_custkey""".stripMargin)
   }
 

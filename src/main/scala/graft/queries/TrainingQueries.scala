@@ -820,9 +820,12 @@ object TrainingQueries {
     * with a smaller input.
     */
   def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    // the empty-token filter matches the oracle (a whitespace-only doc
+    // tokenizes to [""], which must not enter the vocabulary)
     val counts = Tables.documents(s, d)
       .select(explode(graft.text.TextAnalysis.tokens(lower(col("text"))))
         .as("token"))
+      .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("freq"))
     val w = Window.orderBy(col("freq").desc, col("token").asc)
     counts
@@ -831,8 +834,11 @@ object TrainingQueries {
         sum("freq").over(w.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)))
       .withColumn("total", sum("freq").over(Window.partitionBy()))
-      // keep tokens until the PREVIOUS row already covered 90%
-      .filter(col("cum") - col("freq") < lit(0.9) * col("total"))
+      // keep tokens until the PREVIOUS row already covered 90% —
+      // spelled in INTEGER arithmetic ((cum−freq)·10 < total·9, the
+      // nucleus-sampling form) so the boundary token can't flip on
+      // float rounding of 0.9·total between engines
+      .filter((col("cum") - col("freq")) * 10 < col("total") * 9)
       .select(col("rank"), col("token"), col("freq"),
         round(col("cum") / col("total"), 6).as("cum_share"))
       .orderBy("rank")
@@ -1303,8 +1309,9 @@ object TrainingQueries {
     */
   def featureHash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).filter(col("doc_id") < 50)
-      .select(col("doc_id"), explode(filter(
-        split(lower(trim(col("text"))), "\\s+"), t => t =!= "")).as("tok"))
+      .select(col("doc_id"),
+        explode(graft.text.TextAnalysis.tokensLower(col("text")))
+          .as("tok"))
       .select(col("doc_id"),
         pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
           lit(256L)).as("bucket"))
@@ -1324,8 +1331,9 @@ object TrainingQueries {
     */
   def klSources(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
-      .select(col("source"), explode(filter(
-        split(lower(trim(col("text"))), "\\s+"), t => t =!= "")).as("tok"))
+      .select(col("source"),
+        explode(graft.text.TextAnalysis.tokensLower(col("text")))
+          .as("tok"))
     val bySrc = toks.groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
     val srcTot = toks.groupBy("source").agg(count(lit(1)).as("tot_s"))
     val byTok = toks.groupBy("tok").agg(count(lit(1)).as("c_t"))
@@ -1350,8 +1358,7 @@ object TrainingQueries {
     * integer-weighted so the LPA argmax and the oracle agree exactly.
     */
   private def tokenBigramGraph(s: SparkSession, d: String): DataFrame = {
-    val toks = filter(
-      split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+    val toks = graft.text.TextAnalysis.tokensLower(col("text"))
     val bg = Tables.documents(s, d)
       .select(toks.as("w"))
       .filter(size(col("w")) >= 2)

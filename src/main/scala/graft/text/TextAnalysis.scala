@@ -14,6 +14,15 @@ object TextAnalysis {
   /** Whitespace tokens of a trimmed text column. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Lowercased whitespace tokens with empty strings removed — the
+    * vocabulary-grade tokenizer (blank text contributes NO tokens,
+    * where bare [[tokens]] yields [""]). One definition so every
+    * vocabulary-level diagnostic (KL, feature hashing, co-occurrence)
+    * tokenizes identically.
+    */
+  def tokensLower(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
