@@ -77,7 +77,14 @@ object Bench {
   final case class QueryResult(best: Double, walls: Seq[Double],
                                metrics: Array[Long], err: Option[String],
                                codegenN: Seq[Long] = Nil,
-                               jitMs: Seq[Long] = Nil)
+                               jitMs: Seq[Long] = Nil,
+                               okFlags: Seq[Boolean] = Nil) {
+    /** No iteration succeeded — the query is genuinely broken, as
+      * opposed to a transient flake (err set, but a later iteration
+      * succeeded and supplied the wall/metrics).
+      */
+    def hardFailed: Boolean = okFlags.nonEmpty && !okFlags.exists(identity)
+  }
 
   /** Best-effort listener drain: `LiveListenerBus.waitUntilEmpty` has a
     * built-in 10 s timeout that THROWS — under exactly the stall
@@ -87,7 +94,11 @@ object Bench {
     */
   private def drainListenerBus(spark: SparkSession): Unit =
     try ListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
-    catch { case _: Throwable => () }
+    catch {
+      // interrupts must not be silently eaten — restore the flag
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => ()
+    }
 
   /** Run one query `iters` times; min wall + metrics over the
     * SUCCESSFUL iterations (a transient failure must not contribute a
@@ -109,7 +120,7 @@ object Bench {
   }
 
   def runQuery(spark: SparkSession, listener: MetricsListener, iters: Int)
-              (run: () => Long): QueryResult = {
+              (run: () => Unit): QueryResult = {
     var err: Option[String] = None
     val runs = (1 to iters).map { _ =>
       drainListenerBus(spark)
@@ -125,7 +136,11 @@ object Bench {
         (wall, after.zip(before).map { case (a, b) => a - b }, true,
           cg1 - cg0, if (jit0 < 0 || jit1 < 0) -1L else jit1 - jit0)
       } catch {
-        case e: Throwable =>
+        // NonFatal only: an OOM/StackOverflow corrupts the JVM — every
+        // later query's wall would be garbage published as a valid
+        // measurement. Let fatal errors kill the bench; partial-bench
+        // behavior is for QUERY failures.
+        case scala.util.control.NonFatal(e) =>
           err = Some(s"${e.getClass.getSimpleName}: " +
             String.valueOf(e.getMessage).take(300))
           val (cg1, jit1) = compileSnap()
@@ -137,7 +152,7 @@ object Bench {
     val ok = runs.filter(_._3)
     val best = if (ok.nonEmpty) ok.minBy(_._1) else runs.maxBy(_._1)
     QueryResult(best._1, walls, best._2, err,
-      runs.map(_._4), runs.map(_._5))
+      runs.map(_._4), runs.map(_._5), runs.map(_._3))
   }
 
   private def jsonNum(d: Double): String =
@@ -161,15 +176,7 @@ object Bench {
     "q_join_salted", "q_star_join", "q_window", "q_sessionize",
     "q_events_hourly", "q_unpivot", "q_subquery", "q_topk_group")
 
-  private def jsonStr(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  private def jsonStr(s: String): String = Json.str(s)
 
   val detailFile = "bench_detail.json"
 
@@ -185,9 +192,14 @@ object Bench {
     val qs = headline.flatMap(k => byName.get(k).map(r =>
         s"${jsonStr(k)}:${jsonNum(r.best)}"))
       .mkString("{", ",", "}")
-    // single source of truth for failures; line and detail derive from it
+    // single source of truth for failures; line and detail derive from
+    // it. The LINE counts only HARD failures (no iteration succeeded):
+    // a transient flake still has a valid best wall and full metrics,
+    // and labeling it broken inverts the honesty signal — its error
+    // text and per-iteration ok flags stay visible in the detail file.
     val failures: Seq[(String, String)] =
-      results.collect { case (k, r) if r.err.isDefined => k -> r.err.get }
+      results.collect { case (k, r) if r.hardFailed =>
+        k -> r.err.getOrElse("unknown failure") }
     val errs = failures.map { case (k, m) => s"${jsonStr(k)}:${jsonStr(m)}" }
     // stdout line must hold the window even when queries fail: at most
     // 3 errors inline, each reduced to printable ASCII BEFORE the
@@ -202,12 +214,17 @@ object Bench {
       val walls = r.walls.map(jsonNum).mkString("[", ",", "]")
       val cg = r.codegenN.mkString("[", ",", "]")
       val jit = r.jitMs.mkString("[", ",", "]")
+      // per-iteration ok flags: a fast-FAILING iteration's wall is
+      // otherwise indistinguishable from a fast successful run when
+      // reading the wall array for stall forensics
+      val ok = r.okFlags.mkString("[", ",", "]")
+      val errPart = r.err.map(m => s""","err":${jsonStr(m)}""").getOrElse("")
       s"${jsonStr(k)}:{" +
-        s""""best":${jsonNum(r.best)},"wall":$walls,""" +
+        s""""best":${jsonNum(r.best)},"wall":$walls,"ok":$ok,""" +
         s""""run_ms":${r.metrics(0)},""" +
         s""""cpu_ms":${r.metrics(1)},"gc_ms":${r.metrics(2)},""" +
         s""""tasks":${r.metrics(3)},""" +
-        s""""codegen_n":$cg,"jit_ms":$jit}"""
+        s""""codegen_n":$cg,"jit_ms":$jit$errPart}"""
     }.mkString("{", ",", "}")
     val errPart =
       if (errs.isEmpty) "" else s""","errors":${errs.mkString("{", ",", "}")}"""
@@ -249,8 +266,14 @@ object Bench {
 
     // Warm the JVM/codegen/parquet-reader paths so the first timed query
     // doesn't absorb one-time startup cost (JIT, codegen compiler init).
-    spark.read.parquet(s"$sfDir/nation.parquet")
-      .groupBy("n_regionkey").count().count()
+    // GUARDED: the stdout line is the primary contract — a missing or
+    // corrupt warm-up file must degrade to a cold first query, never
+    // abort the bench before a single timed query ran.
+    try {
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .groupBy("n_regionkey").count().count()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] warm-up skipped: $e") }
     // Warm the collation-aware string paths: Spark 4 routes case mapping
     // of NON-ASCII strings through ICU (ASCII takes a fast path that
     // never loads the class), and the CollationAwareUTF8String static
@@ -272,14 +295,32 @@ object Bench {
       "count(distinct trim(concat(' aβ ', id)))").count()
 
     // Dev-only focus filter (comma-separated names); the driver never
-    // sets it, so round benches always time the full surface.
+    // sets it, so round benches always time the full surface. A typo'd
+    // name silently matching nothing would masquerade as a fast run —
+    // warn loudly.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) System.err.println(
+        s"[bench] SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
+    // Timing executes via a noop-format WRITE, not count(): under a
+    // bare count aggregate Catalyst prunes every projected expression
+    // and eliminates final sorts, so projection-shaped queries (md5,
+    // math/date/string function families) were timed as bare row-count
+    // scans — measured 0.21 s vs 2.40 s real cost for q_math_funcs at
+    // sf0.1. The noop sink forces every output column's computation
+    // and discards rows executor-side (no driver collect, no disk).
+    // Methodology v2 — totals are NOT comparable with pre-r5-close
+    // points (BASELINE.md §6 carries the bridge).
     val results: Seq[(String, QueryResult)] =
       SparkEntry.queries.toSeq
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
-          name -> runQuery(spark, listener, iters)(() => fn(spark, sfDir).count())
+          name -> runQuery(spark, listener, iters)(() =>
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         }
 
     val (line, detailJson) = renderOutputs(results, sfDir, iters)

@@ -20,6 +20,8 @@ class BenchSpec extends SparkSpec {
     assert(r.err.get.contains("injected failure"))
     assert(r.best >= 0.05, s"failed query must keep its real wall: ${r.best}")
     assert(r.walls.length === 2)
+    assert(r.hardFailed, "no iteration succeeded -> hard failure")
+    assert(r.okFlags === Seq(false, false))
   }
 
   test("a transiently-failing query never contributes its failed wall") {
@@ -30,9 +32,18 @@ class BenchSpec extends SparkSpec {
       Thread.sleep(30)
       1L
     }
-    assert(r.err.isDefined) // the flake is still reported
-    assert(r.best >= 0.03, // but the wall comes from a SUCCESSFUL run
+    assert(r.err.isDefined) // the flake is still reported (detail file)
+    assert(!r.hardFailed,   // but NOT counted as a broken query
+      "a later success must clear the hard-failure classification")
+    assert(r.okFlags === Seq(false, true, true))
+    assert(r.best >= 0.03, // and the wall comes from a SUCCESSFUL run
       s"min must be over successful iterations: ${r.best}")
+    // the stdout line counts only hard failures
+    val (line, detail) = Bench.renderOutputs(
+      Seq("q_flaky" -> r), "/tmp/sf", 3)
+    assert(!line.contains("n_errors"), line)
+    assert(detail.contains("\"ok\":[false,true,true]"))
+    assert(detail.contains("flaky once")) // error text kept in detail
   }
 
   test("a healthy query reports min-of-iters wall and task metrics") {
@@ -58,7 +69,8 @@ class BenchSpec extends SparkSpec {
     val nasty = "\n\"\\" * 20 + ("x" * 280)
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> Bench.QueryResult(1.234567, Seq(1.234567, 2.345678, 3.456789),
-        Array(11L, 22L, 33L, 44L), Some(nasty))
+        Array(11L, 22L, 33L, 44L), Some(nasty),
+        okFlags = Seq(false, false, false))
     }
     val (line, detailJson) = Bench.renderOutputs(results, "/root/testdata/sf0.1", 3)
     assert(line.length < 1900, s"line too long for tail capture: ${line.length}")
@@ -73,7 +85,8 @@ class BenchSpec extends SparkSpec {
     // inline errors were sanitized: no control chars or their escapes
     assert(!line.contains("\\u0001") && !line.contains("\\n"))
     // healthy-path line is far smaller still
-    val ok = results.map { case (n, r) => n -> r.copy(err = None) }
+    val ok = results.map { case (n, r) =>
+      n -> r.copy(err = None, okFlags = Seq(true, true, true)) }
     val (line2, _) = Bench.renderOutputs(ok, "/root/testdata/sf0.1", 3)
     assert(line2.length < 1200, s"healthy line: ${line2.length}")
   }
