@@ -86,6 +86,16 @@ object Bucketing {
     * every other bucketed table in the session, which is exactly the
     * SPARK-28173 wrong-results condition. Without the conf the join is
     * still exchange-free; it merely re-sorts each bucket in memory.
+    *
+    * CONCURRENCY CONTRACT: the conf is session-scoped, so any OTHER
+    * query planned on the same SparkSession inside the set/restore
+    * window inherits the one-file-per-bucket ordering assumption for
+    * its own bucketed tables — the SPARK-28173 hazard this method is
+    * careful about for itself. Callers must either plan on a
+    * single-threaded session (the repo's usage) or hand this method a
+    * dedicated `spark.newSession()`. Under AQE a post-restore re-plan
+    * can also drop the sorted-scan assumption and reintroduce the
+    * per-bucket sorts — a perf regression only, never wrong results.
     */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    key: String): DataFrame = {

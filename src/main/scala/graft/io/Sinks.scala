@@ -77,6 +77,7 @@ object Sinks {
         "directory, restore it manually before compacting")
     if (fs.exists(old)) fs.delete(old, true)   // garbage from a crash
     if (fs.exists(tmpP)) fs.delete(tmpP, true) // after the rewrite
+    require(fs.exists(p), s"compact: $dir does not exist")
     require(!fs.listStatus(p).exists(s =>
         s.isDirectory && s.getPath.getName.contains("=")),
       s"compact: $dir has hive-style partition subdirectories; " +

@@ -49,11 +49,13 @@ object StatsIndex {
     * one scan of the NEW files only. Beyond that, a million-literal
     * `In` blows up Catalyst planning (constant-pool/codegen limits,
     * driver memory) — the fallback is a left-anti join against the
-    * known set: planning stays O(1) in index size at the cost of
-    * per-file (not per-row — the join key is constant per file and
-    * the aggregate is file-keyed) re-listing. At the scale where that
-    * bites, the structural answer is a transaction-log table format,
-    * not a bigger filter.
+    * known set: planning stays O(1) in index size, but the anti-join
+    * is applied AFTER the scan (not at file-listing time), so Spark
+    * re-reads the data rows of every already-indexed file and drops
+    * them post-scan — a full re-read of the directory, losing the
+    * isin path's whole-file pruning. At the scale where that bites,
+    * the structural answer is a transaction-log table format, not a
+    * bigger filter.
     */
   def update(spark: SparkSession, dir: String, existing: DataFrame,
              cols: Seq[String], isinMaxKnown: Int = 10000): DataFrame = {

@@ -37,24 +37,75 @@ object Tables {
     *    point pins `spark.sql.session.timeZone=UTC`, so this is a pure
     *    relabeling (DuckDB reads the same file as naive-UTC → oracle
     *    hashes unaffected).
-    *  - LONG: an epoch count, nanos or micros. Discriminated per row
-    *    by magnitude with INTEGER division (`div`, not `/`: a double
-    *    round-trip at 1.7e18 ns loses sub-ms precision, 2^53 < ns
-    *    epoch). The 1e17 threshold reads as year 5138 in µs and 1973
-    *    in ns — unambiguous for any plausible event time.
+    *  - LONG: an epoch count, nanos or micros. Discriminated per
+    *    COLUMN when the caller supplies `nanosHint` (from the parquet
+    *    footer's logical-type annotation — see [[parquetTsNanos]]);
+    *    otherwise per row by magnitude with INTEGER division (`div`,
+    *    not `/`: a double round-trip at 1.7e18 ns loses sub-ms
+    *    precision, 2^53 < ns epoch). The 1e17 threshold reads as year
+    *    5138 in µs and 1973 in ns — unambiguous for any plausible
+    *    event time, but note the hole: a NANOS instant before
+    *    ~1973-03 (|ns| < 1e17) would be misread as micros by the
+    *    magnitude fallback, which is why an annotated file should
+    *    always go through the hint path. The ns→µs rebuild uses FLOOR
+    *    division (`x − pmod(x, 1000)` is the largest µs multiple
+    *    ≤ x even for negative pre-epoch nanos; a bare `div` truncates
+    *    toward zero and would shift pre-1970 instants forward 1 µs).
     */
-  def normalizeTs(df: DataFrame, c: String = "ts"): DataFrame =
+  def normalizeTs(df: DataFrame, c: String = "ts",
+                  nanosHint: Option[Boolean] = None): DataFrame =
     if (!df.schema.fieldNames.contains(c)) df
     else df.schema(c).dataType match {
       case TimestampType    => df
       case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
       case LongType =>
-        df.withColumn(c,
-          when(abs(col(c)) > lit(100000000000000000L),
-            expr(s"timestamp_micros($c div 1000)"))
-            .otherwise(expr(s"timestamp_micros($c)")))
+        val nsToMicros = expr(s"timestamp_micros(($c - pmod($c, 1000)) div 1000)")
+        val usAsIs = expr(s"timestamp_micros($c)")
+        df.withColumn(c, nanosHint match {
+          case Some(true)  => nsToMicros
+          case Some(false) => usAsIs
+          case None =>
+            when(abs(col(c)) > lit(100000000000000000L), nsToMicros)
+              .otherwise(usAsIs)
+        })
       case _ => df
     }
+
+  /** True when parquet column `c` at `path` (a file, or a directory
+    * whose first data file is probed — one writer per dataset is
+    * assumed) is annotated TIMESTAMP(NANOS) in the footer. This is
+    * the authoritative per-column discriminator for LONG-surfaced ts
+    * columns under `nanosAsLong`: a plain int64 epoch column carries
+    * no timestamp annotation and falls back to [[normalizeTs]]'s
+    * magnitude heuristic. Footer-only read — no data pages touched.
+    */
+  def parquetTsNanos(s: SparkSession, path: String, c: String): Boolean =
+    try {
+      import org.apache.hadoop.fs.Path
+      val conf = s.sessionState.newHadoopConf()
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(p).isFile) Some(p)
+        else fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(q => q.getName.endsWith(".parquet") &&
+            !q.getName.startsWith("_") && !q.getName.startsWith("."))
+          .sortBy(_.getName.toString).headOption
+      file.exists { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try {
+          val schema = r.getFooter.getFileMetaData.getSchema
+          schema.containsField(c) && (schema.getType(Seq(c): _*)
+            .getLogicalTypeAnnotation match {
+              case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit ==
+                  org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
+              case _ => false
+            })
+        } finally r.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** events.parquet, with `ts` normalized to TIMESTAMP (see
     * [[normalizeTs]] for the encoding history).
@@ -71,7 +122,16 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(table(s, d, "events"))
+    val df = table(s, d, "events")
+    // per-COLUMN ns/µs discrimination from the footer annotation when
+    // the column surfaced as LONG; plain-int64 files keep the per-row
+    // magnitude fallback inside normalizeTs
+    val hint = df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) if parquetTsNanos(s, s"$d/events.parquet", "ts") =>
+        Some(true)
+      case _ => None
+    }
+    normalizeTs(df, "ts", hint)
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -132,8 +132,25 @@ private[sources] object CatalogFilters {
       a.length - b.length
     }
     def cmp(a: String, v: Any): Option[Int] = (a, v) match {
-      case ("length", n: Number) =>
-        Some(java.lang.Long.compare(length, n.longValue()))
+      case ("length", n: Number) => n match {
+        case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+             _: java.lang.Long =>
+          Some(java.lang.Long.compare(length, n.longValue()))
+        case _ =>
+          // Fractional literal: longValue() truncation would turn
+          // length < 5.7 into length < 5 and wrongly PRUNE a length-5
+          // file — and pruning is unrecoverable (the engine residual
+          // never sees the row). Spark normalizes integral-column
+          // comparisons before pushdown (UnwrapCastInBinaryComparison)
+          // so this is unreachable today; the guard keeps the
+          // evaluator's "unknown never prunes" contract for any future
+          // path that ships a fractional value.
+          val d = n.doubleValue()
+          if (d == Math.rint(d) && !d.isInfinite &&
+              d >= Long.MinValue.toDouble && d <= Long.MaxValue.toDouble)
+            Some(java.lang.Long.compare(length, d.toLong))
+          else None
+      }
       case (_, s: String) => str(a).map(utf8Cmp(_, s))
       case _ => None
     }

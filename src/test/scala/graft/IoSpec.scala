@@ -130,6 +130,11 @@ class IoSpec extends SparkSpec {
     Seq(1, 2).toDF("v").write.parquet(gone + ".__compact_old")
     val e2 = intercept[IllegalArgumentException](Sinks.compact(spark, gone))
     assert(e2.getMessage.contains("__compact_old"))
+    // a missing target is a clear precondition message, not a raw
+    // FileNotFoundException out of listStatus
+    val missing = Files.createTempDirectory("cmp_none").toString + "/t"
+    val e3 = intercept[IllegalArgumentException](Sinks.compact(spark, missing))
+    assert(e3.getMessage.contains("does not exist"))
   }
 
   test("format round-trips: orc, csv (schema-first), json, text") {

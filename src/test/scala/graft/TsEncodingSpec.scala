@@ -55,6 +55,35 @@ class TsEncodingSpec extends SparkSpec {
         "the tsenc fixtures and Tables.normalizeTs (BASELINE.md §7)")
   }
 
+  test("footer probe identifies TIMESTAMP(NANOS) per COLUMN (not per row)") {
+    // long_ns is a genuine TIMESTAMP(NANOS)-annotated file; long_us is
+    // plain int64 with no timestamp annotation. The probe is the
+    // authoritative discriminator, so an annotated nanos file is safe
+    // even for pre-1973 instants where the magnitude heuristic fails.
+    assert(Tables.parquetTsNanos(spark, s"$dir/long_ns/events.parquet", "ts"))
+    assert(!Tables.parquetTsNanos(spark, s"$dir/long_us/events.parquet", "ts"))
+    assert(!Tables.parquetTsNanos(spark, s"$dir/ltz/events.parquet", "ts"))
+    // missing column / missing path degrade to false, never throw
+    assert(!Tables.parquetTsNanos(spark, s"$dir/long_ns/events.parquet", "nope"))
+    assert(!Tables.parquetTsNanos(spark, s"$dir/does_not_exist", "ts"))
+  }
+
+  test("hinted nanos path floor-divides (pre-epoch instants stay exact)") {
+    import spark.implicits._
+    // -1 ns is 1969-12-31T23:59:59.999999999 → floor to …999999 µs
+    // (truncation toward zero would yield 0 µs = the epoch, 1 µs late);
+    // also a pre-1973 positive instant the magnitude heuristic misreads.
+    val df = Seq(-1L, -1001L, 1000L, 86400L * 1000000000L)
+      .toDF("ts") // 1970-01-02 in ns is far below the 1e17 cutoff
+    val out = Tables.normalizeTs(df, "ts", nanosHint = Some(true))
+      .select(unix_micros(col("ts"))).as[Long].collect().toSeq
+    assert(out == Seq(-1L, -2L, 1L, 86400L * 1000000L))
+    // the unhinted heuristic would misread the small ns values as µs
+    val heur = Tables.normalizeTs(df, "ts")
+      .select(unix_micros(col("ts"))).as[Long].collect().toSeq
+    assert(heur != out, "heuristic hole closed? update the scaladoc")
+  }
+
   test("NTZ normalizes identically whether inference is on or off") {
     // The driver entry points pin inferTimestampNTZ=false (ts arrives
     // TIMESTAMP directly); the default-config path arrives NTZ and

@@ -43,4 +43,17 @@ class CatalogFiltersSpec extends AnyFunSuite {
     assert(CatalogFilters.keeps(StringStartsWith("name", "pr."), "pr.x", "", 1L))
     assert(!CatalogFilters.keeps(StringStartsWith("name", "pr."), "x.pr", "", 1L))
   }
+
+  test("fractional numeric literals are UNKNOWN, never a truncated prune") {
+    // length < 5.7 is TRUE for a length-5 file; a longValue() truncation
+    // to length < 5 would prune it unrecoverably. The evaluator must
+    // treat non-integral literals as unevaluable (keep-by-default).
+    assert(CatalogFilters.keeps(LessThan("length", java.lang.Double.valueOf(5.7)), "f", "f", 5L))
+    assert(CatalogFilters.keeps(GreaterThan("length", java.lang.Double.valueOf(4.3)), "f", "f", 5L))
+    // ...and its negation stays unknown too (no wrong prune either way)
+    assert(CatalogFilters.keeps(Not(LessThan("length", java.lang.Double.valueOf(5.7))), "f", "f", 5L))
+    // integral-valued doubles still evaluate exactly
+    assert(!CatalogFilters.keeps(LessThan("length", java.lang.Double.valueOf(5.0)), "f", "f", 5L))
+    assert(CatalogFilters.keeps(LessThan("length", java.lang.Double.valueOf(6.0)), "f", "f", 5L))
+  }
 }
