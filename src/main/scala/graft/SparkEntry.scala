@@ -1335,15 +1335,19 @@ object SparkEntry {
         |      x -> x <> '')) AS token
         |    FROM documents)
         |  GROUP BY 1),
+        |tot AS (SELECT sum(freq) AS total FROM counts),
+        |head AS (
+        |  SELECT token, freq FROM counts
+        |  ORDER BY freq DESC, token ASC LIMIT 1024),
         |r AS (
         |  SELECT token, freq,
         |    CAST(row_number() OVER w AS BIGINT) AS rank,
-        |    sum(freq) OVER (w ROWS UNBOUNDED PRECEDING) AS cum,
-        |    sum(freq) OVER () AS total
-        |  FROM counts WINDOW w AS (ORDER BY freq DESC, token ASC))
+        |    sum(freq) OVER (w ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM head WINDOW w AS (ORDER BY freq DESC, token ASC))
         |SELECT rank, token, freq, round(cum / CAST(total AS DOUBLE), 6)
         |  AS cum_share
-        |FROM r WHERE (cum - freq) * 10 < total * 9 ORDER BY rank""".stripMargin,
+        |FROM r, tot WHERE (cum - freq) * 10 < total * 9
+        |ORDER BY rank""".stripMargin,
     "q_url_stats" ->
       """WITH u AS (
         |  SELECT doc_id, 'https://' || source || '.example.com/' || lang

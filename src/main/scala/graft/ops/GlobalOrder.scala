@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global order statistics WITHOUT a single-partition sort.
+  *
+  * `ntile(k)` / global `row_number()` over a raw fact table is the one
+  * window shape that cannot scale as written: an empty partition spec
+  * makes Spark move EVERY row into one task (`WindowExec: No Partition
+  * Defined`). But the statistic itself is not inherently serial — a
+  * global rank decomposes into
+  *
+  *   rank(row) = (# rows in strictly-lower range buckets) +
+  *               row_number within the row's bucket,
+  *
+  * for ANY partitioning of the key domain into ordered, non-overlapping
+  * ranges. Balance of the ranges affects speed, never correctness, so
+  * approximate quantiles are good enough to CUT the ranges while the
+  * final rank — and therefore the ntile bucket — stays bit-exact. This
+  * is the same two-phase shape Spark's own distributed `orderBy` uses
+  * (RangePartitioner + per-partition sort), rebuilt declaratively so
+  * the per-range offsets come from a broadcast join on a deterministic
+  * bucket EXPRESSION instead of `spark_partition_id` (a sampled
+  * RangePartitioner draws a fresh seed per evaluation, so partition ids
+  * are not stable across the two passes this plan needs; the
+  * `approx_percentile` boundary model is deterministic).
+  *
+  * Plan shape: one `approx_percentile` pass over the key column (the
+  * boundary model, a (fanout−1)-double array carried as a broadcast
+  * 1-row frame — no driver collect), one narrow map assigning each row
+  * its range bucket, one tiny grouped count (≤ fanout+1 rows) for the
+  * offsets, then a window PARTITIONED BY the bucket. Every stage is
+  * keyed or bounded; the largest single sort is ~N/fanout rows.
+  */
+object GlobalOrder {
+
+  /** Render a Column reference for embedding in a SQL expression
+    * string. Only plain column references are supported — enough for
+    * the fact-table keys this operator exists for.
+    */
+  private def keySql(key: Column): String = {
+    val s = key.toString
+    require(s.matches("[A-Za-z0-9_.]+"),
+      s"GlobalOrder key must be a plain column reference: $s")
+    s
+  }
+
+  /** Adds an exact global 1-based rank column `rankName` under the
+    * total order (`key` asc/desc with nulls first/last matching Spark's
+    * defaults, then `tieBreaks` ascending). Bit-identical to
+    * `row_number().over(Window.orderBy(...))` on the same order, but
+    * the plan never builds a single-partition window.
+    *
+    * The helper also leaves `__go_n` (total row count — [[ntileExact]]
+    * needs it) on the frame; callers drop it with the rank column.
+    */
+  private def withGlobalRank(df: DataFrame, key: Column, ascending: Boolean,
+                             tieBreaks: Seq[Column], fanout: Int,
+                             rankName: String): DataFrame = {
+    require(fanout >= 1, s"need fanout >= 1: $fanout")
+    val k = s"CAST(${keySql(key)} AS DOUBLE)"
+    val pcts = (1 until fanout).map(i => i.toDouble / fanout)
+    val bounds = df.agg(
+      coalesce(
+        if (pcts.isEmpty) expr("array()")
+        else expr(s"approx_percentile($k, array(${pcts.mkString(",")}), " +
+          "10000)"),
+        expr("array()")).as("__go_bounds"))
+    // range bucket: # boundaries strictly below (asc) / above (desc)
+    // this row's key — monotone in the sort order, shared by ties.
+    // NULL keys route to the end Spark's default null ordering puts
+    // them: asc ⇒ nulls first (the null-propagating filter yields
+    // bucket 0), desc ⇒ nulls last (explicit last bucket).
+    val cmpExpr = expr(if (ascending)
+      s"size(filter(__go_bounds, b -> b < $k))"
+    else s"size(filter(__go_bounds, b -> b > $k))")
+    val bucketExpr =
+      if (ascending) coalesce(cmpExpr, lit(0))
+      else when(key.isNull, lit(fanout)).otherwise(cmpExpr)
+    val bucketed = df.crossJoin(broadcast(bounds))
+      .withColumn("__go_b", bucketExpr)
+      .drop("__go_bounds")
+    // per-bucket counts → exclusive running offsets + grand total: the
+    // window here runs over ≤ fanout+1 rows — bounded by a constant,
+    // not by data
+    val offW = Window.orderBy("__go_b")
+    val offsets = bucketed.groupBy("__go_b")
+      .agg(count(lit(1)).as("__go_c"))
+      .select(col("__go_b"),
+        (sum("__go_c").over(offW) - col("__go_c")).as("__go_off"),
+        sum("__go_c").over(
+          offW.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).as("__go_n"))
+    val keyOrd =
+      if (ascending) key.asc_nulls_first else key.desc_nulls_last
+    val w = Window.partitionBy("__go_b")
+      .orderBy(keyOrd +: tieBreaks.map(_.asc): _*)
+    bucketed.join(broadcast(offsets), Seq("__go_b"))
+      .withColumn(rankName, row_number().over(w) + col("__go_off"))
+      .drop("__go_b", "__go_off")
+  }
+
+  /** Exact `ntile(n)` over the total order (`key` asc/desc, then
+    * `tieBreaks` asc) as a new column `bucketName` (1-based, LongType)
+    * — bit-identical to `ntile(n).over(Window.orderBy(...))`, planned
+    * as [[withGlobalRank]] + the closed-form rank→bucket map (the first
+    * N mod n buckets take ⌈N/n⌉ rows, the rest ⌊N/n⌋ — SQL NTILE's
+    * contract). All bucket arithmetic is integral (`div`/`%` on
+    * BIGINT), so no float rounding can move a row across a bucket
+    * boundary.
+    */
+  def ntileExact(df: DataFrame, n: Int, key: Column, ascending: Boolean,
+                 tieBreaks: Seq[Column], fanout: Int = 32,
+                 bucketName: String = "bucket"): DataFrame = {
+    require(n >= 1, s"need n >= 1: $n")
+    val ranked = withGlobalRank(df, key, ascending, tieBreaks, fanout,
+      "__go_rank")
+    // q = ⌊N/n⌋, rem = N mod n, r0 = rank−1 (0-based):
+    //   r0 < (q+1)·rem        ⇒ bucket = r0 div (q+1)       (big buckets)
+    //   otherwise             ⇒ bucket = rem + (r0−(q+1)·rem) div q
+    // (q = 0 ⇒ rem = N and the first branch covers every rank)
+    val bucket = expr(
+      s"""CASE WHEN CAST(__go_rank AS BIGINT) - 1 <
+         |    ((__go_n div $n) + 1) * (__go_n % $n)
+         |  THEN (CAST(__go_rank AS BIGINT) - 1) div ((__go_n div $n) + 1)
+         |  ELSE (__go_n % $n) +
+         |    ((CAST(__go_rank AS BIGINT) - 1 -
+         |      ((__go_n div $n) + 1) * (__go_n % $n)) div (__go_n div $n))
+         |END""".stripMargin)
+    ranked
+      .withColumn(bucketName, (bucket + 1).cast("long"))
+      .drop("__go_rank", "__go_n")
+  }
+}

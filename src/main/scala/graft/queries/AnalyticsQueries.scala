@@ -180,21 +180,23 @@ object AnalyticsQueries {
       .orderBy("user_id", "day")
   }
 
-  /** Equi-depth binning: decile buckets of order value via `ntile`
-    * (deterministic total order), with per-bucket count and bounds —
-    * the histogram complement to the fixed-width q_histogram.
+  /** Equi-depth binning: decile buckets of order value with per-bucket
+    * count and bounds — the histogram complement to the fixed-width
+    * q_histogram.
     *
-    * Scale note: exact global deciles are a global-order statistic, so
-    * this form pays ONE total sort (the empty-partition Window). That
-    * is the oracle-checkable baseline; at 100 TB the production swap
-    * is approx_percentile boundaries (already a verified primitive,
-    * q_approx_percentile) + a narrow-map bucket assignment — no global
-    * sort, at the cost of approximate bucket edges.
+    * Scale note: exact global deciles are a global-order statistic,
+    * but NOT an inherently serial one — the executed plan is
+    * [[graft.ops.GlobalOrder.ntileExact]] (approx_percentile range
+    * cuts + per-range offsets + a PARTITIONED window), bit-identical
+    * to `ntile(10)` over the total order (the oracle keeps the plain
+    * NTILE form) with no single-partition sort anywhere: the largest
+    * sort is ~N/fanout rows. OpsSpec pins the bit-equivalence law on
+    * ties/nulls/N%10≠0; ScaleSpec's window gate keeps the raw-table
+    * global window from coming back.
     */
   def equiDepth(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-    Tables.orders(s, d)
-      .withColumn("bucket", ntile(10).over(w).cast("long"))
+    graft.ops.GlobalOrder.ntileExact(Tables.orders(s, d), 10,
+        col("o_totalprice"), ascending = true, Seq(col("o_orderkey")))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         round(min("o_totalprice"), 2).as("lo"),
@@ -642,26 +644,45 @@ object AnalyticsQueries {
     * partition keys at 100 TB: per candidate key, cardinality, row
     * count, the hottest key's share, the p99/median count ratio, and
     * the Gini index of the key distribution (counts ranked ascending;
-    * G = 2·Σi·cᵢ/(n·Σc) − (n+1)/n). One keyed count per table (the
-    * only data-sized shuffle); the ranking window runs over the
-    * key-cardinality-bounded count table (same single-partition-window
-    * justification as q_vocab_coverage).
+    * G = 2·Σi·cᵢ/(n·Σc) − (n+1)/n).
+    *
+    * Scale shape (r6, VERDICT item 4): the rank-weighted sum Σi·cᵢ is
+    * computed from the COUNT-OF-COUNTS histogram, not a per-key rank
+    * window — keys tied at count c occupy a contiguous rank block
+    * [s_c+1, s_c+m_c] whatever their tie order, so
+    * Σi·c = Σ_c c·(m_c·s_c + m_c(m_c+1)/2) EXACTLY (integer
+    * arithmetic; s_c = # keys with smaller count). The only window
+    * runs over the distinct-count-VALUE table — bounded by the number
+    * of distinct frequencies (≪ key cardinality for any skewed
+    * distribution; the whole point of the report), never by key or
+    * row grain, so the report stays safe even for user-grain keys.
+    * p99/median come from the frequency-weighted `percentile(c, p,
+    * m)` over the same histogram — identical multiset, identical
+    * interpolation. One keyed count per table remains the only
+    * data-sized shuffle.
     */
   def skewReport(s: SparkSession, d: String): DataFrame = {
     def forKey(df: DataFrame, key: String, name: String): DataFrame = {
       val cnts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
-      val ranked = cnts.withColumn("i",
-        row_number().over(Window.orderBy("c", "k")))
-      ranked.agg(
-        count(lit(1)).as("n_keys"),
-        sum("c").as("n_rows"),
+      // count-of-counts: m keys share count value c
+      val coc = cnts.groupBy("c").agg(count(lit(1)).as("m"))
+      val byC = Window.orderBy("c")
+      val hist = coc.withColumn("s",
+        coalesce(sum("m").over(byC.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      hist.agg(
+        sum("m").as("n_keys"),
+        sum(col("c") * col("m")).as("n_rows"),
         max("c").as("max_cnt"),
-        round(max("c") / sum("c"), 6).as("top_share"),
-        round(expr("percentile(c, 0.99)") / expr("percentile(c, 0.5)"), 6)
-          .as("p99_over_med"),
-        round((lit(2) * sum(col("i") * col("c"))) /
-          (count(lit(1)) * sum("c")) -
-          (count(lit(1)) + 1) / count(lit(1)), 6).as("gini"))
+        round(max("c") / sum(col("c") * col("m")), 6).as("top_share"),
+        round(expr("percentile(c, 0.99, m)") /
+          expr("percentile(c, 0.5, m)"), 6).as("p99_over_med"),
+        // (m·(m+1)) div 2 — INTEGER halving (Column./ is true
+        // division to double; the rank sum must stay a BIGINT)
+        round((lit(2) * sum(expr(
+            "c * (m * s + (m * (m + 1)) div 2)"))) /
+          (sum("m") * sum(col("c") * col("m"))) -
+          (sum("m") + 1) / sum("m"), 6).as("gini"))
         .select(lit(name).as("key_name"), col("n_keys"), col("n_rows"),
           col("max_cnt"), col("top_share"), col("p99_over_med"),
           col("gini"))
@@ -1029,21 +1050,23 @@ object AnalyticsQueries {
 
   /** Decile lift table: events ranked by score (value), cut into ten
     * equal-count buckets, each bucket's purchase rate divided by the
-    * base rate — the model-evaluation staple. The global ntile is the
-    * oracle-checkable exact form (same caveat + swap as [[equiDepth]]:
-    * at 100 TB use approx_percentile boundaries + a narrow map — the
-    * bucket-rate aggregation below is unchanged). Ties break by
+    * base rate — the model-evaluation staple. Executed as
+    * [[graft.ops.GlobalOrder.ntileExact]] (same swap + bit-equivalence
+    * law as [[equiDepth]]): no single-partition window over the raw
+    * event rows; the oracle keeps the plain NTILE form. Ties break by
     * event_id so bucket assignment is deterministic.
     */
   def lift(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(desc("value"), asc("event_id"))
     val all = Window.partitionBy(lit(1))
     val rate = col("n_resp").cast("double") / col("n")
     val base = sum("n_resp").over(all).cast("double") / sum("n").over(all)
-    Tables.events(s, d)
-      .select(col("event_id"), col("value"),
-        when(col("event_type") === "purchase", 1L).otherwise(0L).as("resp"))
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    graft.ops.GlobalOrder.ntileExact(
+        Tables.events(s, d)
+          .select(col("event_id"), col("value"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("resp")),
+        10, col("value"), ascending = false, Seq(col("event_id")),
+        bucketName = "decile")
       .groupBy("decile")
       .agg(count(lit(1)).as("n"), sum("resp").as("n_resp"))
       .select(col("decile"), col("n"), col("n_resp"),
@@ -1291,14 +1314,18 @@ object AnalyticsQueries {
   /** Exponential time-decay customer value (half-life ≈ 21 days): each
     * order weighted exp(−age/30) against the newest order date, summed
     * per customer, top-50 — the recency-weighted ranking that replaces
-    * RFM's hard recency cutoffs. The reference date is a one-value
-    * window; the decay weight is a narrow map; one keyed aggregate +
-    * top-k (TakeOrderedAndProject — no global sort).
+    * RFM's hard recency cutoffs. The reference date is a ONE-ROW
+    * aggregate broadcast back onto the fact rows (a constant-partition
+    * window would shuffle every order into one task — ScaleSpec's
+    * window gate rejects that shape); the decay weight is a narrow
+    * map; one keyed aggregate + top-k (TakeOrderedAndProject — no
+    * global sort).
     */
   def decayValue(s: SparkSession, d: String): DataFrame = {
-    val all = Window.partitionBy(lit(1))
+    val maxd = Tables.orders(s, d)
+      .agg(max(to_date(col("o_orderdate"))).as("maxd"))
     Tables.orders(s, d)
-      .withColumn("maxd", max(to_date(col("o_orderdate"))).over(all))
+      .crossJoin(broadcast(maxd))
       .withColumn("w", exp(-datediff(col("maxd"),
         to_date(col("o_orderdate"))).cast("double") / lit(30d)))
       .groupBy("o_custkey")

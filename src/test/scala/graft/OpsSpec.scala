@@ -200,4 +200,60 @@ class OpsSpec extends SparkSpec {
       BloomPrune.prunedJoin(fact, dim, "key", "dkey", "left")
     }
   }
+
+  test("GlobalOrder.ntileExact == window ntile (ties, nulls, N%n!=0)") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.GlobalOrder
+    // 1003 rows (N % 10 = 3), heavy ties (v in 0..19), some null keys
+    val df = (0L until 1003L).map { i =>
+      (i, if (i % 41 == 0) None else Some((i * 7 % 20).toDouble))
+    }.toDF("id", "v")
+    def got(asc: Boolean) = GlobalOrder
+      .ntileExact(df, 10, col("v"), asc, Seq(col("id")), fanout = 7)
+      .select("id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def want(asc: Boolean) = {
+      val o = if (asc) col("v").asc_nulls_first else col("v").desc_nulls_last
+      df.withColumn("bucket",
+          ntile(10).over(Window.orderBy(o, col("id").asc)).cast("long"))
+        .select("id", "bucket").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(got(asc = true) === want(asc = true))
+    assert(got(asc = false) === want(asc = false))
+  }
+
+  test("ntileExact: N < n and single-row edge cases") {
+    import graft.ops.GlobalOrder
+    import org.apache.spark.sql.expressions.Window
+    val tiny = Seq((1L, 5.0), (2L, 3.0), (3L, 9.0)).toDF("id", "v")
+    val got = GlobalOrder.ntileExact(tiny, 10, col("v"), ascending = true,
+        Seq(col("id")), fanout = 4)
+      .select("id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = tiny.withColumn("bucket",
+        ntile(10).over(Window.orderBy(col("v").asc, col("id").asc))
+          .cast("long"))
+      .select("id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("ntileExact plans no empty-partition window") {
+    import graft.ops.GlobalOrder
+    val df = (0L until 100L).map(i => (i, i * 3 % 17)).toDF("id", "v")
+    val plan = GlobalOrder
+      .ntileExact(df, 10, col("v"), ascending = true, Seq(col("id")))
+      .queryExecution.executedPlan
+    val bad = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty &&
+            // the offsets window runs over the <= fanout+1-row count
+            // table: recognizable by the aggregate directly beneath it
+            !w.child.exists(_.isInstanceOf[
+              org.apache.spark.sql.execution.aggregate.BaseAggregateExec]) =>
+        w
+    }
+    assert(bad.isEmpty, s"raw-input global window in plan:\n$plan")
+  }
 }

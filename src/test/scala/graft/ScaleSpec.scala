@@ -224,6 +224,50 @@ class ScaleSpec extends SparkSpec {
         isOneRowPlan(r.child)
     }.getOrElse(false)
 
+  test("no query plans an empty-partition window over raw rows") {
+    // Sibling of the pair-product gate (VERDICT r5 item 3): a
+    // WindowExec with an EMPTY partition spec moves its whole input
+    // into ONE task — fine when the input is already reduced to a
+    // bounded grain (an aggregate / top-k beneath it), a scale-killer
+    // over raw fact rows (the former q_lift/q_equi_depth shape, now
+    // rewritten via GlobalOrder.ntileExact). The automatic exemption:
+    // the window's child subtree must contain a reducing operator — an
+    // aggregate, a limit, or a window-group-limit — between the window
+    // and the scan. Anything else must be allowlisted here WITH its
+    // boundedness justification.
+    //
+    // Allowlist (grain-bounded global windows the reducing-operator
+    // heuristic cannot see):
+    //   (none — every current global window sits over an aggregate or
+    //    top-k; keep it that way.)
+    val allowed = Set.empty[String]
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    def reduced(p: SparkPlan): Boolean = p.exists {
+      case _: BaseAggregateExec => true
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec => true
+      case _: WindowGroupLimitExec => true
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        reduced(r.child)
+      case _ => false
+    }
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !allowed(name) =>
+        val plan = fn(s2, sfDir).queryExecution.executedPlan
+        plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty &&
+              !reduced(w.child) =>
+            s"$name: empty-partition window over unreduced input\n$w"
+        }
+      case _ => Nil
+    }
+    assert(violations.isEmpty, violations.mkString("\n\n"))
+  }
+
   test("argmax input aggregates before the window (no raw-fact window)") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val yearly = li.groupBy(col("l_suppkey"),
