@@ -89,6 +89,9 @@ object SparkEntry {
     "q_subquery"       -> (FuncQueries.correlatedSubquery _),
     "q_hll_union"      -> (FuncQueries.hllSketchUnion _),
     "q_media_features" -> (TrainingQueries.mediaFeatures _),
+    "q_media_dedup"    -> (TrainingQueries.mediaDedup _),
+    "q_media_neardup"  -> (TrainingQueries.mediaNearDup _),
+    "q_frame_features" -> (TrainingQueries.frameFeatures _),
     // training-data pipeline surface (north star)
     "q_dedup_exact"    -> (TrainingQueries.dedupExact _),
     "q_dedup_ngram"    -> (TrainingQueries.dedupNgramJaccard _),
@@ -125,6 +128,7 @@ object SparkEntry {
     "q_dedup_incremental" -> (TrainingQueries.dedupIncremental _),
     "q_char_entropy"   -> (TrainingQueries.charEntropy _),
     "q_heavy_hitters"  -> (TrainingQueries.heavyHitters _),
+    "q_heavy_hitters_exact" -> (TrainingQueries.heavyHittersExact _),
     "q_cms_freq"       -> (TrainingQueries.cmsFreq _),
     "q_pq_topk"        -> (TrainingQueries.pqTopK _),
     "q_pq_ivf"         -> (TrainingQueries.pqIvf _),
@@ -708,6 +712,36 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'fake/utf8' AS format,
         | CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q_media_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS media_id, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |f AS (SELECT media_id, md5(text) AS content_md5 FROM m),
+        |k AS (SELECT content_md5, min(media_id) AS keeper
+        |      FROM f GROUP BY 1)
+        |SELECT f.media_id, f.content_md5,
+        |  (f.media_id = k.keeper) AS kept
+        |FROM f JOIN k USING (content_md5)
+        |ORDER BY media_id""".stripMargin,
+    "q_media_neardup" -> graft.sim.Similarity.nearDupLshOracleSql(
+      threshold = 0.9999, bands = 8, rowsPerBand = 4, dim = 16,
+      dvCtes = graft.queries.TrainingQueries.mediaNearDupDvSql),
+    "q_frame_features" ->
+      """SELECT media_id, frame_index, n_bytes, frame_md5 FROM (
+        |  SELECT doc_id AS media_id,
+        |    CAST(ci // 2 AS INTEGER) AS frame_index,
+        |    CAST(strlen(substr(text, CAST(ci * 256 + 1 AS BIGINT), 256))
+        |      AS BIGINT) AS n_bytes,
+        |    md5(substr(text, CAST(ci * 256 + 1 AS BIGINT), 256))
+        |      AS frame_md5
+        |  FROM (
+        |    SELECT doc_id, text, unnest(range(0,
+        |      CAST(ceil(strlen(text) / 256.0) AS BIGINT))) AS ci
+        |    FROM documents)
+        |  WHERE ci % 2 = 0)
+        |ORDER BY media_id, frame_index""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, fp FROM (
         |  SELECT doc_id,
@@ -760,6 +794,28 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |  CAST(b.embedding AS DOUBLE[])) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_mmr" -> graft.queries.TrainingQueries.mmrOracleSql(),
+    "q_heavy_hitters_exact" ->
+      """SELECT lang AS token, count(*) AS est_count FROM documents
+        |GROUP BY 1 ORDER BY est_count DESC, token""".stripMargin,
+    "q_textrank" -> graft.queries.TrainingQueries.textRankOracleSql(),
+    "q_knn_ivf" -> graft.queries.TrainingQueries.knnIvfOracleSql(),
+    "q_ppr_terms" -> graft.queries.TrainingQueries.pprTermsOracleSql(),
+    "q_emb_neardup_lsh" -> graft.sim.Similarity.nearDupLshOracleSql(
+      threshold = 0.4, bands = 16, rowsPerBand = 4, dim = 64),
+    "q_kmeans_cells" ->
+      s"""WITH ${graft.queries.TrainingQueries.kmeansAssignSql(16)}
+         |SELECT cell, count(*) AS n_vectors FROM assign
+         |GROUP BY cell ORDER BY cell""".stripMargin,
+    "q_semdedup" ->
+      s"""WITH ${graft.queries.TrainingQueries.kmeansAssignSql(16)},
+         |dom AS (
+         |  SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.v, b.v) >= 0.9)
+         |SELECT s.vec_id, s.cell FROM assign s
+         |LEFT JOIN dom ON s.vec_id = dom.vec_id
+         |WHERE dom.vec_id IS NULL ORDER BY s.vec_id""".stripMargin,
     "q_centroid" ->
       """WITH pos AS (SELECT unnest(range(1, 65)) AS pos)
         |SELECT label, CAST(pos AS BIGINT) AS pos,

@@ -75,6 +75,20 @@ object Multimodal {
       (length(col("text")) % 640).cast("int").as("width"),
       (length(col("text")) % 480).cast("int").as("height"))
 
+  /** The media table PLUS a deterministic re-upload population: every
+    * `every`-th document's blob appears a second time under a shifted
+    * media_id — the "same asset ingested twice" scenario that
+    * content-addressed dedup ([[graft.queries.TrainingQueries.mediaDedup]])
+    * exists to catch. Pure relational construction, so the oracle
+    * replays it exactly.
+    */
+  def mediaWithReuploads(docs: DataFrame, every: Long = 10,
+                         offset: Long = 1000000L): DataFrame =
+    mediaFromDocuments(docs).unionByName(
+      mediaFromDocuments(
+        docs.filter(pmod(col("doc_id"), lit(every)) === 0)
+          .withColumn("doc_id", col("doc_id") + offset)))
+
   /** Batch feature extraction: `mapPartitions` so codec setup happens
     * once per partition (the `mapInPandas` batch shape), not per row.
     */

@@ -393,6 +393,62 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("__cos"), 6).as("cosine"))
   }
 
+  /** DuckDB oracle for [[nearDupPairsLsh]] (r6 conversion): banded
+    * cosine-LSH is DETERMINISTIC — the hyperplanes are a pure function
+    * of (bands·rowsPerBand, dim) — so the oracle generator inlines the
+    * SAME hyperplane components as SQL literals (3-decimal values;
+    * both engines parse the decimal to the identical double) and
+    * replays band-key packing (strict sign test, bit j = plane j of
+    * the band), the (band, bucket) candidate self-join, and the exact
+    * cosine refine. "Approximate" for LSH means recall < 1 vs the
+    * all-pairs ground truth, not nondeterminism — the LSH answer
+    * itself is a pure function of the corpus, which this pins. Recall
+    * vs [[nearDupPairs]] stays spec-asserted in SimilaritySpec.
+    *
+    * `dvCtes`: the WITH-clause block (one or more CTEs, last one named
+    * `dv(vec_id, v)`) supplying the vectors — defaults to the
+    * embeddings table; q_media_neardup passes its centered-histogram
+    * construction instead.
+    */
+  def nearDupLshOracleSql(threshold: Double = 0.5, bands: Int = 8,
+                          rowsPerBand: Int = 4, dim: Int = 64,
+                          dvCtes: String = Similarity.embeddingsDvSql)
+  : String = {
+    val hp = hyperplanes(bands * rowsPerBand, dim)
+    def arr(a: Array[Double]): String = a.mkString("[", ",", "]")
+    val bandSelects = (0 until bands).map { b =>
+      val bits = (0 until rowsPerBand).map { j =>
+        s"(CASE WHEN list_dot_product(v, ${arr(hp(b * rowsPerBand + j))})" +
+          s" > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, ($bits) AS bucket FROM dv"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $dvCtes,
+       |keys AS MATERIALIZED (
+       |$bandSelects),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM keys a JOIN keys b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT c.id_a, c.id_b,
+       |  round(list_cosine_similarity(va.v, vb.v), 6) AS cosine
+       |FROM cand c
+       |JOIN dv va ON va.vec_id = c.id_a
+       |JOIN dv vb ON vb.vec_id = c.id_b
+       |WHERE list_cosine_similarity(va.v, vb.v) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Default `dvCtes` for [[nearDupLshOracleSql]]: the embeddings
+    * table with ArrayDot's elementwise null-as-0 double coercion.
+    */
+  def embeddingsDvSql: String =
+    """dv AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> coalesce(CAST(x AS DOUBLE), 0.0))
+      |      AS v
+      |  FROM embeddings)""".stripMargin
+
   /** Semantic deduplication (Abbas et al., "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication", 2023,
     * arXiv:2303.09540): cluster the corpus with spherical k-means, then

@@ -56,4 +56,30 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length === 5) // chunks 0,2,4,6,8
     assert(frames.head.frame.toSeq === (0 until 10).map(_.toByte).toSeq)
   }
+
+  test("mediaDedup: one keeper per digest, re-uploads never win") {
+    val out = graft.queries.TrainingQueries.mediaDedup(spark, sfDir)
+      .collect()
+    val byDigest = out.groupBy(_.getString(1))
+    // exactly one kept row per content digest
+    assert(byDigest.values.forall(_.count(_.getBoolean(2)) === 1))
+    // a re-upload (shifted id) can never be the keeper of its group:
+    // the original carries the smaller media_id
+    val reupKept = out.filter(r => r.getLong(0) >= 1000000L && r.getBoolean(2))
+    assert(reupKept.isEmpty,
+      s"re-uploads marked kept: ${reupKept.map(_.getLong(0)).toSeq}")
+    // every re-upload's group has >= 2 members (its original is present)
+    val reups = out.filter(_.getLong(0) >= 1000000L)
+    assert(reups.nonEmpty)
+    assert(reups.forall(r => byDigest(r.getString(1)).length >= 2))
+  }
+
+  test("mediaNearDup: pairs are symmetric-free, above threshold, and " +
+      "LSH candidates only") {
+    val out = graft.queries.TrainingQueries.mediaNearDup(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.forall(_.getDouble(2) >= 0.9999 - 5e-7)) // 6dp rounding slack
+  }
 }

@@ -87,4 +87,19 @@ class TestdataCanarySpec extends SparkSpec {
       "testdata drifted — fix the loaders (BASELINE.md §7 policy):\n" +
         drifted.mkString("\n"))
   }
+
+  test("CANARY: documents.text is pure ASCII (media oracles equate " +
+      "codepoint with byte)") {
+    // q_media_neardup / q_frame_features oracle the FakeCodec byte
+    // pipeline through DuckDB CHARACTER functions — sound only while
+    // UTF-8 encoding is the identity on the corpus. If this trips, the
+    // testdata gained multi-byte characters: switch those oracles to
+    // blob functions (or drop to rows-only) rather than loosening this.
+    import org.apache.spark.sql.functions._
+    val nonAscii = graft.io.Tables.documents(spark, sfDir)
+      .filter(length(encode(col("text"), "UTF-8")) =!= length(col("text")))
+      .count()
+    assert(nonAscii === 0L,
+      s"$nonAscii documents contain non-ASCII text")
+  }
 }
