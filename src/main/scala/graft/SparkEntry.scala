@@ -725,8 +725,8 @@ object SparkEntry {
         |  (f.media_id = k.keeper) AS kept
         |FROM f JOIN k USING (content_md5)
         |ORDER BY media_id""".stripMargin,
-    "q_media_neardup" -> graft.sim.Similarity.nearDupLshOracleSql(
-      threshold = 0.9999, bands = 8, rowsPerBand = 4, dim = 16,
+    "q_media_neardup" -> graft.sim.Similarity.signatureClusterOracleSql(
+      planes = 24, dim = 16,
       dvCtes = graft.queries.TrainingQueries.mediaNearDupDvSql),
     "q_frame_features" ->
       """SELECT media_id, frame_index, n_bytes, frame_md5 FROM (

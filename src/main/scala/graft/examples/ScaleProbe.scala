@@ -259,6 +259,57 @@ object ScaleProbe {
         graft.graph.Bfs.hopDistance(pairs, seeds, maxDepth = 3).count()
       })
     }
+
+    // Round-6 (VERDICT item 5): split-parallelism of the CPU-dense
+    // tail. The driver testdata is single-row-group parquet, so
+    // q_profile / q_math_funcs / q_coerce / q_emb_neardup run their
+    // scan in ONE task however many cores exist (BASELINE.md §9). The
+    // probe rewrites the same tables as multi-file parquet at EQUAL
+    // volume and re-times the same four queries — the wall drop is the
+    // claimed linear task scale-out, with no query change.
+    {
+      import graft.SparkEntry
+      val multiDir = java.nio.file.Files
+        .createTempDirectory("graft_multifile").toString
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")) {
+        spark.read.parquet(s"$sfDir/$t.parquet").repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$multiDir/$t.parquet")
+      }
+      def noopTime(q: String, dir: String): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println("=== split-parallelism: single-file vs multi-file parquet ===")
+      for (q <- Seq("q_profile", "q_math_funcs", "q_coerce",
+          "q_emb_neardup")) {
+        val single = (1 to 2).map(_ => noopTime(q, sfDir)).min
+        val multi = (1 to 2).map(_ => noopTime(q, multiDir)).min
+        println(f"$q%-16s single-file ${single}%6.2fs  " +
+          f"multi-file ${multi}%6.2fs  speedup ${single / multi}%5.2fx")
+      }
+    }
+
+    // Round-6 (VERDICT item 4): the skew-report Gini now aggregates a
+    // COUNT-OF-COUNTS histogram, so its only window input is the
+    // distinct-frequency table. Probe: replicate events 16x with
+    // DISJOINT user ranges (keys grow 16x) and show the window input
+    // stays ~flat — the boundedness claim, measured.
+    {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      def eventsX(k: Int): DataFrame =
+        (0 until k).map(i => ev.withColumn("user_id",
+          col("user_id") + lit(i * 10000000L))).reduce(_ unionByName _)
+      println("=== skew-report histogram law: keys vs window input ===")
+      for (k <- Seq(1, 16)) {
+        val cnts = eventsX(k).groupBy("user_id").count()
+        val nKeys = cnts.count()
+        val nVals = cnts.select("count").distinct().count()
+        println(f"x$k%-3d keys=$nKeys%9d  distinct-count-values=$nVals%6d")
+      }
+    }
     spark.stop()
   }
 }

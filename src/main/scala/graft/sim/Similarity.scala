@@ -439,6 +439,34 @@ object Similarity {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** DuckDB oracle generator for signature clustering over
+    * [[cosineLshBuckets]]-style hyperplane-sign codes (q_media_neardup):
+    * bit p of the signature is the strict sign of the dot with literal
+    * plane p; clusters are exact signature equality with min-id
+    * keepers. Same literal-hyperplane replay discipline as
+    * [[nearDupLshOracleSql]].
+    */
+  def signatureClusterOracleSql(planes: Int, dim: Int,
+                                dvCtes: String,
+                                idName: String = "media_id"): String = {
+    val hp = hyperplanes(planes, dim)
+    def arr(a: Array[Double]): String = a.mkString("[", ",", "]")
+    val bits = (0 until planes).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${arr(hp(p))}) > 0" +
+        s" THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH $dvCtes,
+       |sigs AS MATERIALIZED (
+       |  SELECT vec_id, ($bits) AS sig FROM dv),
+       |cl AS (
+       |  SELECT sig, count(*) AS n_members, min(vec_id) AS keeper
+       |  FROM sigs GROUP BY 1)
+       |SELECT s.vec_id AS $idName, s.sig, cl.n_members,
+       |  (s.vec_id = cl.keeper) AS kept
+       |FROM sigs s JOIN cl USING (sig)
+       |ORDER BY $idName""".stripMargin
+  }
+
   /** Default `dvCtes` for [[nearDupLshOracleSql]]: the embeddings
     * table with ArrayDot's elementwise null-as-0 double coercion.
     */
@@ -653,8 +681,17 @@ object Similarity {
           i += 1
         }
         picked(best) = true
-        out += ((qid, cand(best)._2, rank,
-          math.rint(bestScore * 1e6) / 1e6))
+        // round like Spark's round() / DuckDB's round(): HALF_UP on
+        // the EXACT binary expansion of the double. math.rint(x*1e6)
+        // is subtly different: the multiply re-quantizes onto the
+        // 1e-6 grid, so a score like 0.7·0.340915 (whose product is
+        // the double exactly at 238640.5 after ×1e6) hits rint's
+        // half-EVEN rule while both engines' round() sees the
+        // expansion …0054 above the midpoint — a real q_mmr hash
+        // mismatch at sf0.001 (BASELINE.md §10).
+        val rounded = new java.math.BigDecimal(bestScore)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        out += ((qid, cand(best)._2, rank, rounded))
         val bv = vecs(best)
         i = 0
         while (i < n) {

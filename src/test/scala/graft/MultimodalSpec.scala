@@ -74,12 +74,21 @@ class MultimodalSpec extends SparkSpec {
     assert(reups.forall(r => byDigest(r.getString(1)).length >= 2))
   }
 
-  test("mediaNearDup: pairs are symmetric-free, above threshold, and " +
-      "LSH candidates only") {
+  test("mediaNearDup: signature clusters partition the corpus with " +
+      "one min-id keeper each") {
     val out = graft.queries.TrainingQueries.mediaNearDup(spark, sfDir)
       .collect()
     assert(out.nonEmpty)
-    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
-    assert(out.forall(_.getDouble(2) >= 0.9999 - 5e-7)) // 6dp rounding slack
+    val bySig = out.groupBy(_.getLong(1))
+    // one kept row per signature, and it carries the cluster's min id
+    bySig.values.foreach { rows =>
+      assert(rows.count(_.getBoolean(3)) === 1)
+      val keeper = rows.filter(_.getBoolean(3)).head.getLong(0)
+      assert(keeper === rows.map(_.getLong(0)).min)
+      // n_members agrees with the actual cluster size on every row
+      assert(rows.forall(_.getLong(2) === rows.length.toLong))
+    }
+    // every media row appears exactly once (clustering partitions)
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
   }
 }
