@@ -117,6 +117,8 @@ object SparkEntry {
     "q_redact"         -> (TrainingQueries.redact _),
     "q_curate"         -> (TrainingQueries.curate _),
     "q_dedup_clusters" -> (TrainingQueries.dedupClusters _),
+    "q_dedup_reps"     -> (TrainingQueries.dedupReps _),
+    "q_cluster_sample" -> (TrainingQueries.clusterSample _),
     "q_pack"           -> (TrainingQueries.pack _),
     "q_lang_id"        -> (TrainingQueries.langId _),
     "q_weighted_sample" -> (TrainingQueries.weightedSample _),
@@ -979,6 +981,82 @@ object SparkEntry {
         | COALESCE(c.cluster, d.doc_id) = d.doc_id AS is_kept
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_reps" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |     for i in range(1, len(w) - 1)])) AS shingle
+        |  FROM tok),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_both
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN cnt ca ON ca.doc_id = doc_a
+        |  JOIN cnt cb ON cb.doc_id = doc_b
+        |  WHERE round(n_both / (ca.n + cb.n - n_both), 6) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach
+        |  GROUP BY a),
+        |qm AS (
+        |  SELECT doc_id,
+        |   CAST(len(w) AS BIGINT) AS n_tokens,
+        |   round(length(regexp_replace(trim(text), '\s+', '', 'g')) /
+        |     nullif(CAST(len(w) AS DOUBLE), 0.0), 6) AS mean_token_len,
+        |   round(len(regexp_extract_all(text, '[^\w\s]')) /
+        |     nullif(CAST(length(text) AS DOUBLE), 0.0), 6) AS punct_ratio
+        |  FROM (SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS w
+        |    FROM documents)),
+        |q AS (
+        |  SELECT doc_id, round(greatest(
+        |   least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) *
+        |   (1.0 - least(punct_ratio * 5.0, 1.0)) *
+        |   (1.0 - (CASE WHEN mean_token_len IS NULL THEN 1.0
+        |     WHEN mean_token_len < 2.0 OR mean_token_len > 12.0 THEN 0.5
+        |     ELSE 0.0 END) * 0.5),
+        |   0.0), 6) AS quality_score
+        |  FROM qm),
+        |members AS (
+        |  SELECT q.doc_id, COALESCE(c.cluster, q.doc_id) AS cluster_id,
+        |    q.quality_score
+        |  FROM q LEFT JOIN comp c ON q.doc_id = c.doc_id),
+        |reps AS (
+        |  SELECT cluster_id, doc_id AS rep_doc_id,
+        |    quality_score AS rep_quality
+        |  FROM (SELECT m.*, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY quality_score DESC, doc_id) AS rn
+        |    FROM members m)
+        |  WHERE rn = 1),
+        |nm AS (SELECT cluster_id, count(*) AS n_members FROM members
+        |       GROUP BY 1)
+        |SELECT nm.cluster_id, nm.n_members, reps.rep_doc_id,
+        |  reps.rep_quality
+        |FROM nm JOIN reps USING (cluster_id)
+        |ORDER BY cluster_id""".stripMargin,
+    "q_cluster_sample" ->
+      s"""WITH ${graft.queries.TrainingQueries.kmeansAssignSql(16)}
+         |SELECT cell, vec_id, h FROM (
+         |  SELECT a.cell, a.vec_id,
+         |    CAST((a.vec_id * 2654435761) % 4294967296 AS BIGINT) AS h,
+         |    row_number() OVER (PARTITION BY a.cell
+         |      ORDER BY (a.vec_id * 2654435761) % 4294967296, a.vec_id)
+         |      AS rn
+         |  FROM assign a)
+         |WHERE rn <= 3 ORDER BY cell, h, vec_id""".stripMargin,
     "q_pack" ->
       """SELECT doc_id, source, n_tokens,
         | CAST(floor((cum - 1) / 256) AS BIGINT) AS bin

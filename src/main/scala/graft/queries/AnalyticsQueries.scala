@@ -195,7 +195,11 @@ object AnalyticsQueries {
     * global window from coming back.
     */
   def equiDepth(s: SparkSession, d: String): DataFrame = {
-    graft.ops.GlobalOrder.ntileExact(Tables.orders(s, d), 10,
+    // project to the two live columns BEFORE the rank machinery: the
+    // bucket window shuffles its whole input row, and the other seven
+    // order columns would ride along for nothing
+    graft.ops.GlobalOrder.ntileExact(
+        Tables.orders(s, d).select("o_totalprice", "o_orderkey"), 10,
         col("o_totalprice"), ascending = true, Seq(col("o_orderkey")))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
@@ -1501,8 +1505,13 @@ object AnalyticsQueries {
     * coefficient is Pearson corr over the directed edge list.
     */
   def assortativity(s: SparkSession, d: String): DataFrame = {
+    // distinct BEFORE the self-join: a part repeated on k lines of one
+    // order would otherwise fan out k² duplicate pairs that the
+    // post-join distinct then pays to collapse (same discipline as
+    // hopDist/itemSim)
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
     val e = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
       .select(col("a.p").as("pa"), col("b.p").as("pb")).distinct()

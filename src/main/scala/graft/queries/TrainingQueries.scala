@@ -1111,6 +1111,63 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware dedup representatives (r6): the same near-dup
+    * clusters as [[dedupClusters]], but each cluster keeps its
+    * HIGHEST-QUALITY member (argmax quality_score, ties → smaller
+    * doc_id) instead of the min-id — the policy a curation pipeline
+    * actually wants ("of these near-duplicates, keep the best copy",
+    * [[graft.dedup.Dedup.keepRepresentatives]] promoted to the
+    * verified surface). One extra narrow quality map + one per-cluster
+    * argmax window on top of the clustering; quality_score is
+    * 6-dp-parity SQL (the q_text_quality oracle), so the argmax is
+    * exactly replayable.
+    */
+  def dedupReps(s: SparkSession, d: String): DataFrame = {
+    import graft.graph.ConnectedComponents
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramJaccard(docs, threshold = 0.8)
+    val comps = ConnectedComponents.run(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+    val members = TextAnalysis.qualityMetrics(docs)
+      .select(col("doc_id"), col("quality_score"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"),
+        col("quality_score"))
+    val reps = graft.ops.Ops
+      .argMax(members, "cluster_id", "quality_score", "doc_id")
+      .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
+        col("quality_score").as("rep_quality"))
+    members.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      .join(reps, Seq("cluster_id"))
+      .orderBy("cluster_id")
+  }
+
+  /** Cluster-balanced consistent subsample (r6): 3 vectors per
+    * coarse-quantizer cell by smallest Knuth hash — topic-balanced
+    * eval-set construction (uniform sampling over-represents the big
+    * topics; per-cell quotas flatten the mix), with
+    * [[consistentSample]]'s stability property (membership survives
+    * corpus growth unless a vector's own within-cell hash rank
+    * changes). Assignment is the seed-centroid narrow map of
+    * [[kmeansCells]]; the window is per-cell. Exact oracle: both
+    * stages are already SQL-replayed elsewhere
+    * ([[kmeansAssignSql]] + the q_consistent_sample hash spelling).
+    */
+  def clusterSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.kmeansCentroids(emb, k = 16, iters = 0)
+    val cells = Similarity.assignCells(emb, cents)
+      .select(col("vec_id"), col("cell"))
+    val w = Window.partitionBy("cell").orderBy(col("h"), col("vec_id"))
+    cells.withColumn("h", knuthHash32(col("vec_id")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 3)
+      .select("cell", "vec_id", "h")
+      .orderBy("cell", "h", "vec_id")
+  }
+
   /** Token-budget document packing (training-batch construction):
     * within each source, documents are packed in doc_id order into
     * consecutive bins by cumulative token count — bin = ⌊(cumsum−1)/B⌋,
