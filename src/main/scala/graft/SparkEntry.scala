@@ -715,10 +715,11 @@ object SparkEntry {
         | CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
     "q_media_dedup" ->
-      """WITH m AS (
+      """WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+        |m AS (
         |  SELECT doc_id AS media_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000 AS media_id, text FROM documents
+        |  SELECT doc_id + off.o AS media_id, text FROM documents, off
         |  WHERE doc_id % 10 = 0),
         |f AS (SELECT media_id, md5(text) AS content_md5 FROM m),
         |k AS (SELECT content_md5, min(media_id) AS keeper
@@ -798,7 +799,12 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "q_mmr" -> graft.queries.TrainingQueries.mmrOracleSql(),
     "q_heavy_hitters_exact" ->
+      // lang IS NOT NULL pins null parity: MisraGriesSketch.update
+      // SKIPS null inputs, while a bare GROUP BY would emit a
+      // NULL-keyed row — a latent mismatch if the testdata ever gains
+      // nullable lang
       """SELECT lang AS token, count(*) AS est_count FROM documents
+        |WHERE lang IS NOT NULL
         |GROUP BY 1 ORDER BY est_count DESC, token""".stripMargin,
     "q_textrank" -> graft.queries.TrainingQueries.textRankOracleSql(),
     "q_knn_ivf" -> graft.queries.TrainingQueries.knnIvfOracleSql(),

@@ -269,26 +269,36 @@ object ScaleProbe {
     // claimed linear task scale-out, with no query change.
     {
       import graft.SparkEntry
-      val multiDir = java.nio.file.Files
-        .createTempDirectory("graft_multifile").toString
-      for (t <- Seq("region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings")) {
-        spark.read.parquet(s"$sfDir/$t.parquet").repartition(cpus.toInt)
-          .write.mode("overwrite").parquet(s"$multiDir/$t.parquet")
-      }
-      def noopTime(q: String, dir: String): Double = {
-        val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      println("=== split-parallelism: single-file vs multi-file parquet ===")
-      for (q <- Seq("q_profile", "q_math_funcs", "q_coerce",
-          "q_emb_neardup")) {
-        val single = (1 to 2).map(_ => noopTime(q, sfDir)).min
-        val multi = (1 to 2).map(_ => noopTime(q, multiDir)).min
-        println(f"$q%-16s single-file ${single}%6.2fs  " +
-          f"multi-file ${multi}%6.2fs  speedup ${single / multi}%5.2fx")
+      val multiPath = java.nio.file.Files
+        .createTempDirectory("graft_multifile")
+      val multiDir = multiPath.toString
+      try {
+        for (t <- Seq("region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings")) {
+          spark.read.parquet(s"$sfDir/$t.parquet").repartition(cpus.toInt)
+            .write.mode("overwrite").parquet(s"$multiDir/$t.parquet")
+        }
+        def noopTime(q: String, dir: String): Double = {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println("=== split-parallelism: single-file vs multi-file parquet ===")
+        for (q <- Seq("q_profile", "q_math_funcs", "q_coerce",
+            "q_emb_neardup")) {
+          val single = (1 to 2).map(_ => noopTime(q, sfDir)).min
+          val multi = (1 to 2).map(_ => noopTime(q, multiDir)).min
+          println(f"$q%-16s single-file ${single}%6.2fs  " +
+            f"multi-file ${multi}%6.2fs  speedup ${single / multi}%5.2fx")
+        }
+      } finally {
+        // the probe copy is a full dataset duplicate — don't leave it
+        // accumulating in /tmp across runs
+        import java.nio.file.{Files => F}
+        import scala.jdk.CollectionConverters._
+        F.walk(multiPath).iterator().asScala.toSeq.reverse
+          .foreach(p => F.deleteIfExists(p))
       }
     }
 

@@ -79,15 +79,22 @@ object Multimodal {
     * `every`-th document's blob appears a second time under a shifted
     * media_id — the "same asset ingested twice" scenario that
     * content-addressed dedup ([[graft.queries.TrainingQueries.mediaDedup]])
-    * exists to catch. Pure relational construction, so the oracle
-    * replays it exactly.
+    * exists to catch. The shift is `max(doc_id) + 1` (a one-row
+    * aggregate both engines compute identically), NOT a fixed
+    * constant: a constant offset collides shifted ids with genuine
+    * doc_ids the moment the corpus outgrows it, breaking media_id
+    * uniqueness and the total ORDER BY the oracle hash relies on.
+    * Pure relational construction, so the oracle replays it exactly.
     */
-  def mediaWithReuploads(docs: DataFrame, every: Long = 10,
-                         offset: Long = 1000000L): DataFrame =
+  def mediaWithReuploads(docs: DataFrame, every: Long = 10): DataFrame = {
+    val off = docs.agg((max("doc_id") + 1).as("__off"))
     mediaFromDocuments(docs).unionByName(
       mediaFromDocuments(
         docs.filter(pmod(col("doc_id"), lit(every)) === 0)
-          .withColumn("doc_id", col("doc_id") + offset)))
+          .crossJoin(broadcast(off))
+          .withColumn("doc_id", col("doc_id") + col("__off"))
+          .drop("__off")))
+  }
 
   /** Batch feature extraction: `mapPartitions` so codec setup happens
     * once per partition (the `mapInPandas` batch shape), not per row.

@@ -24,28 +24,28 @@ import org.apache.spark.sql.functions._
   * the per-range offsets come from a broadcast join on a deterministic
   * bucket EXPRESSION instead of `spark_partition_id` (a sampled
   * RangePartitioner draws a fresh seed per evaluation, so partition ids
-  * are not stable across the two passes this plan needs; the
-  * `approx_percentile` boundary model is deterministic).
+  * are not stable across the two passes this plan needs).
   *
-  * Plan shape: one `approx_percentile` pass over the key column (the
-  * boundary model, a (fanout−1)-double array carried as a broadcast
-  * 1-row frame — no driver collect), one narrow map assigning each row
-  * its range bucket, one tiny grouped count (≤ fanout+1 rows) for the
-  * offsets, then a window PARTITIONED BY the bucket. Every stage is
-  * keyed or bounded; the largest single sort is ~N/fanout rows.
+  * The boundary model is COLLECTED to the driver once and re-enters the
+  * plan as a literal array — deliberately, for the same reason
+  * k-means centroids are (bounded model state, here fanout−1 doubles):
+  * the bucket expression appears in TWO plan branches (the offsets
+  * aggregate and the final rank join), and `approx_percentile`'s
+  * summary merge is partial-arrival-order sensitive, so evaluating the
+  * aggregate once per branch could cut DIFFERENT ranges in each — rows
+  * bucketed under one model, offset under the other, silently wrong
+  * ranks. (Relying on ReuseExchange to collapse the two evaluations
+  * would tie correctness to an optimizer flag.) A literal is evaluated
+  * zero times per branch — both see the same cuts by construction.
+  *
+  * Plan shape: one `approx_percentile` job over the key column, one
+  * narrow map assigning each row its range bucket (a ≤ fanout-element
+  * literal-array scan per row), one tiny grouped count (≤ fanout+1
+  * rows) for the offsets, then a window PARTITIONED BY the bucket.
+  * Every stage is keyed or bounded; the largest single sort is
+  * ~N/fanout rows.
   */
 object GlobalOrder {
-
-  /** Render a Column reference for embedding in a SQL expression
-    * string. Only plain column references are supported — enough for
-    * the fact-table keys this operator exists for.
-    */
-  private def keySql(key: Column): String = {
-    val s = key.toString
-    require(s.matches("[A-Za-z0-9_.]+"),
-      s"GlobalOrder key must be a plain column reference: $s")
-    s
-  }
 
   /** Adds an exact global 1-based rank column `rankName` under the
     * total order (`key` asc/desc with nulls first/last matching Spark's
@@ -60,28 +60,38 @@ object GlobalOrder {
                              tieBreaks: Seq[Column], fanout: Int,
                              rankName: String): DataFrame = {
     require(fanout >= 1, s"need fanout >= 1: $fanout")
-    val k = s"CAST(${keySql(key)} AS DOUBLE)"
+    val keyD = key.cast("double")
     val pcts = (1 until fanout).map(i => i.toDouble / fanout)
-    val bounds = df.agg(
-      coalesce(
-        if (pcts.isEmpty) expr("array()")
-        else expr(s"approx_percentile($k, array(${pcts.mkString(",")}), " +
-          "10000)"),
-        expr("array()")).as("__go_bounds"))
+    // bounded model state: fanout−1 doubles, one deterministic job
+    val bounds: Array[Double] =
+      if (pcts.isEmpty) Array.empty
+      else {
+        val row = df.agg(
+          percentile_approx(keyD, array(pcts.map(lit): _*), lit(10000))
+            .as("b")).head()
+        if (row.isNullAt(0)) Array.empty
+        else row.getSeq[Any](0)
+          .collect { case d: Double => d }.toArray // drop null entries
+      }
     // range bucket: # boundaries strictly below (asc) / above (desc)
     // this row's key — monotone in the sort order, shared by ties.
     // NULL keys route to the end Spark's default null ordering puts
-    // them: asc ⇒ nulls first (the null-propagating filter yields
-    // bucket 0), desc ⇒ nulls last (explicit last bucket).
-    val cmpExpr = expr(if (ascending)
-      s"size(filter(__go_bounds, b -> b < $k))"
-    else s"size(filter(__go_bounds, b -> b > $k))")
+    // them: asc ⇒ nulls first (the null-propagating lambda yields
+    // bucket 0), desc ⇒ nulls last (explicit last bucket). An empty
+    // model (fanout = 1, or an empty/all-null key column) degenerates
+    // to a single range — spelled out rather than filtering an empty
+    // NullType array literal.
     val bucketExpr =
-      if (ascending) coalesce(cmpExpr, lit(0))
-      else when(key.isNull, lit(fanout)).otherwise(cmpExpr)
-    val bucketed = df.crossJoin(broadcast(bounds))
-      .withColumn("__go_b", bucketExpr)
-      .drop("__go_bounds")
+      if (bounds.isEmpty) {
+        if (ascending) lit(0)
+        else when(key.isNull, lit(fanout)).otherwise(lit(0))
+      } else {
+        val cmp = filter(array(bounds.map(lit(_)): _*),
+          b => if (ascending) b < keyD else b > keyD)
+        if (ascending) coalesce(size(cmp), lit(0))
+        else when(key.isNull, lit(fanout)).otherwise(size(cmp))
+      }
+    val bucketed = df.withColumn("__go_b", bucketExpr)
     // per-bucket counts → exclusive running offsets + grand total: the
     // window here runs over ≤ fanout+1 rows — bounded by a constant,
     // not by data

@@ -79,17 +79,7 @@ object TrainingQueries {
   def knnIvfOracleSql(centLo: Int = 0, centHi: Int = 19,
                       qLo: Int = 10, qHi: Int = 19,
                       k: Int = 5, nProbe: Int = 3): String =
-    s"""WITH dv AS MATERIALIZED (
-       |  SELECT vec_id,
-       |    list_transform(embedding, x -> coalesce(CAST(x AS DOUBLE), 0.0))
-       |      AS v
-       |  FROM embeddings),
-       |un AS MATERIALIZED (
-       |  SELECT vec_id, v,
-       |    CASE WHEN sqrt(list_dot_product(v, v)) > 0
-       |      THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
-       |      ELSE v END AS u
-       |  FROM dv),
+    s"""WITH ${Similarity.embeddingsUnSql},
        |cents AS MATERIALIZED (
        |  SELECT vec_id AS cell, u AS cu FROM un
        |  WHERE vec_id BETWEEN $centLo AND $centHi),
@@ -545,17 +535,7 @@ object TrainingQueries {
     val lam = lambda.toString
     val oml = (1 - lambda).toString
     val base =
-      s"""WITH dv AS MATERIALIZED (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> coalesce(CAST(x AS DOUBLE), 0.0))
-         |      AS v
-         |  FROM embeddings),
-         |un AS MATERIALIZED (
-         |  SELECT vec_id,
-         |    CASE WHEN sqrt(list_dot_product(v, v)) > 0
-         |      THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
-         |      ELSE v END AS u
-         |  FROM dv),
+      s"""WITH ${Similarity.embeddingsUnSql},
          |pool AS MATERIALIZED (
          |  SELECT query_id, neighbor_id, rel, u FROM (
          |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -612,8 +592,10 @@ object TrainingQueries {
     * 0's tokens — the terms that surface are doc 0's vocabulary
     * neighborhood, not the corpus-global hubs [[textRank]] finds.
     * Exact oracle (r6 conversion): fixed iteration count + fixed
-    * radius unroll in [[pprTermsOracleSql]]; GraphSpec pins PPR
-    * itself.
+    * radius unroll in [[pprTermsOracleSql]]; same grouped-float-sum
+    * 6-dp parity caveat as [[textRank]] (demote to rows-only if a
+    * testdata refresh ever lands a rank on a rounding midpoint).
+    * GraphSpec pins PPR itself.
     *
     * Bounded to the seeds' 3-hop ball (`radius = Some(3)`): the
     * top-20 lives in the immediate vocabulary neighborhood, so the
@@ -823,10 +805,20 @@ object TrainingQueries {
     * symmetrized). Damping and iteration count are the paper's
     * defaults. Exact oracle (r6 conversion): the power iteration has
     * a FIXED round count (10), so [[textRankOracleSql]] unrolls it —
-    * the same fixed-iteration discipline as [[mmrOracleSql]]; 6-dp
-    * output rounding absorbs cross-engine summation-order noise (the
-    * per-round sums are grouped float adds). GraphSpec additionally
-    * pins PageRank against closed-form and driver-recomputed values.
+    * the same fixed-iteration discipline as [[mmrOracleSql]].
+    *
+    * Parity caveat, stated honestly: unlike the op-for-op-pinned
+    * conversions, the per-round `sum(rank·frac)` is a GROUPED float
+    * sum whose accumulation order differs across engines (and across
+    * Spark runs), so the oracle relies on 6-dp rounding to absorb
+    * ~1e-13 summation noise — exact only while no output rank falls
+    * within that noise of a 0.5e-6 rounding midpoint (unlike q_mmr's
+    * systematic-midpoint incident, these values are not quantized, so
+    * a collision is ~1e-7-probability data noise, re-checked at three
+    * SFs). If a future testdata refresh ever trips it, demote this
+    * entry to rows-only rather than chasing the boundary. GraphSpec
+    * additionally pins PageRank against closed-form and
+    * driver-recomputed values.
     */
   def textRank(s: SparkSession, d: String): DataFrame = {
     val bg = Dedup.shingles(Tables.documents(s, d), k = 2)
@@ -1472,11 +1464,7 @@ object TrainingQueries {
     * index-order double accumulation in both engines.
     */
   def kmeansAssignSql(k: Int): String =
-    s"""dv AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding, x -> coalesce(CAST(x AS DOUBLE), 0.0))
-       |      AS v
-       |  FROM embeddings),
+    s"""${Similarity.embeddingsDvSql},
        |cu1 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
        |      AS cent_id,

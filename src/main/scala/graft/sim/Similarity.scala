@@ -469,6 +469,10 @@ object Similarity {
 
   /** Default `dvCtes` for [[nearDupLshOracleSql]]: the embeddings
     * table with ArrayDot's elementwise null-as-0 double coercion.
+    * THE single definition of that float discipline on the oracle
+    * side — every embedding oracle builds on this fragment (directly
+    * or via [[embeddingsUnSql]]) so a change to the coercion can
+    * never desynchronize one oracle from the others.
     */
   def embeddingsDvSql: String =
     """dv AS MATERIALIZED (
@@ -476,6 +480,19 @@ object Similarity {
       |    list_transform(embedding, x -> coalesce(CAST(x AS DOUBLE), 0.0))
       |      AS v
       |  FROM embeddings)""".stripMargin
+
+  /** [[embeddingsDvSql]] plus the `withUnit` replay: `un(vec_id, v,
+    * u)` with u = v/|v| (index-order double norm, zero-norm
+    * passthrough) — the shared base of the mmr / knn_ivf oracles.
+    */
+  def embeddingsUnSql: String =
+    s"""$embeddingsDvSql,
+       |un AS MATERIALIZED (
+       |  SELECT vec_id, v,
+       |    CASE WHEN sqrt(list_dot_product(v, v)) > 0
+       |      THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+       |      ELSE v END AS u
+       |  FROM dv)""".stripMargin
 
   /** Semantic deduplication (Abbas et al., "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication", 2023,

@@ -58,20 +58,27 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("mediaDedup: one keeper per digest, re-uploads never win") {
+    import org.apache.spark.sql.functions.max
     val out = graft.queries.TrainingQueries.mediaDedup(spark, sfDir)
       .collect()
+    // re-uploads are shifted past max(doc_id) — derive the threshold
+    // from the data (the offset is max+1, not a constant)
+    val cut = graft.io.Tables.documents(spark, sfDir)
+      .agg(max("doc_id")).head().getLong(0)
     val byDigest = out.groupBy(_.getString(1))
     // exactly one kept row per content digest
     assert(byDigest.values.forall(_.count(_.getBoolean(2)) === 1))
     // a re-upload (shifted id) can never be the keeper of its group:
     // the original carries the smaller media_id
-    val reupKept = out.filter(r => r.getLong(0) >= 1000000L && r.getBoolean(2))
+    val reupKept = out.filter(r => r.getLong(0) > cut && r.getBoolean(2))
     assert(reupKept.isEmpty,
       s"re-uploads marked kept: ${reupKept.map(_.getLong(0)).toSeq}")
     // every re-upload's group has >= 2 members (its original is present)
-    val reups = out.filter(_.getLong(0) >= 1000000L)
+    val reups = out.filter(_.getLong(0) > cut)
     assert(reups.nonEmpty)
     assert(reups.forall(r => byDigest(r.getString(1)).length >= 2))
+    // no id collisions between originals and re-uploads
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
   }
 
   test("mediaNearDup: signature clusters partition the corpus with " +

@@ -259,9 +259,13 @@ class ScaleSpec extends SparkSpec {
       case (name, fn) if !allowed(name) =>
         val plan = fn(s2, sfDir).queryExecution.executedPlan
         plan.collect {
-          case w: WindowExec if w.partitionSpec.isEmpty &&
+          // forall on an EMPTY spec is true by design: a constant
+          // partition key (Window.partitionBy(lit(1)) — q_decay's old
+          // shape) hashes every row to one task exactly like no spec
+          // at all, so foldable-only specs are the same violation
+          case w: WindowExec if w.partitionSpec.forall(_.foldable) &&
               !reduced(w.child) =>
-            s"$name: empty-partition window over unreduced input\n$w"
+            s"$name: effectively-global window over unreduced input\n$w"
         }
       case _ => Nil
     }
