@@ -1,0 +1,175 @@
+package graft.dedup
+
+/** DuckDB replay of Spark's `xxhash64` (standard XXH64, Cyan4973's
+  * public-domain algorithm; Spark evaluates it over UTF-8 bytes with
+  * seed 42) — the piece that makes the hash-keyed dedup paths
+  * (q_dedup_simhash) EXACTLY oracle-able instead of rows-only.
+  *
+  * Shape: a prelude of scalar MACROs (64-bit modular arithmetic via
+  * UHUGEINT intermediates — DuckDB BIGINT ops error on overflow rather
+  * than wrap, and signed HUGEINT overflows at (2⁶⁴−1)²) plus a CTE
+  * chain implementing the full spec: 32-byte stripe accumulators,
+  * 8/4/1-byte tails, avalanche. Byte values come from CODEPOINTS
+  * (`unicode`), sound while the corpus is ASCII — the same contract as
+  * the media oracles, pinned by TestdataCanarySpec. Validated against
+  * the reference vectors (xxh64("")=0xef46db3751d8e999 etc.) and
+  * hash-exact against Spark's q_dedup_simhash output at sf0.01/0.1.
+  *
+  * The macro prelude makes the oracle a MULTI-STATEMENT script; the
+  * driver's DuckDB runner (`con.execute(sql)`, per tools/check.py)
+  * executes statements sequentially and returns the last result.
+  */
+object XxHashSql {
+
+  private val P1 = "11400714785074694791"
+  private val P2 = "14029467366897019727"
+  private val P3 = "1609587929392839161"
+  private val P4 = "9650029242287828579"
+  private val P5 = "2870177450012600261"
+  private val M = "18446744073709551616"
+
+  /** `CREATE OR REPLACE MACRO` prelude (xx_mul/add/rot/rnd/merge/
+    * lane8/lane4/aval). Idempotent; names are xx_-prefixed to avoid
+    * collisions if several oracles install them on one connection.
+    */
+  def macros: String =
+    s"""CREATE OR REPLACE MACRO xx_mul(a, b) AS
+       |  CAST((CAST(a AS UHUGEINT) * CAST(b AS UHUGEINT)) % $M AS UBIGINT);
+       |CREATE OR REPLACE MACRO xx_add(a, b) AS
+       |  CAST((CAST(a AS UHUGEINT) + CAST(b AS UHUGEINT)) % $M AS UBIGINT);
+       |CREATE OR REPLACE MACRO xx_rot(x, r) AS
+       |  xor(xx_mul(x, CAST(power(2, r) AS UBIGINT)),
+       |      CAST(x AS UBIGINT) >> CAST(64 - r AS INTEGER));
+       |CREATE OR REPLACE MACRO xx_rnd(acc, lane) AS
+       |  xx_mul(xx_rot(xx_add(acc, xx_mul(lane, CAST($P2 AS UBIGINT))), 31),
+       |         CAST($P1 AS UBIGINT));
+       |CREATE OR REPLACE MACRO xx_merge(h, v) AS
+       |  xx_add(xx_mul(xor(CAST(h AS UBIGINT), xx_rnd(CAST(0 AS UBIGINT), v)),
+       |                CAST($P1 AS UBIGINT)), CAST($P4 AS UBIGINT));
+       |CREATE OR REPLACE MACRO xx_lane8(bs, i) AS
+       |  CAST(list_extract(bs, CAST(i AS BIGINT)) AS UBIGINT)
+       |  + CAST(list_extract(bs, CAST(i+1 AS BIGINT)) AS UBIGINT)*256
+       |  + CAST(list_extract(bs, CAST(i+2 AS BIGINT)) AS UBIGINT)*65536
+       |  + CAST(list_extract(bs, CAST(i+3 AS BIGINT)) AS UBIGINT)*16777216
+       |  + CAST(list_extract(bs, CAST(i+4 AS BIGINT)) AS UBIGINT)*4294967296
+       |  + CAST(list_extract(bs, CAST(i+5 AS BIGINT)) AS UBIGINT)*1099511627776
+       |  + CAST(list_extract(bs, CAST(i+6 AS BIGINT)) AS UBIGINT)*281474976710656
+       |  + CAST(list_extract(bs, CAST(i+7 AS BIGINT)) AS UBIGINT)*72057594037927936;
+       |CREATE OR REPLACE MACRO xx_lane4(bs, i) AS
+       |  CAST(list_extract(bs, CAST(i AS BIGINT)) AS UBIGINT)
+       |  + CAST(list_extract(bs, CAST(i+1 AS BIGINT)) AS UBIGINT)*256
+       |  + CAST(list_extract(bs, CAST(i+2 AS BIGINT)) AS UBIGINT)*65536
+       |  + CAST(list_extract(bs, CAST(i+3 AS BIGINT)) AS UBIGINT)*16777216;
+       |CREATE OR REPLACE MACRO xx_aval(h0) AS (
+       |  SELECT xor(h2, h2 >> 32) FROM (
+       |    SELECT xx_mul(xor(h1, h1 >> 29), CAST($P3 AS UBIGINT)) AS h2 FROM (
+       |      SELECT xx_mul(xor(CAST(h0 AS UBIGINT), CAST(h0 AS UBIGINT) >> 33),
+       |                    CAST($P2 AS UBIGINT)) AS h1)));""".stripMargin
+
+  /** CTE chain hashing every row of an upstream CTE `toks(t)` (ASCII
+    * strings) to `th(t, h UBIGINT)` = XXH64(bytes(t), `seed`).
+    * Stages: xb (byte list), xst (32-byte stripe accumulators via
+    * list_reduce with the init state as the fold's first element),
+    * xh0 (stripe merge or short-input init), xh8/xh4 (8- and 4-byte
+    * tails), th (1-byte tail + avalanche).
+    */
+  def hashCtes(seed: Long): String =
+    s"""xb AS (SELECT t,
+       |  [CAST(unicode(t[i]) AS UBIGINT) for i in range(1, len(t)+1)] AS bs,
+       |  CAST(len(t) AS UBIGINT) AS n
+       |  FROM toks),
+       |xst AS (SELECT t, bs, n, CAST(n // 32 AS BIGINT) AS ns,
+       |  CASE WHEN n >= 32 THEN
+       |    list_reduce(
+       |      [{'v1': xx_add(CAST($seed AS UBIGINT),
+       |                     xx_add(CAST($P1 AS UBIGINT), CAST($P2 AS UBIGINT))),
+       |         'v2': xx_add(CAST($seed AS UBIGINT), CAST($P2 AS UBIGINT)),
+       |         'v3': CAST($seed AS UBIGINT),
+       |         'v4': CAST((CAST($seed AS UHUGEINT) + $M - $P1) % $M AS UBIGINT),
+       |         'i': CAST(-1 AS BIGINT)}] ||
+       |      [{'v1': CAST(0 AS UBIGINT), 'v2': CAST(0 AS UBIGINT),
+       |         'v3': CAST(0 AS UBIGINT), 'v4': CAST(0 AS UBIGINT),
+       |         'i': CAST(k AS BIGINT)} for k in range(0, CAST(n // 32 AS BIGINT))],
+       |      (a, x) -> {'v1': xx_rnd(a.v1, xx_lane8(bs, x.i*32 + 1)),
+       |                  'v2': xx_rnd(a.v2, xx_lane8(bs, x.i*32 + 9)),
+       |                  'v3': xx_rnd(a.v3, xx_lane8(bs, x.i*32 + 17)),
+       |                  'v4': xx_rnd(a.v4, xx_lane8(bs, x.i*32 + 25)),
+       |                  'i': a.i})
+       |  END AS vs
+       |  FROM xb),
+       |xh0 AS (SELECT t, bs, n, ns,
+       |  CASE WHEN n >= 32 THEN
+       |    xx_add(xx_merge(xx_merge(xx_merge(xx_merge(
+       |      xx_add(xx_add(xx_rot(vs.v1, 1), xx_rot(vs.v2, 7)),
+       |             xx_add(xx_rot(vs.v3, 12), xx_rot(vs.v4, 18))),
+       |      vs.v1), vs.v2), vs.v3), vs.v4), n)
+       |  ELSE xx_add(xx_add(CAST($seed AS UBIGINT), CAST($P5 AS UBIGINT)), n)
+       |  END AS h
+       |  FROM xst),
+       |xh8 AS (SELECT t, bs, n,
+       |  CAST(ns*32 + ((CAST(n AS BIGINT) - ns*32) // 8)*8 AS BIGINT) AS p8,
+       |  list_reduce(
+       |    [h] || [xx_lane8(bs, CAST(ns*32 + 8*j + 1 AS BIGINT))
+       |            for j in range(0, (CAST(n AS BIGINT) - ns*32) // 8)],
+       |    (a, lane) -> xx_add(xx_mul(xx_rot(
+       |      xor(a, xx_rnd(CAST(0 AS UBIGINT), lane)), 27),
+       |      CAST($P1 AS UBIGINT)), CAST($P4 AS UBIGINT))) AS h
+       |  FROM xh0),
+       |xh4 AS (SELECT t, bs, n,
+       |  CASE WHEN CAST(n AS BIGINT) - p8 >= 4 THEN p8 + 4 ELSE p8 END AS p4,
+       |  CASE WHEN CAST(n AS BIGINT) - p8 >= 4 THEN
+       |    xx_add(xx_mul(xx_rot(xor(h, xx_mul(xx_lane4(bs, p8 + 1),
+       |      CAST($P1 AS UBIGINT))), 23), CAST($P2 AS UBIGINT)),
+       |      CAST($P3 AS UBIGINT))
+       |  ELSE h END AS h
+       |  FROM xh8),
+       |th AS (SELECT t, xx_aval(list_reduce(
+       |    [h] || [list_extract(bs, j)
+       |            for j in range(p4 + 1, CAST(n AS BIGINT) + 1)],
+       |    (a, bb) -> xx_mul(xx_rot(xor(a, xx_mul(bb, CAST($P5 AS UBIGINT))), 11),
+       |                      CAST($P1 AS UBIGINT)))) AS h
+       |  FROM xh4)""".stripMargin
+
+  /** Complete oracle for [[Dedup.simhashPairs]] over the documents
+    * table: whitespace tokens → per-distinct-token XXH64(seed 42) →
+    * per-doc 64 bit-majority votes → 64-bit signature → 4×16-bit
+    * block buckets (≤ `maxBucket` cap) → Hamming ≤ `maxHamming`
+    * pairs. Every stage replays the Spark pipeline op-for-op on
+    * integers, so the oracle is exact.
+    */
+  def simhashOracleSql(maxHamming: Int = 3, maxBucket: Int = 256): String = {
+    val bTerms = (0 until 64)
+      .map(j => s"sum(CAST((h >> $j) & 1 AS BIGINT)) AS b$j")
+      .mkString(",\n  ")
+    val sTerms = (0 until 64)
+      .map(j => s"CASE WHEN 2*b$j > n THEN CAST(${java.lang.Long
+        .toUnsignedString(1L << j)} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END")
+      .mkString("\n    + ")
+    s"""$macros
+       |WITH toksrc AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+       |  FROM documents),
+       |toks AS (SELECT DISTINCT t FROM toksrc),
+       |${hashCtes(42L)},
+       |hb AS (SELECT s.doc_id, th.h FROM toksrc s JOIN th USING (t)),
+       |cnt AS (SELECT doc_id, count(*) AS n,
+       |  $bTerms
+       |  FROM hb GROUP BY doc_id),
+       |sig AS (SELECT doc_id,
+       |  ($sTerms) AS s
+       |  FROM cnt),
+       |blocked AS (
+       |  SELECT doc_id, s, b AS block,
+       |    CAST((s >> CAST(b*16 AS INTEGER)) & 65535 AS BIGINT) AS bkey
+       |  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+       |okb AS (SELECT block, bkey FROM blocked GROUP BY 1, 2
+       |        HAVING count(*) <= $maxBucket),
+       |sm AS (SELECT blocked.* FROM blocked JOIN okb USING (block, bkey))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+       |FROM sm a JOIN sm b
+       |  ON a.block = b.block AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.s, b.s)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+}
