@@ -810,6 +810,7 @@ object SparkEntry {
     "q_knn_ivf" -> graft.queries.TrainingQueries.knnIvfOracleSql(),
     "q_ppr_terms" -> graft.queries.TrainingQueries.pprTermsOracleSql(),
     "q_dedup_simhash" -> graft.dedup.XxHashSql.simhashOracleSql(),
+    "q_dedup_minhash" -> graft.dedup.XxHashSql.minhashOracleSql(),
     "q_emb_neardup_lsh" -> graft.sim.Similarity.nearDupLshOracleSql(
       threshold = 0.4, bands = 16, rowsPerBand = 4, dim = 64),
     "q_kmeans_cells" ->

@@ -130,6 +130,115 @@ object XxHashSql {
        |                      CAST($P1 AS UBIGINT)))) AS h
        |  FROM xh4)""".stripMargin
 
+  /** Murmur3_x86_32 prelude (Spark's `hash()` — mixK1/mixH1/fmix over
+    * 32-bit modular arithmetic) for replaying the MinHash band keys.
+    * `mm_fmix` is spelled as pure nested macros (no scalar subquery)
+    * because it must be legal INSIDE a list_reduce lambda. Validated
+    * against a reference implementation on random 64-bit lanes; note
+    * the oracle's correctness only needs the band key to be an
+    * injective-consistent function of the 4-long slice (equality
+    * joins), so even the exactness here is belt-and-braces.
+    */
+  def murmurMacros: String =
+    """CREATE OR REPLACE MACRO mm_mul(a, b) AS
+      |  CAST((CAST(a AS UBIGINT) * CAST(b AS UBIGINT)) % 4294967296 AS UBIGINT);
+      |CREATE OR REPLACE MACRO mm_rot(x, r) AS
+      |  xor(mm_mul(x, CAST(power(2, r) AS UBIGINT)),
+      |      CAST(x AS UBIGINT) >> CAST(32 - r AS INTEGER));
+      |CREATE OR REPLACE MACRO mm_k1(k) AS
+      |  mm_mul(mm_rot(mm_mul(k, 3432918353), 15), 461845907);
+      |CREATE OR REPLACE MACRO mm_h1(h, k) AS
+      |  CAST((CAST(mm_mul(mm_rot(xor(CAST(h AS UBIGINT), mm_k1(k)), 13), 5)
+      |    AS UBIGINT) + 3864292196) % 4294967296 AS UBIGINT);
+      |CREATE OR REPLACE MACRO mm_s2(h) AS
+      |  mm_mul(xor(CAST(h AS UBIGINT), CAST(h AS UBIGINT) >> 16), 2246822507);
+      |CREATE OR REPLACE MACRO mm_s3(h) AS
+      |  mm_mul(xor(CAST(h AS UBIGINT), CAST(h AS UBIGINT) >> 13), 3266489909);
+      |CREATE OR REPLACE MACRO mm_s4(h) AS
+      |  xor(CAST(h AS UBIGINT), CAST(h AS UBIGINT) >> 16);
+      |CREATE OR REPLACE MACRO mm_fmix(h) AS
+      |  mm_s4(mm_s3(mm_s2(xor(CAST(h AS UBIGINT), 8))));
+      |CREATE OR REPLACE MACRO mm_long(u, seed) AS
+      |  mm_fmix(mm_h1(mm_h1(seed, CAST(u AS UBIGINT) % 4294967296),
+      |                CAST(u AS UBIGINT) >> 32));""".stripMargin
+
+  /** Complete oracle for the MinHash+LSH dedup query
+    * ([[graft.queries.TrainingQueries.dedupMinhash]]): word 3-shingles
+    * (per-doc distinct) → ONE XXH64(seed 42) per distinct shingle →
+    * per-permutation value via Spark's MULTI-COLUMN xxhash64 semantics
+    * — `xxhash64(shingle, lit(i))` does NOT reseed, it hashes the
+    * int literal as a SECOND column with the string's hash as the
+    * running seed (the 4-byte-tail + avalanche step replayed below) —
+    * → 64 SIGNED mins per doc → Murmur3 band keys over 4-long slices →
+    * bucket join → matching-position Jaccard estimate ≥ `threshold`.
+    * Hash-exact vs the Spark pipeline at sf0.001/0.01/0.1. The
+    * mis-read of the seed argument (treating lit(i) as an XXH64 seed)
+    * was caught precisely because est_jaccard diverged while the
+    * candidate SET still matched — symmetric wrong-but-deterministic
+    * signatures preserve equality joins; exactness needed the true
+    * semantics.
+    */
+  def minhashOracleSql(numHashes: Int = 64, bands: Int = 16,
+                       threshold: Double = 0.7): String = {
+    val rows = numHashes / bands
+    s"""$macros
+       |$murmurMacros
+       |WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |     for i in range(1, len(w) - 1)])) AS t
+       |  FROM tok),
+       |toks AS (SELECT DISTINCT t FROM sh),
+       |${hashCtes(42L)},
+       |sv AS (
+       |  SELECT t, sd,
+       |    CAST((CAST(hv AS HUGEINT) - CASE WHEN hv >= 9223372036854775808
+       |      THEN CAST($M AS HUGEINT)
+       |      ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS v
+       |  FROM (
+       |    SELECT th.t, s.sd,
+       |      xx_aval(xx_add(xx_mul(xx_rot(
+       |        xor(xx_add(xx_add(th.h, CAST($P5 AS UBIGINT)), 4),
+       |            xx_mul(CAST(s.sd AS UBIGINT), CAST($P1 AS UBIGINT))), 23),
+       |        CAST($P2 AS UBIGINT)), CAST($P3 AS UBIGINT))) AS hv
+       |    FROM th CROSS JOIN (SELECT unnest(range(0, $numHashes)) AS sd) s)),
+       |mins AS (
+       |  SELECT s.doc_id, v.sd, min(v.v) AS m
+       |  FROM sh s JOIN sv v USING (t)
+       |  GROUP BY 1, 2),
+       |sigs AS (
+       |  SELECT doc_id, list(m ORDER BY sd) AS sig FROM mins GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, b,
+       |    list_reduce(
+       |      [CAST(42 AS UBIGINT)] ||
+       |      [CAST((CAST(sig[CAST(b*$rows + j AS BIGINT)] AS HUGEINT)
+       |         + CASE WHEN sig[CAST(b*$rows + j AS BIGINT)] < 0
+       |           THEN CAST($M AS HUGEINT)
+       |           ELSE CAST(0 AS HUGEINT) END) AS UBIGINT)
+       |       for j in range(1, ${rows + 1})],
+       |      (a, u) -> mm_long(u, a)) AS bh
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $bands)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |  round(len(list_filter([sa.sig[i] = sb.sig[i]
+       |    for i in range(1, ${numHashes + 1})], x -> x))
+       |    / $numHashes.0, 6) AS est_jaccard
+       |FROM cand c
+       |JOIN sigs sa ON sa.doc_id = c.doc_a
+       |JOIN sigs sb ON sb.doc_id = c.doc_b
+       |WHERE round(len(list_filter([sa.sig[i] = sb.sig[i]
+       |    for i in range(1, ${numHashes + 1})], x -> x))
+       |    / $numHashes.0, 6) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Complete oracle for [[Dedup.simhashPairs]] over the documents
     * table: whitespace tokens → per-distinct-token XXH64(seed 42) →
     * per-doc 64 bit-majority votes → 64-bit signature → 4×16-bit
