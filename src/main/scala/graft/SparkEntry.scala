@@ -2264,19 +2264,37 @@ object SparkEntry {
         |JOIN sizes sb ON sb.source = i.source_b
         |ORDER BY source_a, source_b""".stripMargin,
     "q_assortativity" ->
+      // Pearson r assembled from exact integer moments (node grain:
+      // Σ_edges f(da) = Σ_a da·f(da)) — the IDENTICAL expression tree
+      // the Spark side computes, because corr as a black-box aggregate
+      // would tie hash-exactness to two engines' co-moment update
+      // orders. All sums are integer-exact; only the final scalar is
+      // IEEE double.
       """WITH e AS (
         |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey
         |    AND a.l_partkey <> b.l_partkey),
-        |deg AS (SELECT pa, count(*) AS deg FROM e GROUP BY 1)
-        |SELECT count(DISTINCT e.pa) AS n_nodes,
-        |  count(*) // 2 AS n_edges,
-        |  round(corr(CAST(da.deg AS DOUBLE), CAST(db.deg AS DOUBLE)),
-        |    6) AS assortativity
-        |FROM e
-        |JOIN deg da ON da.pa = e.pa
-        |JOIN deg db ON db.pa = e.pb""".stripMargin,
+        |deg AS (SELECT pa, count(*) AS deg FROM e GROUP BY 1),
+        |agg_a AS (
+        |  SELECT e.pa, count(*) AS da,
+        |    sum(db.deg) AS s1, sum(db.deg * db.deg) AS s2
+        |  FROM e JOIN deg db ON db.pa = e.pb
+        |  GROUP BY e.pa),
+        |mo AS (
+        |  SELECT count(*) AS n_nodes, sum(da) AS m,
+        |    sum(da * da) AS sx, sum(da * da * da) AS sxx,
+        |    sum(s1) AS sy, sum(s2) AS syy, sum(da * s1) AS sxy
+        |  FROM agg_a)
+        |SELECT n_nodes, CAST(m AS BIGINT) // 2 AS n_edges,
+        |  round((m * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(m * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(m * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS assortativity
+        |FROM mo""".stripMargin,
     "q_burstiness" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n

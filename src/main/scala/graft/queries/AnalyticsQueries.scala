@@ -583,13 +583,17 @@ object AnalyticsQueries {
     */
   def itemSim(s: SparkSession, d: String): DataFrame = {
     import graft.functions.SketchAggregates
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val perPart = li.groupBy("pk").agg(count(lit(1)).as("n"))
-    val sim = li.select(col("ok"), col("pk").as("part_a"))
-      .join(li.select(col("ok"), col("pk").as("part_b")), Seq("ok"))
-      .filter(col("part_a") =!= col("part_b"))
+    // r7 (VERDICT item 5): pair occurrences come from basket arrays
+    // ([[copurchasePairs]]) — one raw-lineitem shuffle and in-place
+    // explosion replace the distinct + self-join + two join exchanges;
+    // per-part order counts re-derive from the SAME grouped shape so
+    // the exchange is reused, not recomputed
+    val baskets = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+    val perPart = baskets.select(explode(col("parts")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n"))
+    val sim = copurchasePairs(s, d)
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_pair"))
       .join(perPart.select(col("pk").as("part_a"), col("n").as("n_a")),
@@ -1499,30 +1503,71 @@ object AnalyticsQueries {
 
   /** Degree assortativity of the co-purchase graph: do well-connected
     * parts co-occur with other well-connected parts (r > 0) or with
-    * niche ones (r < 0)? Edges are DISTINCT part pairs sharing an
-    * order (an order-keyed equi self-join whose fan-out is bounded by
-    * order size, never |parts|²); degrees are one keyed count; the
-    * coefficient is Pearson corr over the directed edge list.
+    * niche ones (r < 0)?
+    *
+    * Scale shape (r7, VERDICT item 5 — hyperedge discipline): pair
+    * candidates come from per-order basket ARRAYS
+    * ([[copurchasePairs]]: one groupBy shuffle of raw lineitem +
+    * in-place pair explosion, basket-size-bounded), not an order-keyed
+    * self-join — that removes the (ok, pk) distinct shuffle AND both
+    * join exchanges. The Pearson coefficient is then assembled from
+    * exact integer MOMENTS at NODE grain: with s1(a) = Σ_{b∈N(a)} db
+    * and s2(a) = Σ db², every edge-grain sum collapses to a node-grain
+    * one (Σ_edges f(da) = Σ_a da·f(da)), so the 2.4M-edge list is
+    * joined against the degree table ONCE (to carry db) instead of
+    * twice, and the final corr aggregate runs over |nodes| rows, not
+    * |edges|. All moments are BIGINT-exact (da ≤ |parts|, products
+    * bounded well under 2⁶³ at any SF where the degree table itself is
+    * tractable); only the final scalar assembly is IEEE double, with
+    * the oracle SQL computing the IDENTICAL expression tree — corr as
+    * a black-box aggregate would make hash-exactness hostage to two
+    * engines' co-moment update orders.
     */
   def assortativity(s: SparkSession, d: String): DataFrame = {
-    // distinct BEFORE the self-join: a part repeated on k lines of one
-    // order would otherwise fan out k² duplicate pairs that the
-    // post-join distinct then pays to collapse (same discipline as
-    // hopDist/itemSim)
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .distinct()
-    val e = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
-      .select(col("a.p").as("pa"), col("b.p").as("pb")).distinct()
+    val e = copurchasePairs(s, d)
+      .select(col("part_a").as("pa"), col("part_b").as("pb")).distinct()
     val deg = e.groupBy("pa").agg(count(lit(1)).as("deg"))
-    e.join(deg.select(col("pa"), col("deg").as("da")), "pa")
+    val aggA = e
       .join(deg.select(col("pa").as("pb"), col("deg").as("db")), "pb")
-      .agg(countDistinct(col("pa")).as("n_nodes"),
-        expr("count(1) div 2").as("n_edges"),
-        round(corr(col("da").cast("double"), col("db").cast("double")),
-          6).as("assortativity"))
+      .groupBy("pa")
+      .agg(count(lit(1)).as("da"), sum("db").as("s1"),
+        sum(col("db") * col("db")).as("s2"))
+    aggA.agg(
+        count(lit(1)).as("n_nodes"),
+        sum("da").as("m"),
+        sum(col("da") * col("da")).as("sx"),
+        sum(col("da") * col("da") * col("da")).as("sxx"),
+        sum("s1").as("sy"), sum("s2").as("syy"),
+        sum(col("da") * col("s1")).as("sxy"))
+      .select(col("n_nodes"), expr("m div 2").as("n_edges"),
+        round((col("m") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy"))
+          / (sqrt(col("m") * col("sxx").cast("double")
+              - col("sx") * col("sx").cast("double"))
+            * sqrt(col("m") * col("syy").cast("double")
+              - col("sy") * col("sy").cast("double"))), 6)
+          .as("assortativity"))
   }
+
+  /** Directed co-purchase part pairs (both orientations), one row per
+    * pair OCCURRENCE (an (a,b) sharing k orders appears k times —
+    * callers count or distinct as their semantics need). Hyperedge
+    * generation: orders are grouped to basket arrays (`collect_set`
+    * dedups parts in-aggregate, so no separate distinct shuffle) and
+    * pairs explode IN PLACE from each array — Σ basket² work bounded
+    * by order size, with zero join exchanges. The one shuffle is raw
+    * lineitem keyed by order; everything after is narrow.
+    */
+  private[queries] def copurchasePairs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+      .select(explode(expr(
+        """flatten(transform(parts,
+          |  x -> transform(filter(parts, y -> y != x),
+          |       y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
+        .as("pr"))
+      .select(col("pr.part_a"), col("pr.part_b"))
 
   /** Burstiness of the event stream per type: the dispersion index
     * (variance/mean of daily counts; 1 = Poisson) and the bounded
