@@ -132,6 +132,8 @@ object SparkEntry {
     "q_heavy_hitters"  -> (TrainingQueries.heavyHitters _),
     "q_heavy_hitters_exact" -> (TrainingQueries.heavyHittersExact _),
     "q_cms_freq"       -> (TrainingQueries.cmsFreq _),
+    "q_cms_exact"      -> (TrainingQueries.cmsExact _),
+    "q_pq_assign"      -> (TrainingQueries.pqAssign _),
     "q_pq_topk"        -> (TrainingQueries.pqTopK _),
     "q_pq_ivf"         -> (TrainingQueries.pqIvf _),
     "q_bm25"           -> (TrainingQueries.bm25 _),
@@ -806,6 +808,15 @@ object SparkEntry {
       """SELECT lang AS token, count(*) AS est_count FROM documents
         |WHERE lang IS NOT NULL
         |GROUP BY 1 ORDER BY est_count DESC, token""".stripMargin,
+    "q_cms_exact" ->
+      // CMS degeneracy regime: 5 keys vs width 1000 ⇒ no bucket
+      // collisions under the fixed seed ⇒ every estimate equals the
+      // true grouped count (and CMS merge is cellwise addition, so
+      // unlike Misra–Gries there is no merge-order caveat)
+      """SELECT lang, count(*) AS est_count FROM documents
+        |WHERE lang IS NOT NULL
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
+    "q_pq_assign" -> graft.queries.TrainingQueries.pqAssignOracleSql(),
     "q_textrank" -> graft.queries.TrainingQueries.textRankOracleSql(),
     "q_knn_ivf" -> graft.queries.TrainingQueries.knnIvfOracleSql(),
     "q_ppr_terms" -> graft.queries.TrainingQueries.pprTermsOracleSql(),

@@ -231,6 +231,91 @@ object TrainingQueries {
       .orderBy("s_suppkey")
   }
 
+  /** Count-Min in its EXACT regime (r7, VERDICT item 2 — the same
+    * degeneracy conversion as [[heavyHittersExact]]): the sketch is
+    * built over `documents.lang` (5 distinct keys) with width 1000
+    * (ε = 0.002), so a probed key reports its true count unless it
+    * collides with another key in EVERY one of the depth rows —
+    * probability ~(|keys|/width)^depth ≈ 10⁻¹³ under the fixed seed,
+    * and deterministic for a given dataset (CMS merge is cellwise
+    * ADDITION, order-insensitive — unlike Misra–Gries there is no
+    * merge-order caveat at all). The estimates therefore equal the
+    * plain GROUP BY counts and carry an exact oracle; the sketch
+    * REGIME (1000 candidate keys, ε·N slack) stays covered rows-only
+    * by [[cmsFreq]] with its FunctionsSpec error-bound property.
+    */
+  def cmsExact(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CmsFunctions
+    val sketch = CmsFunctions.scalarSubquery(
+      Tables.documents(s, d).agg(expr(
+        "count_min_sketch(lang, cast(0.002 as double), " +
+          "cast(0.99 as double), 42)")))
+    Tables.documents(s, d)
+      .select(col("lang")).where(col("lang").isNotNull).distinct()
+      .select(col("lang"),
+        CmsFunctions.cms_estimate(sketch, col("lang")).as("est_count"))
+      .orderBy("lang")
+  }
+
+  /** PQ code assignment under the DETERMINISTIC SEED codebooks
+    * (`train(iters = 0)` — subspace slices of the 16 smallest-id
+    * corpus vectors), exploded to `(vec_id, sub, code)` — the encode
+    * step of the PQ family pinned by an EXACT oracle (r7, VERDICT
+    * item 2; the same seed-replay conversion as q_kmeans_cells). The
+    * oracle replays the argmin op-for-op: null-as-0 double promotion,
+    * index-order `Σ(x−c)²` accumulation then sqrt (exactly
+    * [[graft.functions.ArrayL2]]'s loop), ties to the smaller code.
+    * Lloyd-TRAINED codebooks (float mean aggregation, legitimately
+    * outside the SQL-replay contract) stay spec-pinned via the
+    * ADC==dot and recall properties in SimilaritySpec.
+    */
+  def pqAssign(s: SparkSession, d: String): DataFrame = {
+    import graft.sim.ProductQuantizer
+    val emb = Tables.embeddings(s, d)
+    val cb = ProductQuantizer.train(emb, m = 8, ksub = 16, iters = 0)
+    ProductQuantizer.encode(emb, cb)
+      .select(col("vec_id"), posexplode(col("pq_codes")).as(Seq("sub", "code")))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"),
+        col("code").cast("long").as("code"))
+      .orderBy("vec_id", "sub")
+  }
+
+  /** DuckDB replay of [[pqAssign]]: seed codebook = subspace slices of
+    * the 16 smallest-id vectors; distance = index-order Σ(x−c)² then
+    * sqrt (ArrayL2's exact accumulation — `d*d` by multiplication, not
+    * `pow`); argmin ties to the smaller code.
+    */
+  def pqAssignOracleSql(m: Int = 8, ksub: Int = 16, dim: Int = 64): String = {
+    val dsub = dim / m
+    s"""WITH ${graft.sim.Similarity.embeddingsDvSql},
+       |seed AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |      AS code, v
+       |  FROM (SELECT vec_id, v FROM dv WHERE v IS NOT NULL
+       |        ORDER BY vec_id LIMIT $ksub)),
+       |subs AS (SELECT unnest(range($m)) AS sub),
+       |cents AS (
+       |  SELECT subs.sub, seed.code,
+       |    list_slice(seed.v, subs.sub * $dsub + 1,
+       |      subs.sub * $dsub + $dsub) AS cent
+       |  FROM seed CROSS JOIN subs),
+       |dist AS (
+       |  SELECT d.vec_id, c.sub, c.code,
+       |    sqrt(list_sum([
+       |      (list_slice(d.v, c.sub * $dsub + 1,
+       |         c.sub * $dsub + $dsub)[i] - c.cent[i])
+       |      * (list_slice(d.v, c.sub * $dsub + 1,
+       |         c.sub * $dsub + $dsub)[i] - c.cent[i])
+       |      for i in range(1, $dsub + 1)])) AS dd
+       |  FROM dv d CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT vec_id, sub, code, row_number() OVER (
+       |    PARTITION BY vec_id, sub ORDER BY dd ASC, code ASC) AS rn
+       |  FROM dist)
+       |SELECT vec_id, sub, code FROM assign WHERE rn = 1
+       |ORDER BY vec_id, sub""".stripMargin
+  }
+
   /** Character-entropy quality signal over the documents table
     * (1000-char prefix cap — see [[TextAnalysis.charEntropy]]).
     */
