@@ -87,29 +87,38 @@ object Bucketing {
     * SPARK-28173 wrong-results condition. Without the conf the join is
     * still exchange-free; it merely re-sorts each bucket in memory.
     *
-    * CONCURRENCY CONTRACT: the conf is session-scoped, so any OTHER
-    * query planned on the same SparkSession inside the set/restore
-    * window inherits the one-file-per-bucket ordering assumption for
-    * its own bucketed tables — the SPARK-28173 hazard this method is
-    * careful about for itself. Callers must either plan on a
-    * single-threaded session (the repo's usage) or hand this method a
-    * dedicated `spark.newSession()`. Under AQE a post-restore re-plan
-    * can also drop the sorted-scan assumption and reintroduce the
-    * per-bucket sorts — a perf regression only, never wrong results.
+    * CONCURRENCY (r7, ADVICE fix): the conf is set on a DEDICATED
+    * child session (`spark.newSession()` — same SparkContext and
+    * shared catalog, its own SQLConf), never on the caller's, so no
+    * concurrently-planned query can observe the one-file-per-bucket
+    * ordering assumption for its own bucketed tables — the
+    * SPARK-28173 wrong-results window the previous set/restore
+    * pattern left open. The returned DataFrame stays bound to the
+    * child session, where the flag deliberately REMAINS set: an AQE
+    * re-plan of this join keeps the sorted-scan assumption (valid for
+    * these one-file-per-bucket tables) instead of silently dropping
+    * it after a restore — and the only thing that ever plans on that
+    * session is this DataFrame. Requires catalog (not temp-view)
+    * table names, which is what [[writeBucketed]] produces.
     */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    key: String): DataFrame = {
     val confKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
-    val prev = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, "true")
-    try {
-      val joined = spark.table(leftTable).join(spark.table(rightTable), key)
-      joined.queryExecution.executedPlan // bake the sorted scan NOW
-      joined
-    } finally prev match {
-      case Some(v) => spark.conf.set(confKey, v)
-      case None => spark.conf.unset(confKey)
+    val s2 = spark.newSession()
+    // newSession starts from the BUILDER-time conf, not the caller's
+    // current runtime conf — replicate it so planner-relevant settings
+    // (broadcast threshold, AQE, bucketing toggles) carry over and the
+    // only divergence is the flag below. Static/immutable entries in
+    // getAll throw on set — skipped; they're engine-wide anyway.
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (s2.conf.getOption(k) != Some(v))
+        try s2.conf.set(k, v)
+        catch { case scala.util.control.NonFatal(_) => () }
     }
+    s2.conf.set(confKey, "true")
+    val joined = s2.table(leftTable).join(s2.table(rightTable), key)
+    joined.queryExecution.executedPlan // bake the sorted scan NOW
+    joined
   }
 
   /** True when the executed plan contains no shuffle exchange (the scan's

@@ -73,6 +73,18 @@ object GlobalOrder {
         else row.getSeq[Any](0)
           .collect { case d: Double => d }.toArray // drop null entries
       }
+    // r7 (ADVICE fix): an empty model over a NON-empty input means the
+    // key's double cast nulled out every row (non-numeric key content,
+    // or a key type whose cast is all-null) — ranks stay correct, but
+    // the whole input collapses into ONE range bucket, i.e. the exact
+    // single-partition-window shape this class exists to avoid. That
+    // scale-guarantee loss must not be silent.
+    if (bounds.isEmpty && fanout > 1 && !df.isEmpty)
+      System.err.println(
+        "[graft.GlobalOrder] WARNING: range-boundary model is empty for " +
+          "a non-empty input (key cast to double is all-NULL?) - global " +
+          "rank degenerates to a single-bucket window; pass a numeric " +
+          "or numeric-castable key to keep the distributed plan shape")
     // range bucket: # boundaries strictly below (asc) / above (desc)
     // this row's key — monotone in the sort order, shared by ties.
     // NULL keys route to the end Spark's default null ordering puts

@@ -698,14 +698,20 @@ object Similarity {
           i += 1
         }
         picked(best) = true
-        // round like Spark's round() / DuckDB's round(): HALF_UP on
-        // the EXACT binary expansion of the double. math.rint(x*1e6)
-        // is subtly different: the multiply re-quantizes onto the
-        // 1e-6 grid, so a score like 0.7·0.340915 (whose product is
-        // the double exactly at 238640.5 after ×1e6) hits rint's
-        // half-EVEN rule while both engines' round() sees the
-        // expansion …0054 above the midpoint — a real q_mmr hash
-        // mismatch at sf0.001 (BASELINE.md §10).
+        // round like Spark's round(): HALF_UP on the EXACT binary
+        // expansion of the double. math.rint(x*1e6) is subtly
+        // different: the multiply re-quantizes onto the 1e-6 grid, so
+        // a score like 0.7·0.340915 (whose product is the double
+        // exactly at 238640.5 after ×1e6) hits rint's half-EVEN rule
+        // while round() sees the expansion …0054 above the midpoint —
+        // a real q_mmr hash mismatch at sf0.001 (BASELINE.md §10).
+        // NOT asserted: that this equals DuckDB's round(DOUBLE, 6),
+        // which requantizes (×1e6, half-away-from-zero on the product
+        // double). The two agree on the incident value and the whole
+        // tri-SF sweep, but a residual midpoint class exists (exact
+        // expansion just below .5, product landing exactly on it) —
+        // q_mmr carries the q_textrank-style caveat: demote to
+        // rows-only if a testdata refresh ever trips one.
         val rounded = new java.math.BigDecimal(bestScore)
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
         out += ((qid, cand(best)._2, rank, rounded))

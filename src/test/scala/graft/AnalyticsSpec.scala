@@ -366,6 +366,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.last._3 >= 0.9, "last row must reach 90% coverage")
   }
 
+  test("vocab coverage: maxVocab cap is not exhausted at any gate SF") {
+    // r7 (ADVICE fix): the running-share window is truncated to the
+    // top-maxVocab frequency head, and the DuckDB oracle applies the
+    // IDENTICAL cut — so if the 90% boundary ever needed more than
+    // maxVocab tokens, the query would silently return a head that
+    // never reaches 90% and the correctness harness could not see it.
+    // This canary makes cap exhaustion fail loudly at all three gate
+    // scale factors: the last emitted row must still reach the knee.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      val rows = TrainingQueries.vocabCoverage(spark, dir).collect()
+      assert(rows.nonEmpty, s"$sf: empty coverage head")
+      assert(rows.length < 1024,
+        s"$sf: head hit the maxVocab cap (${rows.length} rows) - the " +
+          "90% boundary may lie beyond it; raise maxVocab")
+      assert(rows.last.getDouble(3) >= 0.9,
+        s"$sf: last cum_share ${rows.last.getDouble(3)} < 0.9 - " +
+          "maxVocab cap silently truncated the coverage curve")
+    }
+  }
+
   test("interval overlap join equals brute force; emits each pair once") {
     import spark.implicits._
     // adversarial synthetic set: intervals spanning many bins, nested,

@@ -246,14 +246,31 @@ class ScaleSpec extends SparkSpec {
     import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
-    def reduced(p: SparkPlan): Boolean = p.exists {
+    // r7 (ADVICE fix): the reducing operator must sit on the DIRECT
+    // input path of the window — a bare subtree-exists would exempt a
+    // global window over a large JOIN because one join input happens
+    // to have an aggregate beneath it (unbounded fan-out above the
+    // reduction). Recursion therefore stops at multi-child nodes:
+    // joins count as reduced only if the side(s) that determine their
+    // output size are reduced (semi/anti/existence ≤ left; everything
+    // else needs BOTH sides bounded), unions/other binary nodes need
+    // every child bounded; unary ops (project/filter/sort/exchange)
+    // pass through.
+    import org.apache.spark.sql.catalyst.plans.{ExistenceJoin, LeftAnti, LeftSemi}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def reduced(p: SparkPlan): Boolean = p match {
       case _: BaseAggregateExec => true
       case _: GlobalLimitExec | _: LocalLimitExec |
            _: TakeOrderedAndProjectExec => true
       case _: WindowGroupLimitExec => true
       case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
         reduced(r.child)
-      case _ => false
+      case j: BaseJoinExec => j.joinType match {
+        case LeftSemi | LeftAnti | _: ExistenceJoin => reduced(j.left)
+        case _ => reduced(j.left) && reduced(j.right)
+      }
+      case b if b.children.length > 1 => b.children.forall(reduced)
+      case u => u.children.exists(reduced)
     }
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) if !allowed(name) =>
