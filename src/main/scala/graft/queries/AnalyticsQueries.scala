@@ -586,14 +586,12 @@ object AnalyticsQueries {
     // r7 (VERDICT item 5): pair occurrences come from basket arrays
     // ([[copurchasePairs]]) — one raw-lineitem shuffle and in-place
     // explosion replace the distinct + self-join + two join exchanges;
-    // per-part order counts re-derive from the SAME grouped shape so
-    // the exchange is reused, not recomputed
-    val baskets = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey").as("ok"))
-      .agg(collect_set(col("l_partkey")).as("parts"))
-    val perPart = baskets.select(explode(col("parts")).as("pk"))
+    // per-part order counts re-derive from the IDENTICAL basket
+    // lineage so the exchange is reused, not recomputed
+    val bk = baskets(s, d)
+    val perPart = bk.select(explode(col("parts")).as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("n"))
-    val sim = copurchasePairs(s, d)
+    val sim = pairsFromBaskets(bk)
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_pair"))
       .join(perPart.select(col("pk").as("part_a"), col("n").as("n_a")),
@@ -1559,10 +1557,25 @@ object AnalyticsQueries {
     * lineitem keyed by order; everything after is narrow.
     */
   private[queries] def copurchasePairs(s: SparkSession, d: String): DataFrame =
+    pairsFromBaskets(baskets(s, d))
+
+  /** Per-order distinct-part basket arrays. The trailing round-robin
+    * `repartition` is load-bearing: the basket shuffle is small (~MBs
+    * of keys+arrays), so AQE coalesces its read side to one or two
+    * partitions — and the n²-per-basket pair EXPLOSION downstream
+    * would then run serially on them (measured: 33-task / 6 s wall
+    * q_item_sim at sf0.1 vs ~2 s spread). Rebalancing model-light
+    * rows BEFORE a fan-out compute stage is the general 100 TB shape;
+    * the explicit partition count pins it against coalescing.
+    */
+  private def baskets(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_orderkey").as("ok"))
       .agg(collect_set(col("l_partkey")).as("parts"))
-      .select(explode(expr(
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+
+  private def pairsFromBaskets(b: DataFrame): DataFrame =
+    b.select(explode(expr(
         """flatten(transform(parts,
           |  x -> transform(filter(parts, y -> y != x),
           |       y -> struct(x AS part_a, y AS part_b))))""".stripMargin))

@@ -85,4 +85,52 @@ object SyncJob {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq), merged.schema)
   }
+
+  /** The reference's FULL loop (`Task_1_sync_bls_files.py:36-74,
+    * 150-198`) against a LIVE HTTP endpoint: fetch the directory
+    * index page (403-retry + exponential backoff + courtesy root
+    * visit — [[graft.io.Http.fetchString]]), scrape file hrefs
+    * ([[Catalog.hrefsFromHtml]] — directories, parent links, and
+    * query/fragment links filtered), download each listed file to a
+    * staging dir, then run the standard catalog diff→apply ([[run]])
+    * against `dstDir`. Returns the merged CDC plan; an index fetch
+    * that exhausts retries yields an EMPTY file list — and because a
+    * vanished listing must mean "do nothing", not "delete the
+    * mirror", the sync degrades to a no-op pass in that case
+    * (`Option.empty` plan), exactly the reference's `return []` + "no
+    * files" early-exit behavior.
+    *
+    * Driver-side per-file loop like the reference; the staged dir then
+    * flows through the DISTRIBUTED hash/diff. `sleep` is injectable
+    * for specs (assert the backoff schedule, no wall-clock waits).
+    */
+  def runHttp(spark: SparkSession, indexUrl: String, dstDir: String,
+              stagingDir: String,
+              courtesyUrl: Option[String] = None,
+              maxRetries: Int = 3,
+              retryDelayMs: Long = 5000L,
+              sleep: Long => Unit = Thread.sleep): Option[DataFrame] = {
+    import graft.io.Http
+    val base = if (indexUrl.endsWith("/")) indexUrl else indexUrl + "/"
+    Http.fetchString(indexUrl, maxRetries, retryDelayMs, courtesyUrl,
+        sleep = sleep)
+      .map { html =>
+        import spark.implicits._
+        val hrefs = Catalog.hrefsFromHtml(Seq(html).toDF("html"))
+          .collect().map(_.getString(0))
+        val staging = new Path(stagingDir)
+        val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(staging)) fs.delete(staging, true)
+        fs.mkdirs(staging)
+        hrefs.foreach { name =>
+          Http.fetchBytes(base + name, maxRetries, retryDelayMs,
+              courtesyUrl, sleep = sleep)
+            .foreach { bytes =>
+              val out = fs.create(new Path(staging, name), true)
+              try out.write(bytes) finally out.close()
+            }
+        }
+        run(spark, stagingDir, dstDir)
+      }
+  }
 }

@@ -116,6 +116,101 @@ class IoSpec extends SparkSpec {
     assert(plan2 === Set("skip"))
   }
 
+  test("SyncJob.runHttp: live index scrape with 403 retry/backoff applies end-to-end") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import graft.sync.SyncJob
+    // BLS-shaped fixture: a directory index page linking data files
+    // plus the link noise the scraper must skip (parent ref, subdir,
+    // sort-order query links) — served from an in-process JDK server
+    val files = scala.collection.mutable.LinkedHashMap(
+      "pr.data.0.Current" ->
+        "series_id\tyear\tperiod\tvalue\nPRS1\t2024\tQ01\t1.5\n",
+      "pr.txt" -> "readme v1")
+    @volatile var indexHits = 0
+    @volatile var courtesyHits = 0
+    @volatile var lastAgent: String = null
+    def respond(x: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+      x.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+      try if (body.nonEmpty) x.getResponseBody.write(body)
+      finally x.close()
+    }
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/pub", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val path = x.getRequestURI.getPath
+        lastAgent = x.getRequestHeaders.getFirst("User-Agent")
+        if (path == "/pub" || path == "/pub/") {
+          indexHits += 1
+          // first two index hits 403 — the reference's BLS-blocked
+          // case; recovery requires the backoff + courtesy-visit path
+          if (indexHits <= 2) respond(x, 403, "Forbidden".getBytes)
+          else {
+            val links = files.keys.map(n =>
+              s"""<a href="$n">$n</a>""").mkString
+            val noise = """<a href="../">up</a><a href="sub/">d</a>""" +
+              """<a href="?C=M;O=A">sort</a>"""
+            respond(x, 200, s"<html>$noise$links</html>".getBytes)
+          }
+        } else {
+          val name = path.stripPrefix("/pub/")
+          files.get(name) match {
+            case Some(c) => respond(x, 200, c.getBytes)
+            case None => respond(x, 404, Array.emptyByteArray)
+          }
+        }
+      }
+    })
+    server.createContext("/", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        courtesyHits += 1
+        respond(x, 200, "<html>root</html>".getBytes)
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val url = s"http://127.0.0.1:$port/pub"
+      val root = s"http://127.0.0.1:$port/"
+      val dst = Files.createTempDirectory("http_dst").toString
+      val staging = Files.createTempDirectory("http_stage").toString + "/s"
+      val delays = scala.collection.mutable.ArrayBuffer[Long]()
+
+      val plan1 = SyncJob.runHttp(spark, url, dst, staging,
+          courtesyUrl = Some(root), retryDelayMs = 5000L,
+          sleep = delays += _)
+        .get.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      // reference retry schedule: 5 s then exponential ×2, one
+      // courtesy root visit per 403 retry, browser UA on every request
+      assert(delays.toSeq === Seq(5000L, 10000L))
+      assert(courtesyHits === 2)
+      assert(indexHits === 3)
+      assert(lastAgent != null && lastAgent.startsWith("Mozilla/5.0"))
+      assert(plan1 === Map("pr.data.0.Current" -> "insert",
+        "pr.txt" -> "insert"))
+      assert(Files.readString(
+        java.nio.file.Paths.get(dst, "pr.txt")) === "readme v1")
+
+      // upstream mutates: one update, one delete, one new file; the
+      // index now serves 200 straight away (no further backoff)
+      files("pr.txt") = "readme v2"
+      files.remove("pr.data.0.Current")
+      files("pr.data.1.AllData") = "series_id\tyear\nPRS1\t2023\n"
+      val plan2 = SyncJob.runHttp(spark, url, dst, staging,
+          courtesyUrl = Some(root), retryDelayMs = 5000L,
+          sleep = delays += _)
+        .get.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(delays.size === 2, "no retries once the index serves 200")
+      assert(plan2 === Map("pr.txt" -> "update",
+        "pr.data.1.AllData" -> "insert",
+        "pr.data.0.Current" -> "delete"))
+      assert(Files.readString(
+        java.nio.file.Paths.get(dst, "pr.txt")) === "readme v2")
+      assert(!Files.exists(
+        java.nio.file.Paths.get(dst, "pr.data.0.Current")))
+    } finally server.stop(0)
+  }
+
   test("compact refuses partitioned layouts and crash residue") {
     import spark.implicits._
     // hive-style partition dirs must be refused, not flattened

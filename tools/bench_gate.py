@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Cross-round executor-CPU regression gate (dev/driver tool).
+
+The r6 driver bench showed that ambient host contention can swing WALL
+times by 3-5x while the per-query executor run_ms stays a faithful,
+noise-robust cost signal -- and conversely that a real CPU regression
+(q_assortativity would have been one) can hide inside wall noise. This
+gate diffs per-query run_ms between two bench_detail files and FAILS on
+any query whose cost grew more than RATIO x (and by more than FLOOR ms,
+so sub-100ms jitter never trips it) unless the query is listed in
+BASELINE.md's "run_ms regression ledger" section with a justification.
+
+Usage:
+  tools/bench_gate.py OLD_DETAIL NEW_DETAIL [--ratio 2.0] [--floor 300]
+                      [--baseline BASELINE.md]
+  tools/bench_gate.py --selftest
+
+Exit 0 = clean (or every growth is ledgered), 1 = unexplained regression.
+"""
+import argparse
+import json
+import re
+import sys
+
+
+def load_runms(path):
+    with open(path) as f:
+        d = json.load(f)
+    detail = d.get("detail", d)
+    return {q: r.get("run_ms") for q, r in detail.items()
+            if isinstance(r, dict) and r.get("run_ms") is not None}
+
+
+def ledger_entries(baseline_path):
+    """Query names listed under the 'run_ms regression ledger' heading
+    (one bullet per query: `- q_name: justification`)."""
+    try:
+        text = open(baseline_path).read()
+    except OSError:
+        return set()
+    m = re.search(r"run_ms regression ledger(.*?)(?:\n#|\Z)", text,
+                  re.IGNORECASE | re.DOTALL)
+    if not m:
+        return set()
+    return set(re.findall(r"^[-*]\s*`?(q_\w+)`?", m.group(1), re.MULTILINE))
+
+
+def gate(old, new, ratio, floor, ledger):
+    regressions, explained = [], []
+    for q in sorted(set(old) & set(new)):
+        o, n = old[q], new[q]
+        if n > o * ratio and n - o > floor:
+            line = f"{q}: run_ms {o} -> {n} ({n / max(o, 1):.1f}x)"
+            (explained if q in ledger else regressions).append(line)
+    return regressions, explained
+
+
+def selftest():
+    old = {"q_a": 1000, "q_b": 50, "q_c": 4000, "q_d": 100}
+    new = {"q_a": 2900, "q_b": 140, "q_c": 4100, "q_d": 310}
+    # q_a: 2.9x and +1900ms -> must trip. q_b: 2.8x but only +90ms
+    # (under floor) -> jitter, pass. q_c: +100ms, ratio ~1x -> pass.
+    # q_d: 3.1x, +210ms under the 300 floor -> pass.
+    r, e = gate(old, new, 2.0, 300, set())
+    assert r == ["q_a: run_ms 1000 -> 2900 (2.9x)"], r
+    # the same planted regression must pass once ledgered
+    r2, e2 = gate(old, new, 2.0, 300, {"q_a"})
+    assert r2 == [] and len(e2) == 1, (r2, e2)
+    print("selftest ok: planted regression caught, ledger honored")
+    return 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old", nargs="?")
+    ap.add_argument("new", nargs="?")
+    ap.add_argument("--ratio", type=float, default=2.0)
+    ap.add_argument("--floor", type=float, default=300.0,
+                    help="min absolute growth in ms to count")
+    ap.add_argument("--baseline", default="BASELINE.md")
+    ap.add_argument("--selftest", action="store_true")
+    a = ap.parse_args()
+    if a.selftest:
+        return selftest()
+    if not a.old or not a.new:
+        ap.error("OLD_DETAIL and NEW_DETAIL required (or --selftest)")
+    regressions, explained = gate(load_runms(a.old), load_runms(a.new),
+                                  a.ratio, a.floor,
+                                  ledger_entries(a.baseline))
+    for line in explained:
+        print(f"LEDGERED {line}")
+    for line in regressions:
+        print(f"REGRESSION {line}")
+    if regressions:
+        print(f"== {len(regressions)} unexplained run_ms regression(s); "
+              f"add a 'run_ms regression ledger' entry to {a.baseline} "
+              f"with the root cause, or fix the query ==")
+        return 1
+    print("== run_ms gate clean ==")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
