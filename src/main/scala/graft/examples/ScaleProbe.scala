@@ -320,6 +320,42 @@ object ScaleProbe {
         println(f"x$k%-3d keys=$nKeys%9d  distinct-count-values=$nVals%6d")
       }
     }
+
+    // Round-7 (VERDICT r6 item 5): basket-array pair generation cost
+    // law. At FIXED incidence volume (100k membership rows, baskets of
+    // size b), the distinct pair count is m·b·(b−1) = 100k·(b−1) —
+    // LINEAR in b, never |parts|² — and the basket-array shape
+    // (groupBy + in-place explode, one shuffle) should track that pair
+    // volume with a constant advantage over the legacy self-join shape
+    // (distinct + join exchanges before the same pair grain). This is
+    // q_item_sim/q_assortativity's rewrite, measured on its scaling
+    // axis.
+    {
+      println("=== basket-pair cost law: explode vs self-join ===")
+      for (b <- Seq(4, 16, 64)) {
+        val m = 100000 / b
+        val inc = spark.range(m.toLong * b).select(
+          (col("id") % (m * 4)).as("pk"), expr(s"id div $b").as("ok"))
+        time(f"basket-explode pairs (b=$b%-2d)")({
+          inc.groupBy("ok").agg(collect_set(col("pk")).as("parts"))
+            .repartition(cpus.toInt)
+            .select(explode(expr(
+              """flatten(transform(parts,
+                |  x -> transform(filter(parts, y -> y != x),
+                |       y -> struct(x AS part_a, y AS part_b))))"""
+                .stripMargin)).as("pr"))
+            .select(col("pr.part_a"), col("pr.part_b"))
+            .groupBy("part_a", "part_b").count().count()
+        })
+        time(f"self-join pairs      (b=$b%-2d)")({
+          val li = inc.select(col("ok"), col("pk")).distinct()
+          li.as("a").join(li.as("b"),
+              col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+            .select(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+            .groupBy("part_a", "part_b").count().count()
+        })
+      }
+    }
     spark.stop()
   }
 }
