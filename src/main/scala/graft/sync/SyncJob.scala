@@ -124,11 +124,33 @@ object SyncJob {
         fs.mkdirs(staging)
         hrefs.foreach { name =>
           Http.fetchBytes(base + name, maxRetries, retryDelayMs,
-              courtesyUrl, sleep = sleep)
-            .foreach { bytes =>
+              courtesyUrl, sleep = sleep) match {
+            case Some(bytes) =>
               val out = fs.create(new Path(staging, name), true)
               try out.write(bytes) finally out.close()
-            }
+            case None =>
+              // deletes must key on the LISTING, not on download
+              // success (reference parity: a failed download leaves
+              // the stored copy; only names absent from the index are
+              // deleted). The file IS listed but unfetchable — carry
+              // the mirror's existing copy into staging so the diff
+              // sees "skip", never "delete"; if the mirror has no
+              // copy either, the insert simply doesn't happen this
+              // pass (the reference's failed-upload behavior).
+              val stored = new Path(s"$dstDir/$name")
+              val dstFs = stored.getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+              if (dstFs.exists(stored)) {
+                org.apache.hadoop.fs.FileUtil.copy(dstFs, stored, fs,
+                  new Path(staging, name), false, true,
+                  spark.sparkContext.hadoopConfiguration)
+                System.err.println(s"[graft.SyncJob] WARNING: download " +
+                  s"of listed file '$name' failed - keeping the stored " +
+                  "copy (no delete)")
+              } else System.err.println(s"[graft.SyncJob] WARNING: " +
+                s"download of listed file '$name' failed and no stored " +
+                "copy exists - skipping this pass")
+          }
         }
         run(spark, stagingDir, dstDir)
       }

@@ -129,6 +129,7 @@ class IoSpec extends SparkSpec {
     @volatile var indexHits = 0
     @volatile var courtesyHits = 0
     @volatile var lastAgent: String = null
+    val broken = scala.collection.mutable.Set[String]()
     def respond(x: HttpExchange, code: Int, body: Array[Byte]): Unit = {
       x.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
       try if (body.nonEmpty) x.getResponseBody.write(body)
@@ -154,7 +155,8 @@ class IoSpec extends SparkSpec {
           }
         } else {
           val name = path.stripPrefix("/pub/")
-          files.get(name) match {
+          if (broken(name)) respond(x, 500, "boom".getBytes)
+          else files.get(name) match {
             case Some(c) => respond(x, 200, c.getBytes)
             case None => respond(x, 404, Array.emptyByteArray)
           }
@@ -208,6 +210,21 @@ class IoSpec extends SparkSpec {
         java.nio.file.Paths.get(dst, "pr.txt")) === "readme v2")
       assert(!Files.exists(
         java.nio.file.Paths.get(dst, "pr.data.0.Current")))
+
+      // a LISTED file whose download fails must never be deleted from
+      // the mirror (deletes key on the listing, not download success):
+      // serve it in the index but 500 its GET - the stored copy
+      // survives as "skip"
+      broken += "pr.data.1.AllData"
+      val plan3 = SyncJob.runHttp(spark, url, dst, staging,
+          courtesyUrl = Some(root), retryDelayMs = 5000L,
+          sleep = delays += _)
+        .get.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(plan3 === Map("pr.txt" -> "skip",
+        "pr.data.1.AllData" -> "skip"))
+      assert(Files.exists(
+        java.nio.file.Paths.get(dst, "pr.data.1.AllData")),
+        "stored copy of an unfetchable listed file must survive")
     } finally server.stop(0)
   }
 
