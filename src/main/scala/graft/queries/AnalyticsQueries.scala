@@ -1570,9 +1570,23 @@ object AnalyticsQueries {
     */
   private def baskets(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey").as("ok"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      // explicit hash repartition BEFORE the aggregate, for two
+      // independent scale reasons: (1) the partial collect_set would
+      // otherwise run on the SCAN partitions — a low-split input (the
+      // single-row-group testdata; any skewed file layout) serializes
+      // the whole basket build on them, while post-shuffle the scan
+      // task only forwards skinny rows; (2) the explicit partition
+      // count is immune to AQE's bytes-based coalescing, which would
+      // funnel the n²-per-basket pair EXPLOSION downstream onto 1–2
+      // post-shuffle partitions (measured both ways at sf0.1:
+      // 2.2→5.9 s walls). EnsureRequirements sees hash(ok) already
+      // satisfied, so the aggregate adds no second exchange — one
+      // shuffle total, and it carries rows, not baskets.
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("ok"))
+      .groupBy(col("ok"))
       .agg(collect_set(col("l_partkey")).as("parts"))
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
 
   private def pairsFromBaskets(b: DataFrame): DataFrame =
     b.select(explode(expr(
