@@ -255,12 +255,25 @@ object Bench {
     */
   private def splitCopy(spark: SparkSession, sfDir: String,
                         nFiles: Int): String = {
-    val dst = s"/tmp/graft_split_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_$nFiles"
+    val listed = Option(new java.io.File(sfDir).listFiles())
+      .getOrElse(sys.error(s"SPARK_GRAFT_SF_DIR does not exist: $sfDir"))
+    val tables = listed.filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    require(tables.nonEmpty, s"no *.parquet tables under $sfDir")
+    // content-keyed, not path-keyed: the driver regenerates testdata
+    // at the SAME path every round, so a path-only cache would serve
+    // the previous round's rows forever (same tag discipline as the
+    // bucketed-layout cache in CoreQueries.bucketedJoin)
+    val listing = tables
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(sfDir, "|", s"|$nFiles")
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(8)
+    val dst = s"/tmp/graft_split_$tag"
     val done = java.nio.file.Paths.get(dst, "_SUCCESS")
     if (!java.nio.file.Files.exists(done)) {
-      val tables = new java.io.File(sfDir).listFiles()
-        .filter(_.getName.endsWith(".parquet")).map(_.getName)
-      tables.foreach { t =>
+      tables.map(_.getName).foreach { t =>
         spark.read.parquet(s"$sfDir/$t").repartition(nFiles)
           .write.mode("overwrite").parquet(s"$dst/$t")
       }

@@ -109,31 +109,46 @@ object Bucketing {
     * happens per CALL (cheap, driver-side) so later runtime changes on
     * the parent still carry over.
     */
+  /** child session + the key set the last replication copied (so a key
+    * UNSET on the parent since then is unset on the child too, not
+    * left frozen at its stale value).
+    */
   private val sortedScanSessions =
-    new java.util.WeakHashMap[SparkSession, SparkSession]()
+    new java.util.WeakHashMap[SparkSession, (SparkSession, Set[String])]()
 
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
                    key: String): DataFrame = {
     val confKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
-    val s2 = sortedScanSessions.synchronized {
-      var c = sortedScanSessions.get(spark)
-      if (c == null) { c = spark.newSession(); sortedScanSessions.put(spark, c) }
-      c
-    }
-    // newSession starts from the BUILDER-time conf, not the caller's
-    // current runtime conf — replicate it so planner-relevant settings
-    // (broadcast threshold, AQE, bucketing toggles) carry over and the
-    // only divergence is the flag below. Static/immutable entries in
-    // getAll throw on set — skipped; they're engine-wide anyway.
-    spark.conf.getAll.foreach { case (k, v) =>
-      if (s2.conf.getOption(k) != Some(v))
-        try s2.conf.set(k, v)
+    // the whole replicate+plan step runs under the map lock: the child
+    // is shared per parent, and a concurrent caller mutating its conf
+    // mid-planning would be exactly the cross-query leak this method
+    // exists to prevent
+    sortedScanSessions.synchronized {
+      val (s2, lastCopied) = Option(sortedScanSessions.get(spark))
+        .getOrElse((spark.newSession(), Set.empty[String]))
+      // newSession starts from the BUILDER-time conf, not the caller's
+      // current runtime conf — replicate it so planner-relevant
+      // settings (broadcast threshold, AQE, bucketing toggles) carry
+      // over and the only divergence is the flag below. Static entries
+      // in getAll throw on set — skipped; they're engine-wide anyway.
+      val parentConf = spark.conf.getAll
+      parentConf.foreach { case (k, v) =>
+        if (s2.conf.getOption(k) != Some(v))
+          try s2.conf.set(k, v)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+      // keys we copied previously that the parent has since UNSET must
+      // not linger on the child at their stale value
+      (lastCopied -- parentConf.keySet - confKey).foreach { k =>
+        try s2.conf.unset(k)
         catch { case scala.util.control.NonFatal(_) => () }
+      }
+      sortedScanSessions.put(spark, (s2, parentConf.keySet))
+      s2.conf.set(confKey, "true")
+      val joined = s2.table(leftTable).join(s2.table(rightTable), key)
+      joined.queryExecution.executedPlan // bake the sorted scan NOW
+      joined
     }
-    s2.conf.set(confKey, "true")
-    val joined = s2.table(leftTable).join(s2.table(rightTable), key)
-    joined.queryExecution.executedPlan // bake the sorted scan NOW
-    joined
   }
 
   /** True when the executed plan contains no shuffle exchange (the scan's

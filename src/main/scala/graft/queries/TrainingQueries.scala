@@ -1383,8 +1383,13 @@ object TrainingQueries {
     * head only — exactly the tokenizer-sizing question), and the
     * oracle applies the same cut.
     */
+  /** The registered query's head cap — shared with the AnalyticsSpec
+    * cap-exhaustion canary so the two can never silently diverge.
+    */
+  val DefaultMaxVocab = 1024
+
   def vocabCoverage(s: SparkSession, d: String): DataFrame =
-    vocabCoverage(s, d, maxVocab = 1024)
+    vocabCoverage(s, d, maxVocab = DefaultMaxVocab)
 
   def vocabCoverage(s: SparkSession, d: String, maxVocab: Int): DataFrame = {
     // the empty-token filter matches the oracle (a whitespace-only doc

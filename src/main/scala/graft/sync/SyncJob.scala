@@ -114,10 +114,28 @@ object SyncJob {
     val base = if (indexUrl.endsWith("/")) indexUrl else indexUrl + "/"
     Http.fetchString(indexUrl, maxRetries, retryDelayMs, courtesyUrl,
         sleep = sleep)
-      .map { html =>
+      .flatMap { html =>
         import spark.implicits._
-        val hrefs = Catalog.hrefsFromHtml(Seq(html).toDF("html"))
+        val all = Catalog.hrefsFromHtml(Seq(html).toDF("html"))
           .collect().map(_.getString(0))
+        // only same-directory-relative links sync: an absolute path or
+        // a full URL has no well-defined key relative to this mirror
+        // (and `base + name` would build a broken request); skip them
+        // loudly rather than fetch garbage
+        val (hrefs, foreign) =
+          all.partition(n => !n.startsWith("/") && !n.contains("://"))
+        foreign.foreach(n => System.err.println(
+          s"[graft.SyncJob] WARNING: skipping non-relative href '$n'"))
+        // a 200 page that parses to ZERO file links is
+        // indistinguishable from a maintenance/error page — treat it
+        // exactly like a failed index fetch (the reference's "no
+        // files" early-exit): a vanished listing must mean "do
+        // nothing", never "delete the mirror"
+        if (hrefs.isEmpty) {
+          System.err.println("[graft.SyncJob] WARNING: index page " +
+            s"yielded no file links ($indexUrl) - skipping this pass")
+          None
+        } else Some {
         val staging = new Path(stagingDir)
         val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(staging)) fs.delete(staging, true)
@@ -153,6 +171,7 @@ object SyncJob {
           }
         }
         run(spark, stagingDir, dstDir)
+        }
       }
   }
 }

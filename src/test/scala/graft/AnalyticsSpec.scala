@@ -374,11 +374,15 @@ class AnalyticsSpec extends SparkSpec {
     // never reaches 90% and the correctness harness could not see it.
     // This canary makes cap exhaustion fail loudly at all three gate
     // scale factors: the last emitted row must still reach the knee.
+    // same constant the REGISTERED query runs with — if the default
+    // ever moves, the canary moves with it instead of silently
+    // gating a different cap than the one the oracle applies
+    val maxVocab = TrainingQueries.DefaultMaxVocab
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val dir = s"/root/testdata/$sf"
-      val rows = TrainingQueries.vocabCoverage(spark, dir).collect()
+      val rows = TrainingQueries.vocabCoverage(spark, dir, maxVocab).collect()
       assert(rows.nonEmpty, s"$sf: empty coverage head")
-      assert(rows.length < 1024,
+      assert(rows.length < maxVocab,
         s"$sf: head hit the maxVocab cap (${rows.length} rows) - the " +
           "90% boundary may lie beyond it; raise maxVocab")
       assert(rows.last.getDouble(3) >= 0.9,

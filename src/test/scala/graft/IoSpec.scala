@@ -225,6 +225,19 @@ class IoSpec extends SparkSpec {
       assert(Files.exists(
         java.nio.file.Paths.get(dst, "pr.data.1.AllData")),
         "stored copy of an unfetchable listed file must survive")
+
+      // a 200 index page that parses to ZERO file links (maintenance
+      // page, HTML shape change) is treated like a failed fetch: no-op
+      // pass, mirror untouched — never "everything vanished, delete
+      // the mirror"
+      val before = new java.io.File(dst).listFiles().map(_.getName).toSet
+      files.clear() // index now renders only the noise links
+      val plan4 = SyncJob.runHttp(spark, url, dst, staging,
+        courtesyUrl = Some(root), retryDelayMs = 5000L,
+        sleep = delays += _)
+      assert(plan4.isEmpty, "empty listing must degrade to a no-op pass")
+      assert(new java.io.File(dst).listFiles().map(_.getName).toSet
+        === before, "mirror must be untouched by an empty listing")
     } finally server.stop(0)
   }
 

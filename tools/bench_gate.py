@@ -52,6 +52,12 @@ def gate(old, new, ratio, floor, ledger):
         if n > o * ratio and n - o > floor:
             line = f"{q}: run_ms {o} -> {n} ({n / max(o, 1):.1f}x)"
             (explained if q in ledger else regressions).append(line)
+    # a query that VANISHED from the new detail (renamed, or erroring:
+    # load_runms drops entries without run_ms) is the worst regression
+    # there is -- it must not read as "clean"
+    for q in sorted(set(old) - set(new)):
+        line = f"{q}: present in old detail, missing from new (renamed or failing?)"
+        (explained if q in ledger else regressions).append(line)
     return regressions, explained
 
 
@@ -66,7 +72,12 @@ def selftest():
     # the same planted regression must pass once ledgered
     r2, e2 = gate(old, new, 2.0, 300, {"q_a"})
     assert r2 == [] and len(e2) == 1, (r2, e2)
-    print("selftest ok: planted regression caught, ledger honored")
+    # a query that disappears (errors out / renamed) must trip too
+    r3, _ = gate(old, {k: v for k, v in new.items() if k != "q_c"},
+                 2.0, 300, {"q_a"})
+    assert any("q_c" in x and "missing" in x for x in r3), r3
+    print("selftest ok: planted regression caught, ledger honored, "
+          "vanished query caught")
     return 0
 
 
