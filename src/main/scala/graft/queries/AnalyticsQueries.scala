@@ -594,6 +594,14 @@ object AnalyticsQueries {
     val sim = pairsFromBaskets(bk)
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_pair"))
+      // pin the pair-grain stage's width: AQE sizes the pair shuffle
+      // by BYTES (a few tens of MB → 1-2 read partitions) and the
+      // broadcast-join probes + top-k heap inserts downstream would
+      // serialize on them. Hash by part_a so the SAME exchange also
+      // satisfies the final groupBy(part_a) distribution — net zero
+      // extra shuffles, stage width pinned.
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("part_a"))
       .join(perPart.select(col("pk").as("part_a"), col("n").as("n_a")),
         "part_a")
       .join(perPart.select(col("pk").as("part_b"), col("n").as("n_b")),
