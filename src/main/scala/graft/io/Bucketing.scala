@@ -139,17 +139,30 @@ object Bucketing {
       }
       // keys we copied previously that the parent has since UNSET must
       // not linger on the child at their stale value
-      (lastCopied -- parentConf.keySet - confKey).foreach { k =>
+      (lastCopied -- parentConf.keySet - confKey - aqeKey).foreach { k =>
         try s2.conf.unset(k)
         catch { case scala.util.control.NonFatal(_) => () }
       }
       sortedScanSessions.put(spark, (s2, parentConf.keySet))
       s2.conf.set(confKey, "true")
+      // r8 (ADVICE fix): the child session's conf is shared and
+      // mutable across calls, but the lock covers planning only — a
+      // DataFrame from an EARLIER call may still be executing when a
+      // later call re-replicates. With AQE on, re-optimization reads
+      // the LIVE conf mid-execution, so planner settings could change
+      // under a running query. AQE is pinned OFF here: the whole
+      // point of this join is that the bucket scan already satisfies
+      // the distribution (no Exchange), so AQE has no shuffle stage
+      // to re-plan and its only observable effect is this hazard.
+      // With it off, the plan baked below under the lock is final.
+      s2.conf.set(aqeKey, "false")
       val joined = s2.table(leftTable).join(s2.table(rightTable), key)
       joined.queryExecution.executedPlan // bake the sorted scan NOW
       joined
     }
   }
+
+  private val aqeKey = "spark.sql.adaptive.enabled"
 
   /** True when the executed plan contains no shuffle exchange (the scan's
     * bucket partitioning satisfied the join's distribution requirement).

@@ -71,41 +71,70 @@ object Tables {
       case _ => df
     }
 
-  /** True when parquet column `c` at `path` (a file, or a directory
-    * whose first data file is probed — one writer per dataset is
-    * assumed) is annotated TIMESTAMP(NANOS) in the footer. This is
-    * the authoritative per-column discriminator for LONG-surfaced ts
-    * columns under `nanosAsLong`: a plain int64 epoch column carries
-    * no timestamp annotation and falls back to [[normalizeTs]]'s
-    * magnitude heuristic. Footer-only read — no data pages touched.
+  /** True when parquet column `c` at `path` (a file, or a directory —
+    * EVERY data file's footer is probed) is annotated
+    * TIMESTAMP(NANOS). This is the authoritative per-column
+    * discriminator for LONG-surfaced ts columns under `nanosAsLong`:
+    * a plain int64 epoch column carries no timestamp annotation and
+    * falls back to [[normalizeTs]]'s magnitude heuristic.
+    *
+    * MIXED directories fail LOUDLY (r8, VERDICT fix): one hint cannot
+    * serve files that disagree — a NANOS-annotated file next to an
+    * unannotated int64 file both surface as LONG, and whichever hint
+    * wins silently corrupts the other file's instants by ×1000. The
+    * old head-file probe assumed one writer per dataset; the driver's
+    * own regeneration history (BASELINE.md §7 — three ts encodings in
+    * seven rounds) is the proof that assumption doesn't hold across
+    * rewrites. Files lacking the column abstain (schema evolution —
+    * NULL rows need no hint). Footer-only reads, no data pages; a
+    * directory large enough for this driver-side loop to matter
+    * (≫10⁴ files) would distribute the probe as a binaryFile map
+    * over footers, same verdict logic.
+    *
+    * Missing path / missing column / unreadable footers degrade to
+    * `false` (the safe magnitude-heuristic fallback); only genuine
+    * DISAGREEMENT throws.
     */
-  def parquetTsNanos(s: SparkSession, path: String, c: String): Boolean =
-    try {
-      import org.apache.hadoop.fs.Path
-      val conf = s.sessionState.newHadoopConf()
-      val p = new Path(path)
-      val fs = p.getFileSystem(conf)
-      val file =
-        if (fs.getFileStatus(p).isFile) Some(p)
-        else fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(q => q.getName.endsWith(".parquet") &&
-            !q.getName.startsWith("_") && !q.getName.startsWith("."))
-          .sortBy(_.getName.toString).headOption
-      file.exists { f =>
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
-        try {
-          val schema = r.getFooter.getFileMetaData.getSchema
-          schema.containsField(c) && (schema.getType(Seq(c): _*)
-            .getLogicalTypeAnnotation match {
-              case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-                t.getUnit ==
-                  org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
-              case _ => false
-            })
-        } finally r.close()
-      }
-    } catch { case scala.util.control.NonFatal(_) => false }
+  def parquetTsNanos(s: SparkSession, path: String, c: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val votes: Seq[(String, Boolean)] =
+      try {
+        val conf = s.sessionState.newHadoopConf()
+        val p = new Path(path)
+        val fs = p.getFileSystem(conf)
+        val files =
+          if (fs.getFileStatus(p).isFile) Seq(p)
+          else fs.listStatus(p).toSeq.map(_.getPath)
+            .filter(q => q.getName.endsWith(".parquet") &&
+              !q.getName.startsWith("_") && !q.getName.startsWith("."))
+            .sortBy(_.getName.toString)
+        files.flatMap { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+          try {
+            val schema = r.getFooter.getFileMetaData.getSchema
+            if (!schema.containsField(c)) None // abstain: no column
+            else Some(f.getName -> (schema.getType(Seq(c): _*)
+              .getLogicalTypeAnnotation match {
+                case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  t.getUnit ==
+                    org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
+                case _ => false
+              }))
+          } finally r.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    val distinct = votes.map(_._2).distinct
+    if (distinct.size > 1)
+      throw new IllegalStateException(
+        s"mixed parquet ts encodings under $path for column '$c': " +
+          votes.map { case (n, v) =>
+            s"$n=${if (v) "TIMESTAMP(NANOS)" else "non-nanos"}" }
+            .mkString(", ") +
+          " - one ns/us hint cannot serve both; rewrite the directory " +
+          "with a single encoding (or split it) before loading")
+    distinct.headOption.getOrElse(false)
+  }
 
   /** events.parquet, with `ts` normalized to TIMESTAMP (see
     * [[normalizeTs]] for the encoding history).

@@ -45,7 +45,7 @@ import org.apache.spark.sql.functions._
   * Every stage is keyed or bounded; the largest single sort is
   * ~N/fanout rows.
   */
-object GlobalOrder {
+object GlobalOrder extends org.apache.spark.internal.Logging {
 
   /** Adds an exact global 1-based rank column `rankName` under the
     * total order (`key` asc/desc with nulls first/last matching Spark's
@@ -79,12 +79,15 @@ object GlobalOrder {
     // the whole input collapses into ONE range bucket, i.e. the exact
     // single-partition-window shape this class exists to avoid. That
     // scale-guarantee loss must not be silent.
+    // r8 (VERDICT fix): through log4j like the rest of Spark — a bare
+    // System.err.println is invisible under the driver's log capture
+    // and cannot be filtered or asserted on.
     if (bounds.isEmpty && fanout > 1 && !df.isEmpty)
-      System.err.println(
-        "[graft.GlobalOrder] WARNING: range-boundary model is empty for " +
-          "a non-empty input (key cast to double is all-NULL?) - global " +
-          "rank degenerates to a single-bucket window; pass a numeric " +
-          "or numeric-castable key to keep the distributed plan shape")
+      logWarning(
+        "range-boundary model is empty for a non-empty input (key cast " +
+          "to double is all-NULL?) - global rank degenerates to a " +
+          "single-bucket window; pass a numeric or numeric-castable " +
+          "key to keep the distributed plan shape")
     // range bucket: # boundaries strictly below (asc) / above (desc)
     // this row's key — monotone in the sort order, shared by ties.
     // NULL keys route to the end Spark's default null ordering puts

@@ -91,8 +91,11 @@ object SyncJob {
     * index page (403-retry + exponential backoff + courtesy root
     * visit — [[graft.io.Http.fetchString]]), scrape file hrefs
     * ([[Catalog.hrefsFromHtml]] — directories, parent links, and
-    * query/fragment links filtered), download each listed file to a
-    * staging dir, then run the standard catalog diff→apply ([[run]])
+    * query/fragment links filtered), resolve each href to a fetch URL
+    * and a validated staged key ([[resolveHref]] — absolute paths via
+    * the reference's urljoin semantics, traversal/encoded names
+    * rejected), download each listed file to a staging dir, then run
+    * the standard catalog diff→apply ([[run]])
     * against `dstDir`. Returns the merged CDC plan; an index fetch
     * that exhausts retries yields an EMPTY file list — and because a
     * vanished listing must mean "do nothing", not "delete the
@@ -118,14 +121,19 @@ object SyncJob {
         import spark.implicits._
         val all = Catalog.hrefsFromHtml(Seq(html).toDF("html"))
           .collect().map(_.getString(0))
-        // only same-directory-relative links sync: an absolute path or
-        // a full URL has no well-defined key relative to this mirror
-        // (and `base + name` would build a broken request); skip them
-        // loudly rather than fetch garbage
-        val (hrefs, foreign) =
-          all.partition(n => !n.startsWith("/") && !n.contains("://"))
-        foreign.foreach(n => System.err.println(
-          s"[graft.SyncJob] WARNING: skipping non-relative href '$n'"))
+        // resolve each href to (fetch URL, staged key) or a loud skip:
+        // absolute paths resolve against the index host (the
+        // reference's urljoin, `Task_1_sync_bls_files.py:155`) keyed
+        // on the basename; anything whose decoded key is not a safe
+        // single-segment file name is REJECTED — scraped HTML is
+        // remote-controlled input, and a '../x' or 'a/../../x' href
+        // must never reach `new Path(staging, name)`
+        val resolved = all.map(h => h -> resolveHref(base, h))
+        resolved.collect { case (h, Left(why)) =>
+          System.err.println(
+            s"[graft.SyncJob] WARNING: skipping href '$h' ($why)")
+        }
+        val hrefs = resolved.collect { case (_, Right(r)) => r }
         // a 200 page that parses to ZERO file links is
         // indistinguishable from a maintenance/error page — treat it
         // exactly like a failed index fetch (the reference's "no
@@ -140,8 +148,8 @@ object SyncJob {
         val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(staging)) fs.delete(staging, true)
         fs.mkdirs(staging)
-        hrefs.foreach { name =>
-          Http.fetchBytes(base + name, maxRetries, retryDelayMs,
+        hrefs.foreach { case (fetchUrl, name) =>
+          Http.fetchBytes(fetchUrl, maxRetries, retryDelayMs,
               courtesyUrl, sleep = sleep) match {
             case Some(bytes) =>
               val out = fs.create(new Path(staging, name), true)
@@ -173,5 +181,77 @@ object SyncJob {
         run(spark, stagingDir, dstDir)
         }
       }
+  }
+
+  /** Resolve one scraped href to `Right((fetchUrl, stagedName))` or
+    * `Left(reason)` for a loud skip. Scraped index HTML is
+    * REMOTE-CONTROLLED input, so the staged name is validated before
+    * it ever reaches a filesystem `Path`:
+    *
+    *  - a full URL (`scheme://...`) is skipped: content on another
+    *    host has no well-defined key in this mirror (deliberate
+    *    deviation from the reference, whose `urljoin` would fetch it
+    *    and use the whole URL string as the S3 key);
+    *  - an absolute path (`/pub/x/pr.txt`) resolves against the index
+    *    URL's scheme+host — the reference's `urljoin`
+    *    (`Task_1_sync_bls_files.py:155`) — and keys the mirror on the
+    *    BASENAME (the BLS index's absolute hrefs all live in the
+    *    indexed directory, so the basename IS the file's identity);
+    *  - a relative href fetches `base + href` and must be a single
+    *    path segment (a directory index never links files through
+    *    intermediate segments; `a/../../x` and friends die here);
+    *  - the staged name is the PERCENT-DECODED form (the HTTP request
+    *    uses the raw, still-encoded href), and after decoding must be
+    *    a plain file name: no separators, no `.`/`..`, no
+    *    query/fragment chars, no control chars, not empty.
+    */
+  private[graft] def resolveHref(
+      base: String, href: String): Either[String, (String, String)] = {
+    if (href.contains("://"))
+      Left("foreign absolute URL - no key in this mirror")
+    else {
+      val (fetchUrl, rawName) =
+        if (href.startsWith("/")) {
+          // scheme://authority of the index page + the absolute path
+          val u = java.net.URI.create(base)
+          (s"${u.getScheme}://${u.getRawAuthority}$href",
+            href.substring(href.lastIndexOf('/') + 1))
+        } else (base + href, href)
+      percentDecode(rawName) match {
+        case None => Left("malformed percent-encoding")
+        case Some(name) =>
+          if (name.isEmpty || name == "." || name == "..")
+            Left("empty or dot-segment name")
+          else if (name.exists(c => c == '/' || c == '\\' || c < ' '))
+            Left("path separator or control char in decoded name")
+          else if (name.exists(c => c == '?' || c == '#'))
+            Left("query/fragment char in name")
+          else Right((fetchUrl, name))
+      }
+    }
+  }
+
+  /** Decode `%XX` sequences only (URLDecoder also maps `+` to space,
+    * which is wrong for path segments); `None` on a malformed escape.
+    */
+  private def percentDecode(s: String): Option[String] = {
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%') {
+        if (i + 2 >= s.length) return None
+        val hex = s.substring(i + 1, i + 3)
+        val v = try Integer.parseInt(hex, 16)
+          catch { case _: NumberFormatException => return None }
+        out.write(v)
+        i += 3
+      } else {
+        val bytes = c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.write(bytes, 0, bytes.length)
+        i += 1
+      }
+    }
+    Some(new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
   }
 }

@@ -42,6 +42,30 @@ class IoSpec extends SparkSpec {
     assert(hrefs === Set("pr.data.0.Current", "pr.class"))
   }
 
+  test("resolveHref: urljoin parity for absolute paths, hostile hrefs die") {
+    import graft.sync.SyncJob
+    val base = "http://host:8080/pub/series/"
+    // plain relative name: fetch base+name, stage under the same name
+    assert(SyncJob.resolveHref(base, "pr.txt") ===
+      Right(("http://host:8080/pub/series/pr.txt", "pr.txt")))
+    // percent-encoded name: fetch the RAW (encoded) href, stage the
+    // decoded form — and '+' stays '+' (path semantics, not form)
+    assert(SyncJob.resolveHref(base, "pr%20notes+v2.txt") ===
+      Right(("http://host:8080/pub/series/pr%20notes+v2.txt",
+        "pr notes+v2.txt")))
+    // absolute path: reference urljoin — index host + path, basename key
+    assert(SyncJob.resolveHref(base, "/pub/series/pr.class") ===
+      Right(("http://host:8080/pub/series/pr.class", "pr.class")))
+    // remote-controlled traversal and separator shapes must all die
+    // BEFORE any Path construction
+    for (bad <- Seq("../evil", "a/../../evil", "sub/inner.txt", "..",
+        "%2e%2e%2fevil", "a%2fb", "evil%00", "name?C=M;O=A", "n#frag",
+        "http://other.host/x", "%zz", "%2"))
+      assert(SyncJob.resolveHref(base, bad).isLeft, s"must reject: $bad")
+    // absolute path whose BASENAME decodes hostile is rejected too
+    assert(SyncJob.resolveHref(base, "/pub/%2e%2e").isLeft)
+  }
+
   test("sync round-trip: list + hash both sides -> merge -> delete applied") {
     val remote = Files.createTempDirectory("remote")
     val stored = Files.createTempDirectory("stored")
@@ -129,6 +153,7 @@ class IoSpec extends SparkSpec {
     @volatile var indexHits = 0
     @volatile var courtesyHits = 0
     @volatile var lastAgent: String = null
+    @volatile var extraLinks = ""
     val broken = scala.collection.mutable.Set[String]()
     def respond(x: HttpExchange, code: Int, body: Array[Byte]): Unit = {
       x.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
@@ -151,11 +176,12 @@ class IoSpec extends SparkSpec {
               s"""<a href="$n">$n</a>""").mkString
             val noise = """<a href="../">up</a><a href="sub/">d</a>""" +
               """<a href="?C=M;O=A">sort</a>"""
-            respond(x, 200, s"<html>$noise$links</html>".getBytes)
+            respond(x, 200, s"<html>$noise$extraLinks$links</html>".getBytes)
           }
         } else {
           val name = path.stripPrefix("/pub/")
           if (broken(name)) respond(x, 500, "boom".getBytes)
+          else if (name == "pr.abs") respond(x, 200, "absolute ok".getBytes)
           else files.get(name) match {
             case Some(c) => respond(x, 200, c.getBytes)
             case None => respond(x, 404, Array.emptyByteArray)
@@ -178,6 +204,11 @@ class IoSpec extends SparkSpec {
       val staging = Files.createTempDirectory("http_stage").toString + "/s"
       val delays = scala.collection.mutable.ArrayBuffer[Long]()
 
+      // pass 1 also serves: an ABSOLUTE-path href (reference urljoin
+      // parity - resolves against the index host, keys on basename)
+      // and two traversal hrefs that must be skipped, never written
+      extraLinks = """<a href="/pub/pr.abs">abs</a>""" +
+        """<a href="../evil.txt">e</a><a href="a/../../evil2">e2</a>"""
       val plan1 = SyncJob.runHttp(spark, url, dst, staging,
           courtesyUrl = Some(root), retryDelayMs = 5000L,
           sleep = delays += _)
@@ -189,12 +220,23 @@ class IoSpec extends SparkSpec {
       assert(indexHits === 3)
       assert(lastAgent != null && lastAgent.startsWith("Mozilla/5.0"))
       assert(plan1 === Map("pr.data.0.Current" -> "insert",
-        "pr.txt" -> "insert"))
+        "pr.txt" -> "insert", "pr.abs" -> "insert"))
       assert(Files.readString(
         java.nio.file.Paths.get(dst, "pr.txt")) === "readme v1")
+      assert(Files.readString(
+        java.nio.file.Paths.get(dst, "pr.abs")) === "absolute ok",
+        "absolute-path href must resolve against the index host")
+      // the traversal targets must not exist anywhere near the
+      // staging or mirror roots
+      for (d <- Seq(dst, staging); bad <- Seq("evil.txt", "evil2"))
+        assert(!Files.exists(
+          java.nio.file.Paths.get(d).getParent.resolve(bad)),
+          s"traversal href must never write $bad")
 
-      // upstream mutates: one update, one delete, one new file; the
-      // index now serves 200 straight away (no further backoff)
+      // upstream mutates: one update, one delete (plus the absolute
+      // href vanishing from the index), one new file; the index now
+      // serves 200 straight away (no further backoff)
+      extraLinks = ""
       files("pr.txt") = "readme v2"
       files.remove("pr.data.0.Current")
       files("pr.data.1.AllData") = "series_id\tyear\nPRS1\t2023\n"
@@ -205,7 +247,8 @@ class IoSpec extends SparkSpec {
       assert(delays.size === 2, "no retries once the index serves 200")
       assert(plan2 === Map("pr.txt" -> "update",
         "pr.data.1.AllData" -> "insert",
-        "pr.data.0.Current" -> "delete"))
+        "pr.data.0.Current" -> "delete", "pr.abs" -> "delete"))
+      assert(!Files.exists(java.nio.file.Paths.get(dst, "pr.abs")))
       assert(Files.readString(
         java.nio.file.Paths.get(dst, "pr.txt")) === "readme v2")
       assert(!Files.exists(

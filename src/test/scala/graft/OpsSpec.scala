@@ -256,4 +256,46 @@ class OpsSpec extends SparkSpec {
     }
     assert(bad.isEmpty, s"raw-input global window in plan:\n$plan")
   }
+
+  test("ntileExact: all-null-castable key logs the degeneracy warning") {
+    import graft.ops.GlobalOrder
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.{LogEvent, Logger => CoreLogger}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    // the warning must go through log4j (driver log capture reads the
+    // log stream, not a raw System.err.println) — capture it with an
+    // in-memory appender on the class's logger
+    val messages = scala.collection.mutable.ArrayBuffer[String]()
+    val appender = new AbstractAppender(
+        "graft-test-capture", null, null, false, Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit =
+        messages.synchronized { messages += e.getMessage.getFormattedMessage }
+    }
+    appender.start()
+    val logger = LogManager.getLogger("graft.ops.GlobalOrder")
+      .asInstanceOf[CoreLogger]
+    val prevLevel = logger.getLevel
+    logger.addAppender(appender)
+    logger.setLevel(Level.WARN)
+    try {
+      // non-numeric strings cast to double as NULL on every row — the
+      // boundary model comes back empty while the input is non-empty
+      val df = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "id")
+      val got = GlobalOrder.ntileExact(df, 2, col("k"), ascending = true,
+          Seq(col("id")), fanout = 4)
+        .select("id", "bucket").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // ranks stay CORRECT (lexicographic order a<b<c), only the plan
+      // shape degenerates
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+      val warned = messages.synchronized(messages.toList)
+      assert(warned.exists(_.contains("range-boundary model is empty")),
+        s"degeneracy warning must fire through log4j; saw: $warned")
+    } finally {
+      logger.removeAppender(appender)
+      logger.setLevel(prevLevel)
+      appender.stop()
+    }
+  }
 }

@@ -270,6 +270,13 @@ class ScaleSpec extends SparkSpec {
         case _ => reduced(j.left) && reduced(j.right)
       }
       case b if b.children.length > 1 => b.children.forall(reduced)
+      // r8 (ADVICE fix): row-EXPANDING unary operators are not
+      // pass-through — explode/expand above a reduction re-opens the
+      // fan-out (the pairsFromBaskets n²-per-basket shape), so a
+      // global window directly over them is unbounded again unless a
+      // further reducing operator sits above the expansion
+      case _: org.apache.spark.sql.execution.GenerateExec |
+           _: org.apache.spark.sql.execution.ExpandExec => false
       case u => u.children.exists(reduced)
     }
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

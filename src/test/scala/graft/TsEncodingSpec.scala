@@ -68,6 +68,36 @@ class TsEncodingSpec extends SparkSpec {
     assert(!Tables.parquetTsNanos(spark, s"$dir/does_not_exist", "ts"))
   }
 
+  test("footer probe fails LOUDLY on a mixed-encoding directory") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // the driver's own history (three ts encodings in seven rounds) is
+    // why "one writer per dataset" can't be assumed: a directory
+    // holding one TIMESTAMP(NANOS) file and one plain-int64 file both
+    // surfaces LONG, and either single hint corrupts the other file's
+    // instants ×1000 — that must throw, never silently normalize
+    val mixed = Files.createTempDirectory("tsenc_mixed")
+    for ((enc, out) <- Seq("long_ns" -> "part-0001.parquet",
+        "long_us" -> "part-0002.parquet"))
+      Files.copy(Paths.get(s"$dir/$enc/events.parquet"),
+        mixed.resolve(out), StandardCopyOption.REPLACE_EXISTING)
+    val e = intercept[IllegalStateException](
+      Tables.parquetTsNanos(spark, mixed.toString, "ts"))
+    assert(e.getMessage.contains("mixed parquet ts encodings"))
+    assert(e.getMessage.contains("part-0001.parquet"))
+    // files LACKING the column abstain (schema evolution adds NULL
+    // rows, which need no hint) — nanos verdict survives alongside
+    val withAbsent = Files.createTempDirectory("tsenc_absent")
+    Files.copy(Paths.get(s"$dir/long_ns/events.parquet"),
+      withAbsent.resolve("part-0001.parquet"))
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("tsenc_nots").toString + "/t"
+    Seq(("x", 1L)).toDF("event_type", "other").coalesce(1).write.parquet(tmp)
+    val dataFile = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    Files.copy(dataFile.toPath, withAbsent.resolve("part-0002.parquet"))
+    assert(Tables.parquetTsNanos(spark, withAbsent.toString, "ts"))
+  }
+
   test("hinted nanos path floor-divides (pre-epoch instants stay exact)") {
     import spark.implicits._
     // -1 ns is 1969-12-31T23:59:59.999999999 → floor to …999999 µs

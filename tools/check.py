@@ -24,6 +24,20 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("float64")
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
+# Standing rounding-midpoint caveats (BASELINE.md §10): these queries'
+# SELECTION logic is engine-exact, but their 6-dp display rounding can
+# diverge between Spark (exact-binary-expansion HALF_UP) and DuckDB
+# (requantizing x*1e6 then half-away-from-zero) if a testdata refresh
+# lands a score on a representable midpoint. A sweep failure here means
+# "check the caveat first", not "the operator broke".
+ROUNDING_CAVEATS = {
+    q: ("standing caveat - BASELINE.md §10 float-rounding law: if the "
+        "diff is a 6-dp score at a x1e6 midpoint after a testdata refresh, "
+        "demote this query to rows-only per the documented trigger rather "
+        "than chasing an operator bug")
+    for q in ("q_mmr", "q_textrank", "q_dsir")
+}
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
@@ -69,6 +83,8 @@ def main(sf_dir: str, out_dir: str) -> int:
                 n_pass += 1
             else:
                 n_fail += 1
+                if name in ROUNDING_CAVEATS:
+                    print(f"NOTE {name}: {ROUNDING_CAVEATS[name]}")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 
