@@ -40,6 +40,14 @@ object ScaleProbe {
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  ($rows rows)")
     }
 
+    // `SPARK_GRAFT_PROBE=<tag>` runs one section (core | main | basket
+    // | decade) so a new leg can be re-measured without the ~10 min
+    // full sweep; unset runs everything, as before.
+    val probeOnly = sys.env.get("SPARK_GRAFT_PROBE")
+    def section(tag: String)(body: => Unit): Unit =
+      if (probeOnly.forall(_ == tag)) body
+
+    section("core") {
     for (k <- Seq(1, n)) {
       println(s"=== scale x$k (${6000000L * k / 10} rows approx) ===")
       val df = replicated(k)
@@ -59,6 +67,7 @@ object ScaleProbe {
             .partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey")
             .rowsBetween(Long.MinValue, 0))).count())
     }
+    }
 
     // training-op hot paths: replicate docs/embeddings with shifted ids
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -69,6 +78,7 @@ object ScaleProbe {
     def embX(k: Int): DataFrame =
       (0 until k).map(i => emb.withColumn("vec_id",
         col("vec_id") + lit(i * 100000L))).reduce(_ unionByName _)
+    section("main") {
     for (k <- Seq(1, 4)) {
       println(s"=== docs x$k / emb x$k ===")
       time("simhash signatures")(
@@ -320,6 +330,7 @@ object ScaleProbe {
         println(f"x$k%-3d keys=$nKeys%9d  distinct-count-values=$nVals%6d")
       }
     }
+    }
 
     // Round-7 (VERDICT r6 item 5): basket-array pair generation cost
     // law. At FIXED incidence volume (100k membership rows, baskets of
@@ -330,9 +341,12 @@ object ScaleProbe {
     // (distinct + join exchanges before the same pair grain). This is
     // q_item_sim/q_assortativity's rewrite, measured on its scaling
     // axis.
-    {
+    section("basket") {
       println("=== basket-pair cost law: explode vs self-join ===")
-      for (b <- Seq(4, 16, 64)) {
+      // r8 (VERDICT r7 item 2): one more decade on the b axis — b=256
+      // is the heavy-basket regime (playlists, long sessions) where
+      // the join projection's b² term should separate hardest.
+      for (b <- Seq(4, 16, 64, 256)) {
         val m = 100000 / b
         val inc = spark.range(m.toLong * b).select(
           (col("id") % (m * 4)).as("pk"), expr(s"id div $b").as("ok"))
@@ -354,6 +368,56 @@ object ScaleProbe {
             .select(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
             .groupBy("part_a", "part_b").count().count()
         })
+      }
+    }
+
+    // Round-8 (VERDICT r7 item 2): one more decade (×64) on the two
+    // candidate-generation paths whose degeneracy modes are known —
+    // prefix-filtered ngram Jaccard and banded cosine LSH — with TRUE
+    // PAIRS HELD LINEAR in corpus size. The existing ×16 legs use
+    // exact-copy replication, where the true pair set itself grows k²
+    // (every doc gains k−1 twins); at ×64 that quadratic floor would
+    // drown the question the probe asks ("do CANDIDATES track true
+    // pairs, or corpus²?"). Twin-group salting fixes the axis:
+    // replica i joins group i/2, texts are token-salted and vectors
+    // sign-flipped PER GROUP, so cross-group similarity is ~0 and
+    // every doc/vector has exactly ONE twin — true pairs stay linear
+    // at every k, and any corpus² candidate term reads directly as
+    // superlinear wall (and pair-count) growth.
+    section("decade") {
+      println("=== decade legs: true-pairs-linear twin corpora ===")
+      def docsTwin(k: Int): DataFrame =
+        (0 until k).map { i =>
+          val g = i / 2
+          docs
+            .withColumn("doc_id", col("doc_id") + lit(i * 100000L))
+            // suffix every token with the group id: shingles collide
+            // only within the twin group
+            .withColumn("text", concat_ws(" ",
+              transform(split(col("text"), " "),
+                t => concat(t, lit("~" + g)))))
+        }.reduce(_ unionByName _)
+      def embTwin(k: Int): DataFrame =
+        (0 until k).map { i =>
+          val g = i / 2
+          emb
+            .withColumn("vec_id", col("vec_id") + lit(i * 100000L))
+            // deterministic per-group sign pattern: cross-group cosine
+            // concentrates near 0 (±x per dim), within-group exact
+            .withColumn("embedding", expr(
+              s"transform(embedding, (x, j) -> " +
+                s"CASE WHEN pmod(hash($g, j), 2) = 0 THEN -x ELSE x END)"))
+        }.reduce(_ unionByName _)
+      for (k <- Seq(4, 16, 64)) {
+        println(s"=== twin corpus x$k: ${5000 * k} docs " +
+          s"(true ngram pairs ${5000L * k / 2}) / ${2000 * k} vecs " +
+          s"(true LSH pairs ${2000L * k / 2}) ===")
+        time(f"ngramJaccard twin (x$k%-2d)")(
+          graft.dedup.Dedup.ngramJaccard(docsTwin(k), threshold = 0.8)
+            .count())
+        time(f"nearDup LSH twin  (x$k%-2d)")(
+          graft.sim.Similarity.nearDupPairsLsh(embTwin(k), 0.9,
+            bands = 4, rowsPerBand = 16).count())
       }
     }
     spark.stop()
