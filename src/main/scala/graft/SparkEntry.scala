@@ -95,6 +95,7 @@ object SparkEntry {
     // training-data pipeline surface (north star)
     "q_dedup_exact"    -> (TrainingQueries.dedupExact _),
     "q_dedup_ngram"    -> (TrainingQueries.dedupNgramJaccard _),
+    "q_substr_spans"   -> (TrainingQueries.dedupSubstrSpans _),
     "q_dedup_minhash"  -> (TrainingQueries.dedupMinhash _),
     "q_dedup_simhash"  -> (TrainingQueries.dedupSimhash _),
     "q_knn_brute"      -> (TrainingQueries.knnBruteForce _),
@@ -820,6 +821,31 @@ object SparkEntry {
     "q_textrank" -> graft.queries.TrainingQueries.textRankOracleSql(),
     "q_knn_ivf" -> graft.queries.TrainingQueries.knnIvfOracleSql(),
     "q_ppr_terms" -> graft.queries.TrainingQueries.pprTermsOracleSql(),
+    // span-grain duplication: DuckDB groups positional 5-gram STRINGS
+    // where Spark groups their xxhash64 — identical partitions of the
+    // position set barring 64-bit collisions, the same posture as
+    // q_dedup_ngram's hashed verify
+    "q_substr_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+        |    SELECT doc_id, unnest(
+        |      [{'pos': i, 'g': array_to_string(list_slice(w, i, i+4), ' ')}
+        |       for i in range(1, len(w) - 5 + 2)]) AS u
+        |    FROM tok)),
+        |dup AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+        |cov AS (SELECT doc_id, pos FROM pos
+        |        WHERE g IN (SELECT g FROM dup)),
+        |isl AS (SELECT doc_id, pos,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |    AS grp FROM cov)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) - min(pos) + 5 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, grp
+        |HAVING max(pos) - min(pos) + 5 >= 5
+        |ORDER BY doc_id, span_start""".stripMargin,
     "q_dedup_simhash" -> graft.dedup.XxHashSql.simhashOracleSql(),
     "q_dedup_minhash" -> graft.dedup.XxHashSql.minhashOracleSql(),
     "q_emb_neardup_lsh" -> graft.sim.Similarity.nearDupLshOracleSql(

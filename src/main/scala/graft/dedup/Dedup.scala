@@ -392,6 +392,68 @@ object Dedup {
     * Output: (name_a, name_b, lev) with name_a < name_b, one row per
     * in-block pair within `maxDist`.
     */
+  /** Exact SUBSTRING-level duplication: maximal duplicated token
+    * spans, the span-grain counterpart of the document-grain dedups
+    * above (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022 — their ExactSubstr pass; the
+    * suffix-array machinery is re-expressed as the distributed
+    * k-gram-cover equivalent).
+    *
+    * A token position is COVERED when the k-token window starting
+    * there occurs ≥ 2 times in the corpus (other doc OR elsewhere in
+    * the same doc — self-repetition is duplication too, per the
+    * paper). Maximal runs of covered positions are coalesced
+    * per-document into spans (gaps-and-islands over the position
+    * sequence); any duplicated substring of ≥ k tokens is covered at
+    * every window position it spans, so spans are a superset cover of
+    * the true maximal duplicates, merging only overlapping/adjacent
+    * duplicated regions — the same semantics a winnowing pass ships.
+    *
+    * At 100 TB:
+    *  - grams travel as xxhash64 LONGS from the explode on (one
+    *    narrow shuffle keyed by gram hash for the global count, one
+    *    semi-join back on the same key) — never the string;
+    *  - the occurrence count is a hash-aggregate with map-side
+    *    partial combine, so a hot gram ("the the the…") costs its row
+    *    count once, pre-shuffle;
+    *  - the island window partitions by DOCUMENT — per-task state is
+    *    one doc's covered positions, bounded by doc length, never
+    *    corpus-shaped;
+    *  - the positional explode is recomputed for the semi-join rather
+    *    than cached (map-side work is cheaper than materializing a
+    *    gram-per-position copy of the corpus).
+    *
+    * Output: `(idCol, span_start, span_tokens)` — 1-based token
+    * offset and token length, spans of ≥ `minTokens` only.
+    */
+  def duplicatedSpans(df: DataFrame, k: Int = 5, minTokens: Int = 5,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // positional k-gram hashes, expression-only: (pos, xxhash64(gram))
+    val posGram = expr(
+      s"""CASE WHEN size(__toks) >= $k THEN
+         |  transform(sequence(1, size(__toks) - $k + 1),
+         |    i -> struct(CAST(i AS BIGINT) AS pos,
+         |      xxhash64(array_join(slice(__toks, i, $k), ' ')) AS h))
+         |ELSE array() END""".stripMargin)
+    val ph = df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), explode(posGram).as("pg"))
+      .select(col(idCol), col("pg.pos").as("pos"), col("pg.h").as("h"))
+    val dup = ph.groupBy("h").count()
+      .filter(col("count") >= 2).select("h")
+    val cov = ph.join(dup, Seq("h"), "left_semi")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    cov
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(k.toLong))
+          .as("span_tokens"))
+      .filter(col("span_tokens") >= minTokens)
+      .select(col(idCol), col("span_start"), col("span_tokens"))
+  }
+
   def fuzzyPairs(df: DataFrame, strCol: String,
                  blockKey: org.apache.spark.sql.Column =>
                    org.apache.spark.sql.Column,

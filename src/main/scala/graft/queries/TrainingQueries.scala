@@ -26,6 +26,16 @@ object TrainingQueries {
     Dedup.ngramJaccard(Tables.documents(s, d), threshold = 0.8)
       .orderBy("doc_a", "doc_b")
 
+  /** Substring-grain duplication: maximal duplicated token spans per
+    * document ([[Dedup.duplicatedSpans]] — the ExactSubstr pass of
+    * Lee et al. 2022 as a distributed k-gram cover). Span-level, where
+    * q_dedup_* are document-level: this is the op that finds the
+    * shared boilerplate inside otherwise-distinct documents.
+    */
+  def dedupSubstrSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicatedSpans(Tables.documents(s, d), k = 5, minTokens = 5)
+      .orderBy("doc_id", "span_start")
+
   /** MinHash-LSH candidate pairs, similarity-estimated. Hash functions
     * are engine-specific (xxhash64) → no SQL oracle; correctness is
     * recall-tested against brute-force Jaccard in DedupSpec.

@@ -139,6 +139,52 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"simhash recall $recall over ${truth.size}")
   }
 
+  test("duplicatedSpans: cross-doc shares, self-repetition, clean docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // unique content — must contribute no spans
+      (1L, "u1 u2 u3 u4 u5 u6 u7 u8"),
+      // docs 3 and 4 share the 7-token phrase p1..p7 at different
+      // offsets: expected one maximal span each, length 7
+      (3L, "aa p1 p2 p3 p4 p5 p6 p7 bb"),
+      (4L, "cc dd p1 p2 p3 p4 p5 p6 p7"),
+      // SELF-repetition is duplication too (Lee et al. semantics):
+      // r1..r5 occurs twice inside one doc -> two 5-token spans
+      (5L, "r1 r2 r3 r4 r5 z r1 r2 r3 r4 r5"),
+      // degenerate inputs must not crash or emit
+      (6L, ""),
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, k = 5, minTokens = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set(
+      (3L, 2L, 7L), // covered windows 2..4 -> [2, 8] = 7 tokens
+      (4L, 3L, 7L),
+      (5L, 1L, 5L), (5L, 7L, 5L)))
+  }
+
+  test("duplicatedSpans: adjacent duplicated regions merge (cover semantics)") {
+    import spark.implicits._
+    // doc 10 concatenates TWO phrases that are each duplicated
+    // elsewhere; the k-gram cover merges them into one island — the
+    // documented superset-cover semantics of a winnowing pass
+    val docs = Seq(
+      (10L, "m1 m2 m3 m4 m5 n1 n2 n3 n4 n5"),
+      (11L, "m1 m2 m3 m4 m5 xx yy"),
+      (12L, "zz n1 n2 n3 n4 n5")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, k = 5, minTokens = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 10: windows 1 (m-run) and 6 (n-run) are covered; window
+    // 2..5 straddle the seam and are NOT — islands {1} and {6},
+    // spans [1,5] and [6,10]
+    assert(spans === Set(
+      (10L, 1L, 5L), (10L, 6L, 5L),
+      (11L, 1L, 5L), (12L, 2L, 5L)))
+  }
+
   test("keepRepresentatives keeps the best-scoring doc per cluster") {
     import spark.implicits._
     val docs = Seq(
