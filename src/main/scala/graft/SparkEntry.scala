@@ -122,6 +122,7 @@ object SparkEntry {
     "q_cluster_sample" -> (TrainingQueries.clusterSample _),
     "q_pack"           -> (TrainingQueries.pack _),
     "q_lang_id"        -> (TrainingQueries.langId _),
+    "q_quality_linear" -> (TrainingQueries.qualityLinear _),
     "q_weighted_sample" -> (TrainingQueries.weightedSample _),
     "q_contamination"  -> (TrainingQueries.contamination _),
     "q_strip_markup"   -> (TrainingQueries.stripMarkup _),
@@ -847,6 +848,7 @@ object SparkEntry {
         |HAVING max(pos) - min(pos) + 5 >= 5
         |ORDER BY doc_id, span_start""".stripMargin,
     "q_dedup_simhash" -> graft.dedup.XxHashSql.simhashOracleSql(),
+    "q_quality_linear" -> graft.text.QualityModel.oracleSql,
     "q_dedup_minhash" -> graft.dedup.XxHashSql.minhashOracleSql(),
     "q_emb_neardup_lsh" -> graft.sim.Similarity.nearDupLshOracleSql(
       threshold = 0.4, bands = 16, rowsPerBand = 4, dim = 64),

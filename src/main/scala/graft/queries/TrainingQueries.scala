@@ -36,6 +36,18 @@ object TrainingQueries {
     Dedup.duplicatedSpans(Tables.documents(s, d), k = 5, minTokens = 5)
       .orderBy("doc_id", "span_start")
 
+  /** Linear quality-classifier scoring over documents
+    * ([[graft.text.QualityModel]] — hashed-ngram fasttext shape,
+    * integer-exact): per-doc micro-scaled score + keep decision.
+    * Zero shuffles; the model rides the plan as an array literal.
+    */
+  def qualityLinear(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.text.QualityModel.scoreMicro(col("text")).as("score_micro"))
+      .withColumn("keep", col("score_micro") > 0)
+      .orderBy("doc_id")
+
   /** MinHash-LSH candidate pairs, similarity-estimated. Hash functions
     * are engine-specific (xxhash64) → no SQL oracle; correctness is
     * recall-tested against brute-force Jaccard in DedupSpec.

@@ -1,0 +1,118 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Hashed-ngram LINEAR quality classifier — the production shape of
+  * an LLM-corpus quality filter (a fasttext-style binary classifier
+  * scored as w·φ(text)+b over feature-hashed unigrams+bigrams; the
+  * heuristic scorer in [[TextAnalysis]] is the bootstrap, this is
+  * what replaces it once a model is trained).
+  *
+  * Spark-first design:
+  *  - scoring is EXPRESSION-ONLY and embarrassingly parallel: the
+  *    weight vector ships as an array literal into the plan (the
+  *    LSH-hyperplanes-as-literals discipline), features are
+  *    `pmod(xxhash64(token), D)` buckets, and the dot product is one
+  *    `aggregate()` fold per row — zero shuffles, zero UDFs, fully
+  *    codegen'd, and trivially correct at any corpus size because no
+  *    state leaves the row;
+  *  - weights are INTEGER-SCALED (micro-units, ×1e-6): the per-doc
+  *    dot product is exact 64-bit integer arithmetic, so the score is
+  *    bit-identical under ANY evaluation order — no float-summation
+  *    caveat anywhere, and the DuckDB oracle replays it exactly
+  *    (token hashes via the XXH64 macro prelude, same literal
+  *    weights);
+  *  - a real trained model drops in by replacing [[weights]]/[[bias]]
+  *    (same dimension, same hash) — the scoring plan is unchanged.
+  *
+  * The shipped weights are a deterministic placeholder model (Weyl
+  * sequence over the bucket index — fixed, documented, seedless), so
+  * specs and oracles pin the MACHINERY; they make no claim of
+  * linguistic quality.
+  */
+object QualityModel {
+
+  /** Feature dimension (hash buckets). Power of two keeps `pmod`
+    * cheap; 256 is placeholder-sized — a production model would ship
+    * 2²⁰ buckets through the same literal path (a ~8 MB plan literal,
+    * broadcast once per stage, negligible against a 100 TB scan).
+    */
+  val Dim = 256
+
+  /** Micro-scaled placeholder weights in (−1e6, 1e6] ≈ (−1.0, 1.0]:
+    * `w(i) = ((i·2654435761 + 987654321) mod 2000001) − 1000000`.
+    */
+  val weights: Array[Long] =
+    Array.tabulate(Dim)(i =>
+      ((i.toLong * 2654435761L + 987654321L) % 2000001L) - 1000000L)
+
+  /** Micro-scaled intercept. */
+  val bias: Long = -250000L
+
+  /** SQL literal of [[weights]] for the DuckDB oracle. */
+  def weightsSqlList: String = weights.mkString("[", ", ", "]")
+
+  private def bucketWeight(wLit: Column, tok: Column): Column =
+    element_at(wLit, (pmod(xxhash64(tok), lit(Dim)) + 1).cast("int"))
+
+  /** Integer dot product `w·φ(text) + bias` in micro-units over
+    * hashed unigram + bigram features of the lowercased whitespace
+    * tokens ([[TextAnalysis.tokensLower]] — the vocabulary-grade
+    * tokenizer every text diagnostic shares). Empty/NULL text scores
+    * exactly `bias`.
+    */
+  def scoreMicro(text: Column): Column = {
+    val wLit = typedLit(weights.toSeq)
+    val toks = TextAnalysis.tokensLower(text)
+    val uniDot = aggregate(toks, lit(0L),
+      (acc, t) => acc + bucketWeight(wLit, t))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "),
+          element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val biDot = aggregate(bigrams, lit(0L),
+      (acc, t) => acc + bucketWeight(wLit, t))
+    coalesce(uniDot, lit(0L)) + coalesce(biDot, lit(0L)) + lit(bias)
+  }
+
+  /** Keep decision at the conventional 0 threshold (monotone in the
+    * sigmoid probability, so the sigmoid itself is never needed).
+    */
+  def keep(text: Column): Column = scoreMicro(text) > 0
+
+  /** Exact DuckDB oracle for [[scoreMicro]] over the documents table:
+    * token hashes replayed via the XXH64 macro prelude
+    * ([[graft.dedup.XxHashSql]]), the same micro-scaled weight list as
+    * a SQL literal, integer sums throughout — bit-identical scores
+    * with no float-order caveat.
+    */
+  def oracleSql: String = {
+    import graft.dedup.XxHashSql
+    s"""${XxHashSql.macros}
+       |WITH tok AS (
+       |  SELECT doc_id, list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    t -> t != '') AS w
+       |  FROM documents),
+       |feats AS (
+       |  SELECT doc_id, unnest(w) AS t FROM tok
+       |  UNION ALL
+       |  SELECT doc_id, unnest(
+       |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS t
+       |  FROM tok),
+       |toks AS (SELECT DISTINCT t FROM feats),
+       |${XxHashSql.hashCtes(42L)},
+       |scored AS (
+       |  SELECT f.doc_id,
+       |    sum(list_extract($weightsSqlList,
+       |      CAST(th.h % $Dim AS BIGINT) + 1)) AS dot
+       |  FROM feats f JOIN th ON th.t = f.t GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST($bias + coalesce(s.dot, 0) AS BIGINT) AS score_micro,
+       |  ($bias + coalesce(s.dot, 0)) > 0 AS keep
+       |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+}

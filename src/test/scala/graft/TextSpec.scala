@@ -159,4 +159,42 @@ class TextSpec extends SparkSpec {
     assert(sizes.head >= 10, s"top community too small: ${sizes.head}")
   }
 
+  test("QualityModel: score = sum of bucket weights + bias, exactly") {
+    import spark.implicits._
+    import graft.text.QualityModel
+    // independently recompute the expected score from the weights
+    // array: hash each feature (unigrams + the bigram) with Spark's
+    // own xxhash64, index the Scala-side weight table, add the bias —
+    // this pins the WIRING (bucketing, 1-based element_at, bigram
+    // construction, bias) rather than re-trusting the fold
+    val feats = Seq("alpha", "beta", "alpha beta")
+    val buckets = feats.toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(QualityModel.Dim)))
+      .collect().map(_.getLong(0).toInt)
+    val want = buckets.map(QualityModel.weights(_)).sum + QualityModel.bias
+    val got = Seq("Alpha  BETA").toDF("text") // case/space-normalized
+      .select(QualityModel.scoreMicro(col("text")))
+      .collect()(0).getLong(0)
+    assert(got === want)
+    // empty and NULL text score exactly the bias — never NULL
+    val edge = Seq(Some(""), Option.empty[String]).toDF("text")
+      .select(QualityModel.scoreMicro(col("text")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(edge === Seq(QualityModel.bias, QualityModel.bias))
+    // determinism across evaluation orders: repartitioned input
+    // produces identical scores (integer arithmetic, no float order)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.select(col("doc_id"),
+        QualityModel.scoreMicro(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = docs.repartition(7).select(col("doc_id"),
+        QualityModel.scoreMicro(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    // the placeholder model must actually separate (not constant-keep)
+    val keeps = a.values.count(_ > 0)
+    assert(keeps > 0 && keeps < a.size,
+      s"placeholder model degenerate: $keeps/${a.size} kept")
+  }
 }
