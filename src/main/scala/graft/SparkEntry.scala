@@ -96,6 +96,7 @@ object SparkEntry {
     "q_dedup_exact"    -> (TrainingQueries.dedupExact _),
     "q_dedup_ngram"    -> (TrainingQueries.dedupNgramJaccard _),
     "q_substr_spans"   -> (TrainingQueries.dedupSubstrSpans _),
+    "q_substr_clean"   -> (TrainingQueries.dedupSubstrClean _),
     "q_dedup_minhash"  -> (TrainingQueries.dedupMinhash _),
     "q_dedup_simhash"  -> (TrainingQueries.dedupSimhash _),
     "q_knn_brute"      -> (TrainingQueries.knnBruteForce _),
@@ -849,6 +850,37 @@ object SparkEntry {
         |ORDER BY doc_id, span_start""".stripMargin,
     "q_dedup_simhash" -> graft.dedup.XxHashSql.simhashOracleSql(),
     "q_quality_linear" -> graft.text.QualityModel.oracleSql,
+    // removal pass: same string-grouped cover as q_substr_spans, then
+    // drop every token under a duplicated window and rebuild the text
+    "q_substr_clean" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+        |    SELECT doc_id, unnest(
+        |      [{'pos': i, 'g': array_to_string(list_slice(w, i, i+4), ' ')}
+        |       for i in range(1, len(w) - 5 + 2)]) AS u
+        |    FROM tok)),
+        |dup AS (SELECT g FROM pos GROUP BY g HAVING count(*) >= 2),
+        |cov AS (SELECT doc_id, pos FROM pos
+        |        WHERE g IN (SELECT g FROM dup)),
+        |remtok AS (SELECT DISTINCT doc_id, j FROM (
+        |  SELECT doc_id, unnest([pos + i for i in range(0, 5)]) AS j
+        |  FROM cov)),
+        |rem AS (SELECT doc_id, list(j) AS remlist, count(*) AS nrem
+        |        FROM remtok GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(r.nrem, 0) AS BIGINT) AS n_tokens_removed,
+        |  -- DuckDB array_to_string([]) is NULL, Spark array_join([]) is ''
+        |  CASE WHEN d.text IS NULL THEN NULL ELSE
+        |    coalesce(array_to_string([t.w[i] for i in range(1, len(t.w) + 1)
+        |      if NOT list_contains(coalesce(r.remlist, []), i)], ' '), '')
+        |  END AS clean_text
+        |FROM documents d
+        |JOIN tok t USING (doc_id)
+        |LEFT JOIN rem r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_minhash" -> graft.dedup.XxHashSql.minhashOracleSql(),
     "q_emb_neardup_lsh" -> graft.sim.Similarity.nearDupLshOracleSql(
       threshold = 0.4, bands = 16, rowsPerBand = 4, dim = 64),

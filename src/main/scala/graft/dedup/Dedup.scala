@@ -429,6 +429,25 @@ object Dedup {
   def duplicatedSpans(df: DataFrame, k: Int = 5, minTokens: Int = 5,
                       textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
+    val cov = coveredWindowStarts(df, k, textCol, idCol)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    cov
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(k.toLong))
+          .as("span_tokens"))
+      .filter(col("span_tokens") >= minTokens)
+      .select(col(idCol), col("span_start"), col("span_tokens"))
+  }
+
+  /** Shared substrate for the substring-duplication pair: 1-based
+    * token positions whose k-token window occurs ≥ 2 times in the
+    * corpus — `(idCol, pos)`. Grams travel as xxhash64 longs (see
+    * [[duplicatedSpans]] for the full scale rationale).
+    */
+  private def coveredWindowStarts(df: DataFrame, k: Int, textCol: String,
+                                  idCol: String): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     // positional k-gram hashes, expression-only: (pos, xxhash64(gram))
     val posGram = expr(
@@ -442,16 +461,56 @@ object Dedup {
       .select(col(idCol), col("pg.pos").as("pos"), col("pg.h").as("h"))
     val dup = ph.groupBy("h").count()
       .filter(col("count") >= 2).select("h")
-    val cov = ph.join(dup, Seq("h"), "left_semi")
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    cov
-      .withColumn("__grp", col("pos") - row_number().over(w))
-      .groupBy(col(idCol), col("__grp"))
-      .agg(min("pos").as("span_start"),
-        (max(col("pos")) - min(col("pos")) + lit(k.toLong))
-          .as("span_tokens"))
-      .filter(col("span_tokens") >= minTokens)
-      .select(col(idCol), col("span_start"), col("span_tokens"))
+    ph.join(dup, Seq("h"), "left_semi").select(col(idCol), col("pos"))
+  }
+
+  /** The REMOVAL pass paired with [[duplicatedSpans]]: rebuild each
+    * document's text with every duplicated-substring occurrence
+    * dropped — ALL occurrences, not all-but-one, matching the
+    * published ExactSubstr tooling's behavior (each position of a
+    * ≥2×-occurring window is removed wherever it occurs; keeping a
+    * canonical copy is a policy layer above, cf.
+    * [[keepRepresentatives]] at document grain).
+    *
+    * A token is removed when ANY duplicated window covers it (window
+    * start p covers tokens [p, p+k−1]); the kept tokens re-join with
+    * single spaces, so output text is whitespace-NORMALIZED — the
+    * same contract as [[TextAnalysis.fingerprint]]'s normalization.
+    *
+    * Scale: covered window starts expand k× into covered token
+    * positions (k is a small constant), aggregate per DOCUMENT into a
+    * positions array (bounded by doc length — the same per-doc state
+    * bound as the span window), then one broadcast-or-shuffle join
+    * back to the corpus and a narrow array rebuild. NULL text stays
+    * NULL; docs with nothing removed pass through token-joined.
+    *
+    * Output: `(idCol, n_tokens_removed, clean_text)`.
+    */
+  def removeDuplicatedSpans(df: DataFrame, k: Int = 5,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    val cov = coveredWindowStarts(df, k, textCol, idCol)
+    val rem = cov
+      .select(col(idCol),
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("j"))
+      .groupBy(idCol)
+      .agg(collect_set("j").as("__rem"))
+    df.select(col(idCol), col(textCol))
+      .join(rem, Seq(idCol), "left")
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .select(col(idCol),
+        // size(NULL) is -1 under the default legacy sizeOfNull conf,
+        // so the no-removals branch must be explicit
+        when(col("__rem").isNull, lit(0L))
+          .otherwise(size(col("__rem")).cast("long"))
+          .as("n_tokens_removed"),
+        expr(s"""array_join(
+           |  filter(transform(__toks, (t, i) ->
+           |    CASE WHEN __rem IS NOT NULL
+           |      AND array_contains(__rem, CAST(i + 1 AS BIGINT))
+           |    THEN NULL ELSE t END),
+           |  x -> x IS NOT NULL), ' ')""".stripMargin)
+          .as("clean_text"))
   }
 
   def fuzzyPairs(df: DataFrame, strCol: String,

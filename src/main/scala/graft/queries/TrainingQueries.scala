@@ -36,6 +36,14 @@ object TrainingQueries {
     Dedup.duplicatedSpans(Tables.documents(s, d), k = 5, minTokens = 5)
       .orderBy("doc_id", "span_start")
 
+  /** Substring-duplication REMOVAL over documents
+    * ([[Dedup.removeDuplicatedSpans]]): per-doc removed-token count
+    * and the cleaned, whitespace-normalized text.
+    */
+  def dedupSubstrClean(s: SparkSession, d: String): DataFrame =
+    Dedup.removeDuplicatedSpans(Tables.documents(s, d), k = 5)
+      .orderBy("doc_id")
+
   /** Linear quality-classifier scoring over documents
     * ([[graft.text.QualityModel]] — hashed-ngram fasttext shape,
     * integer-exact): per-doc micro-scaled score + keep decision.

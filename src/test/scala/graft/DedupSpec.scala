@@ -185,6 +185,30 @@ class DedupSpec extends SparkSpec {
       (11L, 1L, 5L), (12L, 2L, 5L)))
   }
 
+  test("removeDuplicatedSpans: drops ALL occurrences, rebuilds text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "u1 u2 u3 u4 u5 u6"),                  // unique — untouched
+      (3L, "aa p1 p2 p3 p4 p5 p6 p7 bb"),          // shares p1..p7
+      (4L, "cc dd p1 p2 p3 p4 p5 p6 p7"),
+      (5L, "r1 r2 r3 r4 r5 z r1 r2 r3 r4 r5"),     // self-repetition
+      (6L, ""),
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, k = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) === ((0L, "u1 u2 u3 u4 u5 u6")))
+    // doc 3: covered windows 2..4 remove tokens 2..8 (p1..p7)
+    assert(out(3L) === ((7L, "aa bb")))
+    assert(out(4L) === ((7L, "cc dd")))
+    // doc 5: BOTH copies of r1..r5 go (drop-all semantics); z stays
+    assert(out(5L) === ((10L, "z")))
+    assert(out(6L) === ((0L, "")))
+    assert(out(7L)._1 === 0L)
+    assert(out(7L)._2 === null, "NULL text must stay NULL")
+  }
+
   test("keepRepresentatives keeps the best-scoring doc per cluster") {
     import spark.implicits._
     val docs = Seq(
