@@ -269,7 +269,17 @@ object PlanAudit {
       "columns, and the share of plan nodes inside WholeStageCodegen.",
       totals, hdr, sep).mkString("\n") + "\n" +
       body.mkString("\n") + "\n"
-    Files.write(Paths.get("PLANS.md"), doc.getBytes("UTF-8"))
+    // a static re-run must not discard the separately-generated AQE
+    // section — carry it over verbatim
+    val path = Paths.get("PLANS.md")
+    val aqeSection = if (Files.exists(path)) {
+      val existing = new String(Files.readAllBytes(path), "UTF-8")
+      existing.indexOf("## AQE final plans") match {
+        case -1 => ""
+        case i => "\n" + existing.substring(i)
+      }
+    } else ""
+    Files.write(path, (doc + aqeSection).getBytes("UTF-8"))
     println(s"[plan-audit] wrote PLANS.md (${rows.size} queries)")
     spark.stop()
   }
