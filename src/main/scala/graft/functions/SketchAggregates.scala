@@ -64,6 +64,52 @@ object SketchAggregates {
   * with O(k) state per task instead of the full token-frequency
   * shuffle of the exact path (`TrainingQueries.termFreq`).
   */
+/** The pure Misra–Gries steps, shared by the batch
+  * TypedImperativeAggregate ([[MisraGriesSketch]]) and the streaming
+  * state operator ([[graft.stream.Streams.heavyHittersStream]]) — one
+  * implementation so a fix to the decrement/merge discipline cannot
+  * miss a surface. Both steps preserve the sketch invariant: for any
+  * item, (true count − sketch count) ≤ N/(k+1) over the items folded
+  * in so far.
+  */
+object MisraGries {
+
+  /** One MG insertion: bump, admit while below k, else the global
+    * decrement that drops zeroed counters.
+    */
+  def add(buf: mutable.HashMap[String, Long], t: String, k: Int): Unit =
+    buf.get(t) match {
+      case Some(c) => buf.update(t, c + 1)
+      case None if buf.size < k => buf.update(t, 1L)
+      case None =>
+        // MG step: decrement every counter, dropping zeros
+        val dead = mutable.ArrayBuffer.empty[String]
+        buf.keysIterator.foreach { key =>
+          val c = buf(key) - 1
+          if (c == 0) dead += key else buf.update(key, c)
+        }
+        dead.foreach(buf.remove)
+    }
+
+  /** Sketch merge into `a` (Agarwal et al.'s mergeable-summaries
+    * rule): sum counters, then subtract the (k+1)-th largest count
+    * from all and keep positives.
+    */
+  def mergeInto(a: mutable.HashMap[String, Long],
+                b: scala.collection.Map[String, Long], k: Int): Unit = {
+    b.foreach { case (t, c) => a.update(t, a.getOrElse(t, 0L) + c) }
+    if (a.size > k) {
+      val cut = a.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      val dead = mutable.ArrayBuffer.empty[String]
+      a.keysIterator.foreach { key =>
+        val c = a(key) - cut
+        if (c <= 0) dead += key else a.update(key, c)
+      }
+      dead.foreach(a.remove)
+    }
+  }
+}
+
 case class MisraGriesSketch(
     child: Expression,
     k: Int,
@@ -85,36 +131,14 @@ case class MisraGriesSketch(
   : mutable.HashMap[String, Long] = {
     val v = child.eval(input)
     if (v == null) return buf
-    val t = v.asInstanceOf[UTF8String].toString
-    buf.get(t) match {
-      case Some(c) => buf.update(t, c + 1)
-      case None if buf.size < k => buf.update(t, 1L)
-      case None =>
-        // MG step: decrement every counter, dropping zeros
-        val dead = mutable.ArrayBuffer.empty[String]
-        buf.keysIterator.foreach { key =>
-          val c = buf(key) - 1
-          if (c == 0) dead += key else buf.update(key, c)
-        }
-        dead.foreach(buf.remove)
-    }
+    MisraGries.add(buf, v.asInstanceOf[UTF8String].toString, k)
     buf
   }
 
   override def merge(a: mutable.HashMap[String, Long],
                      b: mutable.HashMap[String, Long])
   : mutable.HashMap[String, Long] = {
-    b.foreach { case (t, c) => a.update(t, a.getOrElse(t, 0L) + c) }
-    if (a.size > k) {
-      // subtract the (k+1)-th largest count from all, keep positives
-      val cut = a.values.toArray.sorted(Ordering[Long].reverse).apply(k)
-      val dead = mutable.ArrayBuffer.empty[String]
-      a.keysIterator.foreach { key =>
-        val c = a(key) - cut
-        if (c <= 0) dead += key else a.update(key, c)
-      }
-      dead.foreach(a.remove)
-    }
+    MisraGries.mergeInto(a, b, k)
     a
   }
 

@@ -272,6 +272,55 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Per-emission row of [[heavyHittersStream]]: the group's current
+    * sketch as parallel sorted arrays (deterministic order for memory
+    * sinks and downstream explodes).
+    */
+  case class HeavyHitters(grp: String, tokens: Seq[String],
+                          counts: Seq[Long])
+
+  /** STREAMING heavy hitters: a Misra–Gries sketch per group key,
+    * folded across micro-batches via `mapGroupsWithState` — the
+    * streaming leg of the batch `misra_gries` aggregate, running the
+    * IDENTICAL algorithm steps ([[graft.functions.MisraGries]] — one
+    * implementation, two execution surfaces).
+    *
+    * State is O(k) counters per group whatever the stream length —
+    * the property that makes corpus-scale "top tokens per language /
+    * per source, live" viable: the state store shards by group key
+    * like any keyed shuffle, each update folds only the batch's rows,
+    * and the MG error bound (undercount ≤ N/(k+1)) holds across
+    * batches because the fold order is just one serial MG pass per
+    * group. NoTimeout: lifetime statistics; a windowed variant would
+    * swap in event-time timeout exactly like [[closedSessions]].
+    *
+    * Emits the group's CURRENT sketch each trigger (Update mode).
+    */
+  def heavyHittersStream(toks: DataFrame, k: Int,
+                         grpCol: String = "grp", tokCol: String = "tok")
+                        (implicit spark: SparkSession)
+  : org.apache.spark.sql.Dataset[HeavyHitters] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    import graft.functions.MisraGries
+    toks.select(col(grpCol).cast("string"), col(tokCol).cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[String, Long], HeavyHitters](
+        GroupStateTimeout.NoTimeout) {
+        case (grp, rows, state) =>
+          val buf = scala.collection.mutable.HashMap
+            .from(state.getOption.getOrElse(Map.empty[String, Long]))
+          rows.foreach { r =>
+            if (r._2 != null) MisraGries.add(buf, r._2, k)
+          }
+          state.update(buf.toMap)
+          val entries = buf.toArray.sortBy { case (t, c) => (-c, t) }
+          HeavyHitters(grp, entries.map(_._1).toSeq,
+            entries.map(_._2).toSeq)
+      }
+  }
+
   /** The reference's recompute-per-file semantics: every micro-batch
     * triggers a full re-run of `recompute` over the batch (stream side)
     * and whatever static state the report joins against.

@@ -201,6 +201,59 @@ class StreamsSpec extends SparkSpec {
     assert(fps.distinct.length === 3)
   }
 
+  test("heavyHittersStream: MG sketch folds across micro-batches") {
+    import spark.implicits._
+    implicit val s = spark
+    val dir = Files.createTempDirectory("hh_landing").toString
+    // two files -> two micro-batches (maxFilesPerTrigger=1); one
+    // partition per file so the per-group fold order is the row order
+    val batch1 = Seq.fill(6)("a") ++ Seq.fill(4)("b") ++
+      Seq("x", "y", "z")
+    val batch2 = Seq.fill(5)("a") ++ Seq.fill(3)("c") ++ Seq("w", "b")
+    batch1.map(t => ("g1", t)).toDF("grp", "tok")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    Thread.sleep(1100) // distinct mtimes -> deterministic batch order
+    batch2.map(t => ("g1", t)).toDF("grp", "tok")
+      .coalesce(1).write.parquet(s"$dir/f2")
+    val schema = spark.read.parquet(s"$dir/f1").schema
+    val k = 4
+    val hh = Streams.heavyHittersStream(
+      Streams.fileSource(spark, s"$dir/*", schema,
+        maxFilesPerTrigger = Some(1)), k)
+    Streams.runAvailableNow(hh.toDF(), "hh_stream_test",
+      outputMode = "update")
+    val rows = spark.table("hh_stream_test").collect()
+    // update mode + 2 batches touching g1 -> 2 emissions
+    assert(rows.length === 2)
+    val finalSketch = rows.last // memory sink appends in batch order
+    val sketch = finalSketch.getSeq[String](1)
+      .zip(finalSketch.getSeq[Long](2)).toMap
+    assert(sketch.size <= k)
+    // exact truth over the whole stream
+    val all = batch1 ++ batch2
+    val truth = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = all.size
+    // MG guarantees: never overcount; undercount bounded by N/(k+1);
+    // every item with true frequency > N/(k+1) is present
+    sketch.foreach { case (t, c) =>
+      assert(c <= truth(t), s"overcount on $t")
+      assert(truth(t) - c <= n / (k + 1), s"undercount bound on $t")
+    }
+    truth.filter(_._2 > n / (k + 1)).keys.foreach(t =>
+      assert(sketch.contains(t), s"heavy hitter $t missing"))
+    // the fold crossed the batch boundary: 'a' alone has true count 11
+    // in 23 rows; a sketch built from batch 2 alone could credit it at
+    // most 5
+    assert(sketch("a") > 5L, "state did not persist across batches")
+    // cross-surface agreement: the BATCH misra_gries aggregate over
+    // the same single-partition sequence runs the same shared steps
+    val batchSketch = all.toDF("tok").coalesce(1)
+      .agg(graft.functions.SketchAggregates.misra_gries(col("tok"), k))
+      .collect()(0).getMap[String, Long](0)
+    assert(sketch === Map(batchSketch.toSeq: _*),
+      "streaming fold must equal the batch aggregate's serial pass")
+  }
+
   test("flatMapGroupsWithState emits each closed session exactly once") {
     import spark.implicits._
     implicit val s = spark
