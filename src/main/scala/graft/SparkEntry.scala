@@ -225,6 +225,7 @@ object SparkEntry {
     "q_attribution_ushape" -> (AnalyticsQueries.attributionUshape _),
     "q_quantile_norm"  -> (AnalyticsQueries.quantileNorm _),
     "q_mmr"            -> (TrainingQueries.mmr _),
+    "q_kcenter"        -> (TrainingQueries.kcenter _),
     "q_ppr_terms"      -> (TrainingQueries.pprTerms _),
     "q_consistent_sample" -> (TrainingQueries.consistentSample _),
     "q_tpch_q5"        -> (AnalyticsQueries.tpchQ5 _),
@@ -803,6 +804,7 @@ object SparkEntry {
         |  CAST(b.embedding AS DOUBLE[])) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
     "q_mmr" -> graft.queries.TrainingQueries.mmrOracleSql(),
+    "q_kcenter" -> graft.queries.TrainingQueries.kcenterOracleSql(),
     "q_heavy_hitters_exact" ->
       // lang IS NOT NULL pins null parity: MisraGriesSketch.update
       // SKIPS null inputs, while a bare GROUP BY would emit a

@@ -645,6 +645,48 @@ object TrainingQueries {
     * into every unrolled step and exhausts file handles re-opening
     * the parquet scan.
     */
+  /** k-center greedy exemplar selection over embeddings
+    * ([[Similarity.kCenterGreedy]] — coverage-based coreset pick).
+    */
+  def kcenter(s: SparkSession, d: String): DataFrame =
+    Similarity.kCenterGreedy(Tables.embeddings(s, d), k = 8)
+      .orderBy("sel_rank")
+
+  /** Unrolled-CTE DuckDB replay of [[Similarity.kCenterGreedy]]
+    * (the [[mmrOracleSql]] greedy-step discipline): selu_r
+    * accumulates picks, each step takes the max-min-distance row with
+    * the same (mind DESC, vec_id ASC) tie-break, distances on the
+    * shared `un` unit vectors.
+    */
+  def kcenterOracleSql(k: Int = 8): String = {
+    val base =
+      s"""WITH ${Similarity.embeddingsUnSql},
+         |sel1 AS (SELECT vec_id, u, 1 AS rnk, CAST(NULL AS DOUBLE) AS mind
+         |  FROM un ORDER BY vec_id LIMIT 1),
+         |selu1 AS MATERIALIZED (SELECT * FROM sel1)""".stripMargin
+    val steps = (2 to k).map { r =>
+      val p = r - 1
+      s"""sel$r AS (SELECT vec_id, u, $r AS rnk, mind FROM (
+         |  SELECT t.*, row_number() OVER (ORDER BY mind DESC, vec_id ASC)
+         |    AS rn
+         |  FROM (
+         |    SELECT c.vec_id, c.u,
+         |      1 - (SELECT max(list_dot_product(c.u, s.u)) FROM selu$p s)
+         |        AS mind
+         |    FROM un c
+         |    WHERE NOT EXISTS (SELECT 1 FROM selu$p s
+         |                      WHERE s.vec_id = c.vec_id)) t)
+         |  WHERE rn = 1),
+         |selu$r AS MATERIALIZED (
+         |  SELECT * FROM selu$p UNION ALL SELECT * FROM sel$r)""".stripMargin
+    }
+    val select =
+      s"""SELECT CAST(rnk AS BIGINT) AS sel_rank, vec_id,
+         |  round(mind, 6) AS separation
+         |FROM selu$k ORDER BY sel_rank""".stripMargin
+    (base +: steps).mkString(",\n") + "\n" + select
+  }
+
   def mmrOracleSql(k: Int = 10, poolSize: Int = 30,
                    lambda: Double = 0.7): String = {
     val lam = lambda.toString

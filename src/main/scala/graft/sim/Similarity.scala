@@ -643,6 +643,77 @@ object Similarity {
     }
   }
 
+  /** k-center greedy selection (Gonzalez, "Clustering to minimize the
+    * maximum intercluster distance", TCS 1985 — farthest-first
+    * traversal; the 2-approximation behind coreset/coverage-based
+    * training-data pruning, cf. Sener & Savarese, ICLR 2018): seed
+    * with the smallest id, then repeatedly take the point FARTHEST
+    * (cosine distance on unit vectors) from the selected set. Where
+    * [[mmrSelect]] optimizes relevance-diversity per query, this
+    * optimizes pure COVERAGE of the embedding space — the "pick k
+    * maximally spread exemplars" cut.
+    *
+    * Scale shape: the selected set is driver-held model state (k unit
+    * vectors — the [[kmeansCentroids]] discipline), and each round is
+    * ONE distributed pass: the centers ride the plan as array
+    * literals, min-distance is `1 − greatest(dot…)` computed
+    * row-local, and only the single argmax row is collected
+    * (`orderBy(…).limit(1)` → TakeOrderedAndProject, never a full
+    * sort). k rounds × one narrow pass; nothing corpus-sized ever
+    * reaches the driver. Determinism: ties break on smaller id;
+    * output `separation` is BigDecimal-HALF_UP rounded (the
+    * [[mmrSelect]] float-rounding discipline, same standing caveat).
+    *
+    * Output: `(sel_rank, vec_id, separation)` — separation is the
+    * selection-time min distance to the earlier picks (NULL for the
+    * seed), the classic coverage-radius diagnostic curve.
+    */
+  def kCenterGreedy(corpus: DataFrame, k: Int,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, s"need k >= 1: $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cu = withUnit(corpus, vecCol)
+      .select(col(idCol).cast("long").as("id"),
+        col("__unit").cast("array<double>").as("u"))
+    val seed = cu.orderBy(col("id").asc).limit(1).collect()
+    if (seed.isEmpty) return Seq.empty[(Long, Long, Option[Double])]
+      .toDF("sel_rank", "vec_id", "separation")
+    var selected = Vector(
+      (seed(0).getLong(0), seed(0).getSeq[Double](1).toArray,
+        Option.empty[Double]))
+    while (selected.size < k) {
+      val dots = selected.map { case (_, c, _) =>
+        array_dot(col("u"), typedLit(c.toSeq)) }
+      val maxdot = dots.reduce((a, b) => greatest(a, b))
+      val pickedIds = selected.map(_._1)
+      val next = cu.filter(!col("id").isInCollection(pickedIds))
+        .withColumn("mind", lit(1.0) - maxdot)
+        .orderBy(col("mind").desc, col("id").asc).limit(1)
+        .select(col("id"), col("mind"), col("u")).collect()
+      if (next.isEmpty) {
+        // corpus exhausted before k — return what exists
+        return selectedDf(spark, selected)
+      }
+      selected = selected :+ ((next(0).getLong(0),
+        next(0).getSeq[Double](2).toArray,
+        Some(next(0).getDouble(1))))
+    }
+    selectedDf(spark, selected)
+  }
+
+  private def selectedDf(spark: org.apache.spark.sql.SparkSession,
+                         sel: Vector[(Long, Array[Double], Option[Double])])
+  : DataFrame = {
+    import spark.implicits._
+    sel.zipWithIndex.map { case ((id, _, sep), i) =>
+      ((i + 1).toLong, id, sep.map(d =>
+        new java.math.BigDecimal(d)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))
+    }.toDF("sel_rank", "vec_id", "separation")
+  }
+
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     * SIGIR 1998): from each query's top-`poolSize` candidate pool,
     * greedily select `k` items maximizing

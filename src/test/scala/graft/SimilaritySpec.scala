@@ -417,4 +417,31 @@ class SimilaritySpec extends SparkSpec {
       "a dropped vector has no dominating neighbor")
     survivors.unpersist()
   }
+
+  test("kCenterGreedy: farthest-first order, shrinking separation") {
+    import graft.sim.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val k = 6
+    val out = Similarity.kCenterGreedy(emb, k)
+      .orderBy("sel_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.map(_._1).toSeq === (1L to k.toLong))
+    assert(out.map(_._2).distinct.length === k, "picks must be distinct")
+    // seed is the smallest id; its separation is NULL
+    val minId = emb.agg(min("vec_id")).collect()(0).getLong(0)
+    assert(out(0)._2 === minId && out(0)._3.isEmpty)
+    // the coverage radius is non-increasing (farthest-first property)
+    val seps = out.tail.map(_._3.get)
+    assert(seps.forall(_ >= 0.0))
+    seps.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"separation must shrink: $a then $b")
+    case _ => }
+    // rank-2 is the true farthest point from the seed (brute check)
+    val d = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") === minId), k = emb.count().toInt)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3))
+    val farthest = d.minBy { case (id, cos) => (cos, id) }._1
+    assert(out(1)._2 === farthest, "rank 2 must be farthest from seed")
+  }
 }
