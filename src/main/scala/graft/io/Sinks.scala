@@ -38,6 +38,48 @@ object Sinks {
       .parquet(dir)
   }
 
+  /** Parquet sink with COLUMN BLOOM FILTERS on `bloomCols` — the
+    * point-lookup scale lever for columns the layout is NOT sorted or
+    * partitioned by: min/max row-group stats are useless on a
+    * high-cardinality unordered key (every row group spans most of
+    * the domain), but a per-row-group bloom filter lets the reader
+    * skip row groups on equality predicates at ~1 byte/value. The
+    * complement of [[graft.io.Clustering]] (Z-order helps the SORTED
+    * dimensions; blooms cover the keys you didn't sort by) and of the
+    * footer stats index ([[StatsIndex]] — file-level min/max).
+    *
+    * `ndv` sizes each filter (expected distinct values per row
+    * group); parquet-mr derives the bit size from it at the default
+    * 1% false-positive rate. Readers need no cooperation: Spark's
+    * parquet filter pushdown consults the bloom automatically on
+    * `col = literal` scans.
+    *
+    * Dictionary interplay (measured, parquet-mr 1.16): a column chunk
+    * that stays FULLY dictionary-encoded writes NO bloom filter — the
+    * dictionary already answers exact membership. At real scale a
+    * high-cardinality key overflows the dictionary page and falls
+    * back to plain encoding, so blooms appear exactly where they're
+    * needed; but a test-sized chunk would silently produce none, so
+    * `disableDictionary` (default true) forces plain encoding on the
+    * bloom columns to make the behavior scale-independent. Pass false
+    * to keep dictionary encoding and accept per-chunk adaptivity.
+    */
+  def writeParquetBloom(df: DataFrame, dir: String,
+                        bloomCols: Seq[String],
+                        ndv: Long = 100000L,
+                        partitionBy: Seq[String] = Nil,
+                        disableDictionary: Boolean = true): Unit = {
+    var w = df.write.mode("overwrite")
+    bloomCols.foreach { c =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+      if (disableDictionary)
+        w = w.option(s"parquet.enable.dictionary#$c", "false")
+    }
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(dir)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ~`targetFileBytes` files — the standing maintenance op behind
     * every streaming/incremental sink (each micro-batch writes at

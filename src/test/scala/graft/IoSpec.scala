@@ -284,6 +284,52 @@ class IoSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("parquet column bloom filters: written to footers, honored on read") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("bloom_pq").toString + "/t"
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    Sinks.writeParquetBloom(li, dir, Seq("l_orderkey"), ndv = 10000L)
+    // footer-level proof: the row groups carry a bloom filter for the
+    // enabled column and none for the others
+    val conf = spark.sessionState.newHadoopConf()
+    val file = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file.getPath), conf))
+    try {
+      val rg = r.getRowGroups.get(0)
+      val bloomRdr = r.getBloomFilterDataReader(rg)
+      import scala.jdk.CollectionConverters._
+      val byCol = rg.getColumns.asScala
+        .map(c => c.getPath.toDotString -> c).toMap
+      val okBloom = bloomRdr.readBloomFilter(byCol("l_orderkey"))
+      assert(okBloom != null, "l_orderkey must carry a bloom filter")
+      assert(bloomRdr.readBloomFilter(byCol("l_partkey")) == null,
+        "unrequested columns must not pay for a bloom filter")
+      // the filter answers membership: an existing key hits, and at
+      // 1% fpp at least one of a batch of absent keys misses
+      import org.apache.parquet.column.values.bloomfilter.BloomFilter
+      def mightContain(b: BloomFilter, v: Long) =
+        b.findHash(b.hash(v))
+      val present = spark.read.parquet(dir)
+        .agg(min("l_orderkey")).collect()(0).getLong(0)
+      assert(mightContain(okBloom, present))
+      val absentMisses = (1 to 50)
+        .map(i => -1000000L - i)
+        .count(v => !mightContain(okBloom, v))
+      assert(absentMisses > 0, "bloom filter never rejects - not built?")
+    } finally r.close()
+    // read-side correctness under pushdown: equality scan matches
+    val key = li.agg(max("l_orderkey")).collect()(0).getLong(0)
+    val got = spark.read.parquet(dir)
+      .filter(col("l_orderkey") === key).count()
+    val want = li.filter(col("l_orderkey") === key).count()
+    assert(got === want && want > 0)
+  }
+
   test("compact refuses partitioned layouts and crash residue") {
     import spark.implicits._
     // hive-style partition dirs must be refused, not flattened
