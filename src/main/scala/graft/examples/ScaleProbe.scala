@@ -418,6 +418,13 @@ object ScaleProbe {
         time(f"nearDup LSH twin  (x$k%-2d)")(
           graft.sim.Similarity.nearDupPairsLsh(embTwin(k), 0.9,
             bands = 4, rowsPerBand = 16).count())
+        // r8 substring-grain path: covered positions are linear in the
+        // twin corpus (each doc's twin duplicates its windows exactly
+        // once), so span count should scale ~k and wall should stay
+        // shuffle-bound linear — a corpus² term in the gram join would
+        // read as superlinear wall here
+        time(f"duplicatedSpans twin (x$k%-2d)")(
+          graft.dedup.Dedup.duplicatedSpans(docsTwin(k)).count())
       }
     }
     spark.stop()
