@@ -188,10 +188,12 @@ object SyncJob {
     * REMOTE-CONTROLLED input, so the staged name is validated before
     * it ever reaches a filesystem `Path`:
     *
-    *  - a full URL (`scheme://...`) is skipped: content on another
-    *    host has no well-defined key in this mirror (deliberate
-    *    deviation from the reference, whose `urljoin` would fetch it
-    *    and use the whole URL string as the S3 key);
+    *  - a full URL on the SAME scheme+host as the index resolves like
+    *    an absolute path (fetch it, key on the basename); a FOREIGN
+    *    host is skipped — content elsewhere has no well-defined key
+    *    in this mirror (deliberate deviation from the reference,
+    *    whose `urljoin` would fetch any URL and use the whole URL
+    *    string as the S3 key);
     *  - an absolute path (`/pub/x/pr.txt`) resolves against the index
     *    URL's scheme+host — the reference's `urljoin`
     *    (`Task_1_sync_bls_files.py:155`) — and keys the mirror on the
@@ -207,29 +209,51 @@ object SyncJob {
     */
   private[graft] def resolveHref(
       base: String, href: String): Either[String, (String, String)] = {
-    if (href.contains("://"))
-      Left("foreign absolute URL - no key in this mirror")
-    else {
+    val baseUri = java.net.URI.create(base)
+    def sameHost(u: java.net.URI): Boolean =
+      u.getScheme == baseUri.getScheme &&
+        u.getRawAuthority == baseUri.getRawAuthority
+    if (href.contains("://")) {
+      // full URL: same scheme+host resolves like an absolute path
+      // (basename key); anything else has no key in this mirror
+      val u = try java.net.URI.create(href)
+        catch { case _: IllegalArgumentException => return Left("unparseable URL") }
+      if (u.getScheme == null || u.getRawPath == null || !sameHost(u))
+        Left("foreign absolute URL - no key in this mirror")
+      else if (u.getRawQuery != null || u.getRawFragment != null)
+        Left("query/fragment URL - fetch target differs from its key")
+      else {
+        val p = u.getRawPath
+        percentDecode(p.substring(p.lastIndexOf('/') + 1)) match {
+          case None => Left("malformed percent-encoding")
+          case Some(name) => validatedName(name).map(n => (href, n))
+        }
+      }
+    } else {
       val (fetchUrl, rawName) =
         if (href.startsWith("/")) {
           // scheme://authority of the index page + the absolute path
-          val u = java.net.URI.create(base)
-          (s"${u.getScheme}://${u.getRawAuthority}$href",
+          (s"${baseUri.getScheme}://${baseUri.getRawAuthority}$href",
             href.substring(href.lastIndexOf('/') + 1))
         } else (base + href, href)
       percentDecode(rawName) match {
         case None => Left("malformed percent-encoding")
-        case Some(name) =>
-          if (name.isEmpty || name == "." || name == "..")
-            Left("empty or dot-segment name")
-          else if (name.exists(c => c == '/' || c == '\\' || c < ' '))
-            Left("path separator or control char in decoded name")
-          else if (name.exists(c => c == '?' || c == '#'))
-            Left("query/fragment char in name")
-          else Right((fetchUrl, name))
+        case Some(name) => validatedName(name).map(n => (fetchUrl, n))
       }
     }
   }
+
+  /** The staged-key safety gate shared by every [[resolveHref]]
+    * branch: a decoded name must be a plain single-segment file name.
+    */
+  private def validatedName(name: String): Either[String, String] =
+    if (name.isEmpty || name == "." || name == "..")
+      Left("empty or dot-segment name")
+    else if (name.exists(c => c == '/' || c == '\\' || c < ' '))
+      Left("path separator or control char in decoded name")
+    else if (name.exists(c => c == '?' || c == '#'))
+      Left("query/fragment char in name")
+    else Right(name)
 
   /** Decode `%XX` sequences only (URLDecoder also maps `+` to space,
     * which is wrong for path segments); `None` on a malformed escape.

@@ -56,11 +56,18 @@ class IoSpec extends SparkSpec {
     // absolute path: reference urljoin — index host + path, basename key
     assert(SyncJob.resolveHref(base, "/pub/series/pr.class") ===
       Right(("http://host:8080/pub/series/pr.class", "pr.class")))
+    // full URL on the SAME scheme+host: resolves, basename key
+    assert(SyncJob.resolveHref(base, "http://host:8080/pub/pr.full") ===
+      Right(("http://host:8080/pub/pr.full", "pr.full")))
     // remote-controlled traversal and separator shapes must all die
-    // BEFORE any Path construction
+    // BEFORE any Path construction; foreign hosts, scheme/port
+    // mismatches, and query/fragment URLs have no key in this mirror
     for (bad <- Seq("../evil", "a/../../evil", "sub/inner.txt", "..",
         "%2e%2e%2fevil", "a%2fb", "evil%00", "name?C=M;O=A", "n#frag",
-        "http://other.host/x", "%zz", "%2"))
+        "http://other.host/x", "https://host:8080/pub/x",
+        "http://host:9090/pub/x", "http://host:8080/pub/x?d=1",
+        "http://host:8080", "http://host:8080/pub/%2e%2e",
+        "%zz", "%2"))
       assert(SyncJob.resolveHref(base, bad).isLeft, s"must reject: $bad")
     // absolute path whose BASENAME decodes hostile is rejected too
     assert(SyncJob.resolveHref(base, "/pub/%2e%2e").isLeft)
