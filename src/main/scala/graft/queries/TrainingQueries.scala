@@ -50,9 +50,7 @@ object TrainingQueries {
     * Zero shuffles; the model rides the plan as an array literal.
     */
   def qualityLinear(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        graft.text.QualityModel.scoreMicro(col("text")).as("score_micro"))
+    graft.text.QualityModel.scoreDocs(Tables.documents(s, d))
       .withColumn("keep", col("score_micro") > 0)
       .orderBy("doc_id")
 

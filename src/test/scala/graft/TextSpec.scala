@@ -196,5 +196,19 @@ class TextSpec extends SparkSpec {
     val keeps = a.values.count(_ > 0)
     assert(keeps > 0 && keeps < a.size,
       s"placeholder model degenerate: $keeps/${a.size} kept")
+    // the codegen batch shape must be bit-identical to the row-local
+    // fold (integer sums are order-independent) — incl. empty/NULL
+    val edgeDf = Seq((1000000L, Some("")), (1000001L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val viaDocs = QualityModel.scoreDocs(docs.unionByName(
+        edgeDf.select(col("doc_id"),
+          col("text").as("text"),
+          lit("x").as("lang"), lit("x").as("source"),
+          lit(0L).as("n_chars"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDocs.view.filterKeys(a.contains).toMap === a,
+      "scoreDocs must equal scoreMicro on every corpus doc")
+    assert(viaDocs(1000000L) === QualityModel.bias)
+    assert(viaDocs(1000001L) === QualityModel.bias)
   }
 }
