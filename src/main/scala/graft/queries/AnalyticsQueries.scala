@@ -544,14 +544,19 @@ object AnalyticsQueries {
     * pairs by support with full tie-breaks.
     */
   def basket(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val nOrders = li.select("ok").distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    val perPart = li.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
-    val pairs = li.select(col("ok"), col("pk").as("part_a"))
-      .join(li.select(col("ok"), col("pk").as("part_b")), Seq("ok"))
+    // r8: the same basket-array discipline as [[itemSim]] — ONE
+    // raw-lineitem shuffle builds the per-order part sets, and
+    // order-count, per-part count, and pair occurrences all derive
+    // from that lineage (the exchange is reused, not recomputed),
+    // replacing the old distinct + self-join's extra exchanges. No
+    // post-aggregate width pin here, unlike itemSim: downstream is
+    // two broadcast probes + TakeOrdered over the pair aggregate,
+    // cheap enough that AQE's coalesce is harmless.
+    val bk = baskets(s, d)
+    val nOrders = bk.agg(count(lit(1)).as("n_orders"))
+    val perPart = bk.select(explode(col("parts")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
+    val pairs = pairsFromBaskets(bk)
       .filter(col("part_a") < col("part_b"))
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_pair"))
