@@ -118,6 +118,7 @@ object SparkEntry {
     "q_chunks"         -> (TrainingQueries.chunks _),
     "q_redact"         -> (TrainingQueries.redact _),
     "q_curate"         -> (TrainingQueries.curate _),
+    "q_curate_v2"      -> (TrainingQueries.curateV2 _),
     "q_dedup_clusters" -> (TrainingQueries.dedupClusters _),
     "q_dedup_reps"     -> (TrainingQueries.dedupReps _),
     "q_cluster_sample" -> (TrainingQueries.clusterSample _),
@@ -852,6 +853,7 @@ object SparkEntry {
         |ORDER BY doc_id, span_start""".stripMargin,
     "q_dedup_simhash" -> graft.dedup.XxHashSql.simhashOracleSql(),
     "q_quality_linear" -> graft.text.QualityModel.oracleSql,
+    "q_curate_v2" -> graft.queries.TrainingQueries.curateV2OracleSql(),
     // removal pass: same string-grouped cover as q_substr_spans, then
     // drop every token under a duplicated window and rebuild the text
     "q_substr_clean" ->

@@ -114,4 +114,49 @@ object TrainingPipeline {
       .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens",
         "lang_pred", "quality_score", "split")
   }
+
+  /** Curation v2 — the r8 operator stack composed end to end:
+    *
+    *   hashed-ngram CLASSIFIER filter ([[graft.text.QualityModel]],
+    *   the trained-model stage that replaces [[curate]]'s heuristic)
+    *   → substring-duplication REMOVAL
+    *     ([[Dedup.removeDuplicatedSpans]] — drop shared boilerplate
+    *     INSIDE surviving docs, the cleanup document-grain dedup
+    *     can't do)
+    *   → exact dedup on the CLEANED text (removal can make
+    *     previously-distinct docs identical — deduping after it
+    *     catches those; keyed on the cleaned fingerprint)
+    *   → sliding-window chunking.
+    *
+    * Every stage is an individually-oracled operator, so the whole
+    * composition carries an exact DuckDB oracle (q_curate_v2) —
+    * integer classifier scores, integer removal counts, and
+    * string-exact chunk reconstruction end to end. Scale properties
+    * compose as in [[curate]]: the classifier is one doc-keyed
+    * partial aggregate, the cover is gram-hash-keyed, removal and
+    * chunking are per-doc bounded, the dedup is one fingerprint
+    * shuffle.
+    *
+    * `minCleanTokens` drops docs that are mostly duplicated material
+    * (origin tokens − removed < threshold) — the "boilerplate shell"
+    * class. Output: `(doc_id, chunk_id, chunk_text, chunk_tokens,
+    * score_micro, n_tokens_removed)`.
+    */
+  def curateV2(docs: DataFrame, k: Int = 5, minCleanTokens: Int = 8,
+               chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    import graft.text.QualityModel
+    val kept = QualityModel.scoreDocs(docs)
+      .filter(col("score_micro") > 0)
+      .withColumn("__n_orig", size(TextAnalysis.tokens(col("text"))))
+    val cleaned = Dedup.removeDuplicatedSpans(kept, k)
+      .join(kept.select(col("doc_id"), col("score_micro"),
+        col("__n_orig")), Seq("doc_id"))
+      .filter(col("__n_orig") - col("n_tokens_removed") >= minCleanTokens)
+    val deduped = Dedup.exact(cleaned, textCol = "clean_text")
+      .drop("fp", "__n_orig")
+    TextAnalysis.chunkTokens(deduped, chunkSize, stride,
+        textCol = "clean_text")
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+        col("chunk_tokens"), col("score_micro"), col("n_tokens_removed"))
+  }
 }

@@ -51,7 +51,8 @@ object TrainingQueries {
     */
   def qualityLinear(s: SparkSession, d: String): DataFrame =
     graft.text.QualityModel.scoreDocs(Tables.documents(s, d))
-      .withColumn("keep", col("score_micro") > 0)
+      .select(col("doc_id"), col("score_micro"),
+        (col("score_micro") > 0).as("keep"))
       .orderBy("doc_id")
 
   /** MinHash-LSH candidate pairs, similarity-estimated. Hash functions
@@ -643,6 +644,94 @@ object TrainingQueries {
     * into every unrolled step and exhausts file handles re-opening
     * the parquet scan.
     */
+  /** Curation v2 over documents ([[TrainingPipeline.curateV2]] — the
+    * r8 stack: classifier filter → substring removal → cleaned-text
+    * exact dedup → chunking).
+    */
+  def curateV2(s: SparkSession, d: String): DataFrame =
+    TrainingPipeline.curateV2(Tables.documents(s, d))
+      .orderBy("doc_id", "chunk_id")
+
+  /** End-to-end exact oracle for [[curateV2]]: the
+    * [[graft.text.QualityModel.scoreCtesSql]] replay feeds the
+    * string-grouped substring cover (q_substr_clean's discipline),
+    * the cleaned-fingerprint dedup window, and the chunk
+    * reconstruction — every stage the exact replay of its
+    * already-oracled operator, composed.
+    */
+  def curateV2OracleSql(k: Int = 5, minCleanTokens: Int = 8,
+                        chunkSize: Int = 32, stride: Int = 24): String = {
+    import graft.text.QualityModel
+    import graft.dedup.XxHashSql
+    val bias = QualityModel.bias
+    s"""${XxHashSql.macros}
+       |WITH ${QualityModel.scoreCtesSql},
+       |keptq AS (
+       |  SELECT d.doc_id, d.text,
+       |    CAST($bias + coalesce(s.dot, 0) AS BIGINT) AS score_micro
+       |  FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+       |  WHERE $bias + coalesce(s.dot, 0) > 0),
+       |w2 AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM keptq),
+       |pos2 AS (
+       |  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+       |    SELECT doc_id, unnest(
+       |      [{'pos': i,
+       |        'g': array_to_string(list_slice(w, i, i+${k - 1}), ' ')}
+       |       for i in range(1, len(w) - $k + 2)]) AS u
+       |    FROM w2)),
+       |dup2 AS (SELECT g FROM pos2 GROUP BY g HAVING count(*) >= 2),
+       |cov2 AS (SELECT doc_id, pos FROM pos2
+       |         WHERE g IN (SELECT g FROM dup2)),
+       |remtok2 AS (SELECT DISTINCT doc_id, j FROM (
+       |  SELECT doc_id, unnest([pos + i for i in range(0, $k)]) AS j
+       |  FROM cov2)),
+       |rem2 AS (SELECT doc_id, list(j) AS remlist, count(*) AS nrem
+       |         FROM remtok2 GROUP BY 1),
+       |cleaned AS (
+       |  SELECT q.doc_id, q.score_micro,
+       |    CAST(coalesce(r.nrem, 0) AS BIGINT) AS n_tokens_removed,
+       |    coalesce(array_to_string([t.w[i] for i in range(1, len(t.w) + 1)
+       |      if NOT list_contains(coalesce(r.remlist, []), i)], ' '), '')
+       |      AS clean_text,
+       |    len(t.w) - coalesce(r.nrem, 0) AS n_clean
+       |  FROM keptq q
+       |  JOIN w2 t USING (doc_id)
+       |  LEFT JOIN rem2 r USING (doc_id)),
+       |survivors AS (
+       |  SELECT * FROM cleaned WHERE n_clean >= $minCleanTokens),
+       |exd AS (
+       |  SELECT doc_id, score_micro, n_tokens_removed, clean_text FROM (
+       |    SELECT sv.*, row_number() OVER (
+       |      PARTITION BY md5(regexp_replace(lower(trim(clean_text)),
+       |        '\\s+', ' ', 'g'))
+       |      ORDER BY doc_id) AS rn FROM survivors sv) WHERE rn = 1),
+       |ncv AS (
+       |  SELECT doc_id, score_micro, n_tokens_removed,
+       |    regexp_split_to_array(trim(clean_text), '\\s+') AS w,
+       |    CASE WHEN len(regexp_split_to_array(trim(clean_text), '\\s+'))
+       |        <= $chunkSize THEN 1
+       |      ELSE (len(regexp_split_to_array(trim(clean_text), '\\s+'))
+       |        - $chunkSize + ${stride - 1}) // $stride + 1 END
+       |      AS n_chunks
+       |  FROM exd),
+       |cv AS (
+       |  SELECT doc_id, score_micro, n_tokens_removed, len(w) AS n,
+       |    unnest([{ci: i,
+       |      txt: array_to_string(
+       |        w[(i*$stride+1):(i*$stride+$chunkSize)], ' ')}
+       |      for i in range(0, n_chunks)]) AS ch
+       |  FROM ncv)
+       |SELECT doc_id, CAST(ch.ci AS BIGINT) AS chunk_id,
+       |  ch.txt AS chunk_text,
+       |  CAST(least($chunkSize, n - ch.ci * $stride) AS BIGINT)
+       |    AS chunk_tokens,
+       |  score_micro, n_tokens_removed
+       |FROM cv
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   /** k-center greedy exemplar selection over embeddings
     * ([[Similarity.kCenterGreedy]] — coverage-based coreset pick).
     */

@@ -98,7 +98,7 @@ object QualityModel {
     * wire). Docs with no features — empty OR NULL text — score
     * exactly `bias` via the left join.
     *
-    * Output: input's `idCol` plus `score_micro`.
+    * Output: the input's columns plus `score_micro`.
     */
   def scoreDocs(df: org.apache.spark.sql.DataFrame,
                 textCol: String = "text",
@@ -113,10 +113,10 @@ object QualityModel {
       .select(col(idCol), bucketWeight(wLit, col("__t")).as("__w"))
       .groupBy(idCol)
       .agg(sum("__w").as("__dot"))
-    df.select(col(idCol))
-      .join(dots, Seq(idCol), "left")
-      .select(col(idCol),
-        (coalesce(col("__dot"), lit(0L)) + lit(bias)).as("score_micro"))
+    df.join(dots, Seq(idCol), "left")
+      .withColumn("score_micro",
+        coalesce(col("__dot"), lit(0L)) + lit(bias))
+      .drop("__dot")
   }
 
   /** Keep decision at the conventional 0 threshold (monotone in the
@@ -133,7 +133,22 @@ object QualityModel {
   def oracleSql: String = {
     import graft.dedup.XxHashSql
     s"""${XxHashSql.macros}
-       |WITH tok AS (
+       |WITH $scoreCtesSql
+       |SELECT d.doc_id,
+       |  CAST($bias + coalesce(s.dot, 0) AS BIGINT) AS score_micro,
+       |  ($bias + coalesce(s.dot, 0)) > 0 AS keep
+       |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** The WITH-body fragment behind [[oracleSql]] — `scored(doc_id,
+    * dot)` over the documents table — so composite-pipeline oracles
+    * (q_curate_v2) reuse the identical scoring replay. Requires the
+    * XXH64 macro prelude to have been installed.
+    */
+  def scoreCtesSql: String = {
+    import graft.dedup.XxHashSql
+    s"""tok AS (
        |  SELECT doc_id, list_filter(
        |    regexp_split_to_array(lower(trim(text)), '\\s+'),
        |    t -> t != '') AS w
@@ -150,11 +165,6 @@ object QualityModel {
        |  SELECT f.doc_id,
        |    sum(list_extract($weightsSqlList,
        |      CAST(th.h % $Dim AS BIGINT) + 1)) AS dot
-       |  FROM feats f JOIN th ON th.t = f.t GROUP BY 1)
-       |SELECT d.doc_id,
-       |  CAST($bias + coalesce(s.dot, 0) AS BIGINT) AS score_micro,
-       |  ($bias + coalesce(s.dot, 0)) > 0 AS keep
-       |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
-       |ORDER BY d.doc_id""".stripMargin
+       |  FROM feats f JOIN th ON th.t = f.t GROUP BY 1)""".stripMargin
   }
 }

@@ -205,6 +205,7 @@ class TextSpec extends SparkSpec {
           col("text").as("text"),
           lit("x").as("lang"), lit("x").as("source"),
           lit(0L).as("n_chars"))))
+      .select("doc_id", "score_micro")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaDocs.view.filterKeys(a.contains).toMap === a,
       "scoreDocs must equal scoreMicro on every corpus doc")

@@ -122,4 +122,35 @@ class TrainingPipelineSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     got.foreach { case (doc, n) => assert(n === want(doc), s"doc $doc") }
   }
+
+  test("curateV2: classifier gate, removal accounting, chunk coverage") {
+    import graft.queries.TrainingPipeline
+    import graft.text.QualityModel
+    val docs = graft.io.Tables.documents(spark, sfDir)
+    val out = TrainingPipeline.curateV2(docs).collect()
+    assert(out.nonEmpty, "v2 pipeline must yield chunks")
+    // every surviving doc passed the classifier (scores are carried
+    // through unchanged — cross-check against direct scoring)
+    val scores = QualityModel.scoreDocs(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("score_micro")).toMap
+    out.foreach { r =>
+      val (doc, s) = (r.getLong(0), r.getAs[Long]("score_micro"))
+      assert(s > 0 && s === scores(doc), s"doc $doc score")
+    }
+    // chunk accounting per doc: windows tile the cleaned token count
+    // (last chunk truncated, stride 24 / size 32)
+    out.groupBy(_.getLong(0)).foreach { case (doc, rows) =>
+      val byId = rows.sortBy(_.getAs[Long]("chunk_id"))
+      val last = byId.last
+      val nClean = last.getAs[Long]("chunk_id") * 24 +
+        last.getAs[Long]("chunk_tokens")
+      byId.init.foreach(r =>
+        assert(r.getAs[Long]("chunk_tokens") === 32L,
+          s"doc $doc non-final chunk must be full"))
+      assert(nClean >= 8, s"doc $doc below the min-clean-tokens floor")
+    }
+    // the pipeline actually attrites (filters + dedup are live)
+    assert(out.map(_.getLong(0)).distinct.length < docs.count())
+  }
 }
