@@ -1,0 +1,90 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesize an sf1-shaped dataset (10× sf0.1) for the decade bench
+  * leg: every table replicated with DISJOINT key ranges — and, for
+  * the similarity-bearing tables, per-replica salting — so operator
+  * COST scales honestly instead of being distorted by artificial
+  * cross-replica duplicates:
+  *
+  *  - relational keys (orders/lineitem/customer/supplier/part,
+  *    events users) shift by replica, so join/group cardinalities
+  *    scale ×10 like real data;
+  *  - document text is token-salted per replica (the ScaleProbe twin
+  *    discipline): each replica keeps the base corpus's own
+  *    intra-replica near-dups (true-dup volume scales ×10, linear),
+  *    but no cross-replica pairs exist — an exact copy ×10 would make
+  *    the true pair set quadratic and every dedup query's cost
+  *    unrepresentative;
+  *  - embeddings get a deterministic per-replica sign pattern, same
+  *    rationale;
+  *  - region/nation are fixed dimensions (25/5 rows) at every scale,
+  *    exactly like TPC-H.
+  *
+  * Usage: `sbt "runMain graft.examples.MakeSf1 [outDir]"`, then
+  * `SPARK_GRAFT_SF_DIR=outDir sbt "runMain graft.Bench"`.
+  */
+object MakeSf1 {
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val out = args.headOption.getOrElse("/tmp/graft_sf1")
+    val reps = 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def load(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def save(df: DataFrame, t: String) =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    def repl(t: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
+      val base = load(t)
+      save((0 until reps).map(i => shift(base, i)).reduce(_ unionByName _), t)
+      println(s"[make-sf1] $t x$reps")
+    }
+
+    // fixed dims
+    for (t <- Seq("region", "nation")) { save(load(t), t); println(s"[make-sf1] $t (fixed dim)") }
+
+    val C = 10000000L // key stride, beyond every sf0.1 key range
+    repl("customer")((df, i) => df
+      .withColumn("c_custkey", col("c_custkey") + lit(i * C))
+      .withColumn("c_name", concat(col("c_name"), lit(s"#r$i"))))
+    repl("supplier")((df, i) => df
+      .withColumn("s_suppkey", col("s_suppkey") + lit(i * C))
+      .withColumn("s_name", concat(col("s_name"), lit(s"#r$i"))))
+    repl("part")((df, i) => df
+      .withColumn("p_partkey", col("p_partkey") + lit(i * C))
+      .withColumn("p_name", concat(col("p_name"), lit(s"#r$i"))))
+    repl("orders")((df, i) => df
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * C))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * C)))
+    repl("lineitem")((df, i) => df
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * C))
+      .withColumn("l_partkey", col("l_partkey") + lit(i * C))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(i * C)))
+    repl("events")((df, i) => df
+      .withColumn("event_id", col("event_id") + lit(i * C))
+      .withColumn("user_id", col("user_id") + lit(i * C)))
+    repl("documents")((df, i) => df
+      .withColumn("doc_id", col("doc_id") + lit(i * C))
+      // per-replica token salt: shingles never collide across replicas
+      .withColumn("text", when(col("text").isNotNull, concat_ws(" ",
+        transform(split(col("text"), " "),
+          t => concat(t, lit(s"~$i"))))))
+      .withColumn("n_chars", length(coalesce(col("text"), lit("")))))
+    repl("embeddings")((df, i) => df
+      .withColumn("vec_id", col("vec_id") + lit(i * C))
+      .withColumn("embedding", expr(
+        s"transform(embedding, (x, j) -> " +
+          s"CASE WHEN pmod(hash($i, j), 2) = 0 THEN -x ELSE x END)")))
+
+    println(s"[make-sf1] wrote $out")
+    spark.stop()
+  }
+}
