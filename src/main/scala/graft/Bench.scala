@@ -287,9 +287,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
     val split = sys.env.get("SPARK_GRAFT_SPLIT_COPY").exists(_ == "1")
+    // shuffle width defaults to the thread count (the harness contract)
+    // but can be scaled independently for scale-factor legs: the §12
+    // sf1 probe runs with partitions sized to the data, not the box,
+    // exactly as a real deployment would
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       // SURVEY §4: coercion parity with the reference (errors='coerce')
       .config("spark.sql.ansi.enabled", "false")

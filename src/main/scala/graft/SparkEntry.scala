@@ -2260,8 +2260,8 @@ object SparkEntry {
     "q_boilerplate" ->
       """WITH n AS (
         |  SELECT DISTINCT source, substr(lower(
-        |    regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), 1, 40)
-        |    AS pfx
+        |    regexp_replace(substr(text, 1, 200),
+        |      '[^a-zA-Z0-9]+', ' ', 'g')), 1, 40) AS pfx
         |  FROM documents)
         |SELECT a.source AS source_a, b.source AS source_b,
         |  count(*) AS n_shared

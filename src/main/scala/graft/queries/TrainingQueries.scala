@@ -1954,14 +1954,35 @@ object TrainingQueries {
     * product.
     */
   def boilerplate(s: SparkSession, d: String): DataFrame = {
+    // r8 (sf1-leg finding): normalize a BOUNDED 200-char raw prefix,
+    // not the whole document. Spark's regexp_replace costs ~2 µs/char
+    // (~20× a raw java matcher — measured, jstack-confirmed inside
+    // the codegen'd agg stage), so keying a 40-char prefix off the
+    // full text made this query's cost grow with DOCUMENT LENGTH for
+    // no semantic gain; bounding the input makes it O(1) per doc.
+    // 200 raw chars yield the full 40 normalized chars unless >160 of
+    // them are separators — and a boilerplate PREFIX lives at the
+    // start by definition.
     val pfx = substring(lower(
-      regexp_replace(col("text"), "[^a-zA-Z0-9]+", " ")), 1, 40)
-    val sf = Tables.documents(s, d)
+      regexp_replace(substring(col("text"), 1, 200),
+        "[^a-zA-Z0-9]+", " ")), 1, 40)
+    // pair expansion from the per-prefix SOURCE SET (the basket-array
+    // discipline): the old pfx-keyed self-join recomputed the whole
+    // scan+regex+distinct lineage once per side; this shape pays it
+    // once, and the in-place expansion is bounded by |sources|² per
+    // prefix — a handful, never corpus-shaped
+    Tables.documents(s, d)
       .select(col("source"), pfx.as("pfx")).distinct()
-    sf.as("a").join(sf.as("b"),
-        col("a.pfx") === col("b.pfx") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"),
-        col("b.source").as("source_b"))
+      .groupBy(col("pfx"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(srcs, (x, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)),
+          |    y -> struct(x AS source_a, y AS source_b))))"""
+          .stripMargin)).as("pr"))
+      .groupBy(col("pr.source_a").as("source_a"),
+        col("pr.source_b").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("source_a", "source_b")
   }
