@@ -246,7 +246,12 @@ object XxHashSql {
     * pairs. Every stage replays the Spark pipeline op-for-op on
     * integers, so the oracle is exact.
     */
-  def simhashOracleSql(maxHamming: Int = 3, maxBucket: Int = 256): String = {
+  /** Shared CTE chain `toksrc → … → sig`: per-doc 64-bit SimHash
+    * signatures replayed op-for-op in DuckDB (whitespace tokens, XXH64
+    * per token, per-bit majority `2·count > n`). Callers append their
+    * own CTEs after a comma and must prepend [[macros]].
+    */
+  private def simhashSigCtes(seed: Long = 42L): String = {
     val bTerms = (0 until 64)
       .map(j => s"sum(CAST((h >> $j) & 1 AS BIGINT)) AS b$j")
       .mkString(",\n  ")
@@ -254,19 +259,23 @@ object XxHashSql {
       .map(j => s"CASE WHEN 2*b$j > n THEN CAST(${java.lang.Long
         .toUnsignedString(1L << j)} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END")
       .mkString("\n    + ")
-    s"""$macros
-       |WITH toksrc AS (
+    s"""WITH toksrc AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
        |  FROM documents),
        |toks AS (SELECT DISTINCT t FROM toksrc),
-       |${hashCtes(42L)},
+       |${hashCtes(seed)},
        |hb AS (SELECT s.doc_id, th.h FROM toksrc s JOIN th USING (t)),
        |cnt AS (SELECT doc_id, count(*) AS n,
        |  $bTerms
        |  FROM hb GROUP BY doc_id),
        |sig AS (SELECT doc_id,
        |  ($sTerms) AS s
-       |  FROM cnt),
+       |  FROM cnt)""".stripMargin
+  }
+
+  def simhashOracleSql(maxHamming: Int = 3, maxBucket: Int = 256): String = {
+    s"""$macros
+       |${simhashSigCtes()},
        |blocked AS (
        |  SELECT doc_id, s, b AS block,
        |    CAST((s >> CAST(b*16 AS INTEGER)) & 65535 AS BIGINT) AS bkey
@@ -281,4 +290,28 @@ object XxHashSql {
        |WHERE bit_count(xor(a.s, b.s)) <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** Oracle for `q_stream_neardup`: per-lang counts of docs that are
+    * within `maxHamming` of some EARLIER (smaller doc_id) doc sharing
+    * a 16-bit band — the exact relation
+    * [[graft.stream.Streams.nearDupBands]] materializes when arrival
+    * is id-ordered. No bucket-size filter (the streaming operator's
+    * `maxBucket` is a loud guard, not a semantic).
+    */
+  def streamNearDupOracleSql(maxHamming: Int = 3): String =
+    s"""$macros
+       |${simhashSigCtes()},
+       |blocked AS (
+       |  SELECT doc_id, s, b AS block,
+       |    CAST((s >> CAST(b*16 AS INTEGER)) & 65535 AS BIGINT) AS bkey
+       |  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+       |dup AS (SELECT DISTINCT b.doc_id
+       |  FROM blocked a JOIN blocked b
+       |    ON a.block = b.block AND a.bkey = b.bkey
+       |   AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.s, b.s)) <= $maxHamming)
+       |SELECT d.lang, count(*) AS n_docs,
+       |  CAST(count(dup.doc_id) AS BIGINT) AS n_neardup
+       |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 }

@@ -384,6 +384,30 @@ object FuncQueries {
     s.table(sink).orderBy("lang")
   }
 
+  /** Streaming SimHash NEAR-dup at ingest ([[graft.stream.Streams
+    * .nearDupBands]]): row-local signatures on the stream, band-keyed
+    * `flatMapGroupsWithState`, band hits OR-ed per doc, rolled up per
+    * lang. AvailableNow over one landing set = one id-ordered batch,
+    * so the emitted relation equals the oracle's
+    * "∃ earlier doc in a shared band within Hamming ≤ 3" self-join
+    * ([[graft.dedup.XxHashSql.streamNearDupOracleSql]]).
+    */
+  def streamNearDup(s: SparkSession, d: String): DataFrame = {
+    val sink = "graft_stream_neardup"
+    implicit val sp: SparkSession = s
+    val hits = graft.stream.Streams.nearDupBands(
+      streamTable(s, d, "documents"))
+    graft.stream.Streams.runAvailableNow(hits.toDF(), sink)
+    val dup = s.table(sink).select("doc_id").distinct()
+      .withColumn("__dup", lit(1L))
+    Tables.documents(s, d)
+      .join(broadcast(dup), Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("__dup"), lit(0L)).as("n_neardup"))
+      .orderBy("lang")
+  }
+
   def slidingHourly(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))

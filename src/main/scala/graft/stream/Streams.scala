@@ -321,6 +321,94 @@ object Streams {
       }
   }
 
+  /** One stored signature in a band bucket's state. */
+  case class BandSig(doc_id: Long, sig: Long)
+
+  /** Per-band state of [[nearDupBands]]: every signature this bucket
+    * has seen, newest first.
+    */
+  case class BandBuf(sigs: List[BandSig])
+
+  /** A band-level near-dup hit: `doc_id` matched some earlier doc in
+    * `block` at Hamming distance `hamming` (the minimum over the
+    * bucket). A doc can hit in up to 4 bands; consumers OR per doc.
+    */
+  case class BandHit(doc_id: Long, block: Int, hamming: Int)
+
+  /** STREAMING SimHash near-dup — ingest-time filtering, the streaming
+    * leg of the batch [[graft.dedup.Dedup.simhashPairs]] relation.
+    *
+    * Shape: each doc is stamped with its row-local signature
+    * ([[graft.dedup.Dedup.simhashRow]] — no shuffle on the stream
+    * side), exploded into 4 × 16-bit band keys (Manku et al., WWW
+    * 2007: any pair within Hamming ≤ 3 of a 64-bit key shares at least
+    * one exact 16-bit block), and routed through
+    * `flatMapGroupsWithState` keyed on (block, band key). Each band
+    * bucket's state is the list of signatures it has seen; a doc is
+    * emitted as a [[BandHit]] iff some EARLIER doc in the bucket lies
+    * within `maxHamming`. "Earlier" = smaller `doc_id`: rows are
+    * folded in `doc_id` order within each batch, so with id-ordered
+    * arrival (one AvailableNow batch, or an id-ordered landing
+    * sequence) the emitted relation is EXACTLY
+    * `∃ w: w.doc_id < d.doc_id ∧ sameBand ∧ hamming(w, d) ≤ maxHamming`
+    * — SQL-replayable, which is what the DuckDB oracle for
+    * `q_stream_neardup` checks. Docs are added to state whether or
+    * not they matched (the relation is "close to any earlier doc",
+    * not greedy-kept-set).
+    *
+    * Scale: state shards across the cluster by band key like any
+    * keyed shuffle; a bucket holds only docs agreeing on 16 exact
+    * bits, so bucket size tracks true near-dup density, not corpus
+    * size. The per-bucket compare is O(|bucket|) per doc; `maxBucket`
+    * is a LOUD guard (fail, not silently degrade) against degenerate
+    * corpora — a bucket that hot means mega-cluster content that
+    * exact dedup should have removed upstream.
+    */
+  def nearDupBands(docs: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 8192,
+                   textCol: String = "text", idCol: String = "doc_id")
+                  (implicit spark: SparkSession)
+  : org.apache.spark.sql.Dataset[BandHit] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val sigs = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      graft.dedup.Dedup.simhashRow(col(textCol)).as("sig"))
+    val bands = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("block"))
+      .withColumn("bkey",
+        call_function("shiftright", col("sig"), col("block") * lit(16))
+          .bitwiseAND(lit(65535L)))
+      .as[(Long, Long, Int, Long)]
+    bands
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[BandBuf, BandHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((block, _), rows, state) =>
+          var seen = state.getOption.map(_.sigs).getOrElse(Nil)
+          val hits = List.newBuilder[BandHit]
+          // doc_id order within the batch => deterministic, and equal
+          // to global id order when arrival is id-ordered
+          for ((docId, sig, _, _) <- rows.toSeq.sortBy(_._1)) {
+            var best = Int.MaxValue
+            seen.foreach { p =>
+              val h = java.lang.Long.bitCount(p.sig ^ sig)
+              if (h < best) best = h
+            }
+            if (best <= maxHamming) hits += BandHit(docId, block, best)
+            seen = BandSig(docId, sig) :: seen
+          }
+          require(seen.size <= maxBucket,
+            s"nearDupBands: band bucket (block=$block) holds " +
+              s"${seen.size} > maxBucket=$maxBucket signatures — " +
+              "degenerate near-identical corpus; run exact dedup " +
+              "upstream or raise maxBucket")
+          state.update(BandBuf(seen))
+          hits.result().iterator
+      }
+  }
+
   /** The reference's recompute-per-file semantics: every micro-batch
     * triggers a full re-run of `recompute` over the batch (stream side)
     * and whatever static state the report joins against.

@@ -139,6 +139,22 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"simhash recall $recall over ${truth.size}")
   }
 
+  test("simhashRow equals the batch simhash bit-for-bit (incl. edges)") {
+    import spark.implicits._
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val edges = Seq((9000001L, null.asInstanceOf[String]),
+      (9000002L, ""), (9000003L, "   "), (9000004L, "one"))
+      .toDF("doc_id", "text")
+    val df = real.unionByName(edges)
+    val batch = Dedup.simhash(df).select(col("doc_id"), col("simhash"))
+    val row = df.select(col("doc_id"),
+      Dedup.simhashRow(col("text")).as("rowsig"))
+    val diff = batch.join(row, "doc_id")
+      .filter(col("simhash") =!= col("rowsig")).count()
+    assert(diff === 0L, "row-local and batch SimHash disagree")
+  }
+
   test("duplicatedSpans: cross-doc shares, self-repetition, clean docs") {
     import spark.implicits._
     val docs = Seq(

@@ -254,6 +254,71 @@ class StreamsSpec extends SparkSpec {
       "streaming fold must equal the batch aggregate's serial pass")
   }
 
+  test("nearDupBands single batch equals the earlier-doc band relation") {
+    import spark.implicits._
+    implicit val s = spark
+    import graft.dedup.Dedup
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val dir = Files.createTempDirectory("neardup_landing").toString
+    real.coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val hits = Streams.nearDupBands(Streams.fileSource(spark, dir, schema))
+    Streams.runAvailableNow(hits.toDF(), "neardup_stream_test")
+    val streamed = spark.table("neardup_stream_test")
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    // the SQL-replayable relation, computed in batch from the same
+    // row-local signatures: exists an earlier doc sharing a 16-bit
+    // band within hamming <= 3
+    val blocked = real
+      .select(col("doc_id"), Dedup.simhashRow(col("text")).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("block"))
+      .withColumn("bkey", expr("(sig >> (block * 16)) & 65535"))
+    val expected = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.block") === col("b.block") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(expr("bit_count(a.sig ^ b.sig) <= 3"))
+      .select(col("b.doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty, "fixture has no near-dups — vacuous test")
+    assert(streamed === expected)
+  }
+
+  test("nearDupBands: state persists across micro-batches; guard is loud") {
+    import spark.implicits._
+    implicit val s = spark
+    val dir = Files.createTempDirectory("neardup_batches").toString
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq((1L, text), (2L, text), (3L, "totally unrelated words " +
+      "nothing shared with the other documents at all"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/f1")
+    Thread.sleep(1100) // distinct mtimes -> deterministic batch order
+    Seq((4L, text)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/f2")
+    val schema = spark.read.parquet(s"$dir/f1").schema
+    val hits = Streams.nearDupBands(Streams.fileSource(
+      spark, s"$dir/*", schema, maxFilesPerTrigger = Some(1)))
+    Streams.runAvailableNow(hits.toDF(), "neardup_batches_test")
+    val flagged = spark.table("neardup_batches_test")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    // doc 2 matches doc 1 within batch 1; doc 4 (batch 2) matches ONLY
+    // via state carried over from batch 1
+    assert(flagged === Set(2L, 4L))
+    // loud guard: a bucket over maxBucket must fail, not degrade
+    val boom = intercept[Exception] {
+      val h2 = Streams.nearDupBands(Streams.fileSource(
+        spark, s"$dir/*", schema), maxBucket = 2)
+      Streams.runAvailableNow(h2.toDF(), "neardup_guard_test")
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else t.getMessage :: msgs(t.getCause)
+    assert(msgs(boom).exists(m => m != null && m.contains("maxBucket")))
+  }
+
   test("flatMapGroupsWithState emits each closed session exactly once") {
     import spark.implicits._
     implicit val s = spark
