@@ -199,6 +199,7 @@ object SparkEntry {
     "q_stream_sessions" -> (FuncQueries.streamSessions _),
     "q_stream_dedup"   -> (FuncQueries.streamDedup _),
     "q_stream_neardup" -> (FuncQueries.streamNearDup _),
+    "q_stream_curate"  -> (FuncQueries.streamCurate _),
     "q_stream_join"    -> (FuncQueries.streamJoin _),
     "q_streaks"        -> (AnalyticsQueries.streaks _),
     "q_dow_seasonality" -> (AnalyticsQueries.dowSeasonality _),
@@ -2129,6 +2130,7 @@ object SparkEntry {
       """SELECT lang, count(DISTINCT md5(text)) AS n_unique
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_neardup" -> graft.dedup.XxHashSql.streamNearDupOracleSql(),
+    "q_stream_curate" -> graft.dedup.XxHashSql.streamCurateOracleSql(),
     "q_stream_join" ->
       """SELECT c.user_id, c.event_id AS l_id, p.event_id AS r_id,
         |  epoch_us(c.ts) AS l_ts_us, epoch_us(p.ts) AS r_ts_us

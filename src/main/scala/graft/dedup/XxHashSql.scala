@@ -66,19 +66,22 @@ object XxHashSql {
        |      SELECT xx_mul(xor(CAST(h0 AS UBIGINT), CAST(h0 AS UBIGINT) >> 33),
        |                    CAST($P2 AS UBIGINT)) AS h1)));""".stripMargin
 
-  /** CTE chain hashing every row of an upstream CTE `toks(t)` (ASCII
-    * strings) to `th(t, h UBIGINT)` = XXH64(bytes(t), `seed`).
-    * Stages: xb (byte list), xst (32-byte stripe accumulators via
-    * list_reduce with the init state as the fold's first element),
+  /** CTE chain hashing every row of an upstream CTE `${p}toks(t)`
+    * (ASCII strings) to `${p}th(t, h UBIGINT)` = XXH64(bytes(t),
+    * `seed`). Stages: xb (byte list), xst (32-byte stripe accumulators
+    * via list_reduce with the init state as the fold's first element),
     * xh0 (stripe merge or short-input init), xh8/xh4 (8- and 4-byte
-    * tails), th (1-byte tail + avalanche).
+    * tails), th (1-byte tail + avalanche). `p` prefixes every CTE name
+    * so TWO independent hash chains can live in one WITH clause (the
+    * composite curation oracle hashes quality features AND simhash
+    * tokens).
     */
-  def hashCtes(seed: Long): String =
-    s"""xb AS (SELECT t,
+  def hashCtes(seed: Long, p: String = ""): String =
+    s"""${p}xb AS (SELECT t,
        |  [CAST(unicode(t[i]) AS UBIGINT) for i in range(1, len(t)+1)] AS bs,
        |  CAST(len(t) AS UBIGINT) AS n
-       |  FROM toks),
-       |xst AS (SELECT t, bs, n, CAST(n // 32 AS BIGINT) AS ns,
+       |  FROM ${p}toks),
+       |${p}xst AS (SELECT t, bs, n, CAST(n // 32 AS BIGINT) AS ns,
        |  CASE WHEN n >= 32 THEN
        |    list_reduce(
        |      [{'v1': xx_add(CAST($seed AS UBIGINT),
@@ -96,8 +99,8 @@ object XxHashSql {
        |                  'v4': xx_rnd(a.v4, xx_lane8(bs, x.i*32 + 25)),
        |                  'i': a.i})
        |  END AS vs
-       |  FROM xb),
-       |xh0 AS (SELECT t, bs, n, ns,
+       |  FROM ${p}xb),
+       |${p}xh0 AS (SELECT t, bs, n, ns,
        |  CASE WHEN n >= 32 THEN
        |    xx_add(xx_merge(xx_merge(xx_merge(xx_merge(
        |      xx_add(xx_add(xx_rot(vs.v1, 1), xx_rot(vs.v2, 7)),
@@ -105,8 +108,8 @@ object XxHashSql {
        |      vs.v1), vs.v2), vs.v3), vs.v4), n)
        |  ELSE xx_add(xx_add(CAST($seed AS UBIGINT), CAST($P5 AS UBIGINT)), n)
        |  END AS h
-       |  FROM xst),
-       |xh8 AS (SELECT t, bs, n,
+       |  FROM ${p}xst),
+       |${p}xh8 AS (SELECT t, bs, n,
        |  CAST(ns*32 + ((CAST(n AS BIGINT) - ns*32) // 8)*8 AS BIGINT) AS p8,
        |  list_reduce(
        |    [h] || [xx_lane8(bs, CAST(ns*32 + 8*j + 1 AS BIGINT))
@@ -114,21 +117,21 @@ object XxHashSql {
        |    (a, lane) -> xx_add(xx_mul(xx_rot(
        |      xor(a, xx_rnd(CAST(0 AS UBIGINT), lane)), 27),
        |      CAST($P1 AS UBIGINT)), CAST($P4 AS UBIGINT))) AS h
-       |  FROM xh0),
-       |xh4 AS (SELECT t, bs, n,
+       |  FROM ${p}xh0),
+       |${p}xh4 AS (SELECT t, bs, n,
        |  CASE WHEN CAST(n AS BIGINT) - p8 >= 4 THEN p8 + 4 ELSE p8 END AS p4,
        |  CASE WHEN CAST(n AS BIGINT) - p8 >= 4 THEN
        |    xx_add(xx_mul(xx_rot(xor(h, xx_mul(xx_lane4(bs, p8 + 1),
        |      CAST($P1 AS UBIGINT))), 23), CAST($P2 AS UBIGINT)),
        |      CAST($P3 AS UBIGINT))
        |  ELSE h END AS h
-       |  FROM xh8),
-       |th AS (SELECT t, xx_aval(list_reduce(
+       |  FROM ${p}xh8),
+       |${p}th AS (SELECT t, xx_aval(list_reduce(
        |    [h] || [list_extract(bs, j)
        |            for j in range(p4 + 1, CAST(n AS BIGINT) + 1)],
        |    (a, bb) -> xx_mul(xx_rot(xor(a, xx_mul(bb, CAST($P5 AS UBIGINT))), 11),
        |                      CAST($P1 AS UBIGINT)))) AS h
-       |  FROM xh4)""".stripMargin
+       |  FROM ${p}xh4)""".stripMargin
 
   /** Murmur3_x86_32 prelude (Spark's `hash()` — mixK1/mixH1/fmix over
     * 32-bit modular arithmetic) for replaying the MinHash band keys.
@@ -246,12 +249,18 @@ object XxHashSql {
     * pairs. Every stage replays the Spark pipeline op-for-op on
     * integers, so the oracle is exact.
     */
-  /** Shared CTE chain `toksrc → … → sig`: per-doc 64-bit SimHash
-    * signatures replayed op-for-op in DuckDB (whitespace tokens, XXH64
-    * per token, per-bit majority `2·count > n`). Callers append their
-    * own CTEs after a comma and must prepend [[macros]].
+  /** Shared CTE chain `${p}toksrc → … → ${p}sig`: per-doc 64-bit
+    * SimHash signatures over `src(doc_id, text)` replayed op-for-op in
+    * DuckDB (whitespace tokens, XXH64 per token, per-bit majority
+    * `2·count > n`). No leading `WITH` — callers open the WITH clause
+    * (possibly with their own upstream CTEs, e.g. the curation
+    * oracle's quality/dedup stages defining `src` itself), append
+    * further CTEs after a comma, and must prepend [[macros]]. `p`
+    * prefixes every CTE name so the chain can coexist with another
+    * [[hashCtes]] instance in one statement.
     */
-  private def simhashSigCtes(seed: Long = 42L): String = {
+  private def simhashSigCtes(seed: Long = 42L, src: String = "documents",
+                             p: String = ""): String = {
     val bTerms = (0 until 64)
       .map(j => s"sum(CAST((h >> $j) & 1 AS BIGINT)) AS b$j")
       .mkString(",\n  ")
@@ -259,23 +268,24 @@ object XxHashSql {
       .map(j => s"CASE WHEN 2*b$j > n THEN CAST(${java.lang.Long
         .toUnsignedString(1L << j)} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END")
       .mkString("\n    + ")
-    s"""WITH toksrc AS (
+    s"""${p}toksrc AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
-       |  FROM documents),
-       |toks AS (SELECT DISTINCT t FROM toksrc),
-       |${hashCtes(seed)},
-       |hb AS (SELECT s.doc_id, th.h FROM toksrc s JOIN th USING (t)),
-       |cnt AS (SELECT doc_id, count(*) AS n,
+       |  FROM $src),
+       |${p}toks AS (SELECT DISTINCT t FROM ${p}toksrc),
+       |${hashCtes(seed, p)},
+       |${p}hb AS (SELECT s.doc_id, ${p}th.h
+       |  FROM ${p}toksrc s JOIN ${p}th USING (t)),
+       |${p}cnt AS (SELECT doc_id, count(*) AS n,
        |  $bTerms
-       |  FROM hb GROUP BY doc_id),
-       |sig AS (SELECT doc_id,
+       |  FROM ${p}hb GROUP BY doc_id),
+       |${p}sig AS (SELECT doc_id,
        |  ($sTerms) AS s
-       |  FROM cnt)""".stripMargin
+       |  FROM ${p}cnt)""".stripMargin
   }
 
   def simhashOracleSql(maxHamming: Int = 3, maxBucket: Int = 256): String = {
     s"""$macros
-       |${simhashSigCtes()},
+       |WITH ${simhashSigCtes()},
        |blocked AS (
        |  SELECT doc_id, s, b AS block,
        |    CAST((s >> CAST(b*16 AS INTEGER)) & 65535 AS BIGINT) AS bkey
@@ -300,7 +310,7 @@ object XxHashSql {
     */
   def streamNearDupOracleSql(maxHamming: Int = 3): String =
     s"""$macros
-       |${simhashSigCtes()},
+       |WITH ${simhashSigCtes()},
        |blocked AS (
        |  SELECT doc_id, s, b AS block,
        |    CAST((s >> CAST(b*16 AS INTEGER)) & 65535 AS BIGINT) AS bkey
@@ -314,4 +324,57 @@ object XxHashSql {
        |  CAST(count(dup.doc_id) AS BIGINT) AS n_neardup
        |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  /** Oracle for `q_stream_curate` — the whole two-hop streaming
+    * curation pipeline ([[graft.queries.FuncQueries.streamCurate]])
+    * replayed relationally, assuming id-ordered arrival (one
+    * AvailableNow batch — the harness shape; cross-batch the operator
+    * keeps FIRST-arrival, which the oracle can't see and
+    * StreamsSpec pins instead):
+    *
+    *   kept  — the integer ingest quality gate (row-local on the
+    *           stream): ≥ `minTokens` lowercased whitespace tokens and
+    *           a 2–12 chars-per-token band, both exact integer
+    *           predicates (no float rounding caveat class);
+    *   uniq  — first-seen exact dedup = min doc_id per md5(text);
+    *   dup   — SimHash banded near-dup among the survivors only
+    *           (signatures over `uniq`, prefixed CTE chain so the
+    *           XXH64 stages don't collide with anything upstream);
+    *   final — per-lang doc count, token sum, and doc_id checksum of
+    *           the curated set.
+    */
+  def streamCurateOracleSql(maxHamming: Int = 3, minTokens: Int = 8)
+  : String = {
+    val nTok = "CAST(len(list_filter(regexp_split_to_array(" +
+      "lower(trim(text)), '\\s+'), t -> t != '')) AS BIGINT)"
+    s"""$macros
+       |WITH qm AS (
+       |  SELECT doc_id, lang, text, $nTok AS n_tok,
+       |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+       |      AS BIGINT) AS n_chr
+       |  FROM documents),
+       |kept AS (
+       |  SELECT doc_id, lang, text, n_tok FROM qm
+       |  WHERE n_tok >= $minTokens
+       |    AND n_chr >= 2*n_tok AND n_chr <= 12*n_tok),
+       |uniq AS (
+       |  SELECT doc_id, lang, text, n_tok FROM kept
+       |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
+       |${simhashSigCtes(src = "uniq", p = "s_")},
+       |blocked AS (
+       |  SELECT doc_id, s, b AS block,
+       |    CAST((s >> CAST(b*16 AS INTEGER)) & 65535 AS BIGINT) AS bkey
+       |  FROM s_sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+       |dup AS (SELECT DISTINCT b.doc_id
+       |  FROM blocked a JOIN blocked b
+       |    ON a.block = b.block AND a.bkey = b.bkey
+       |   AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.s, b.s)) <= $maxHamming)
+       |SELECT u.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(u.n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(u.doc_id) AS BIGINT) AS id_sum
+       |FROM uniq u LEFT JOIN dup ON u.doc_id = dup.doc_id
+       |WHERE dup.doc_id IS NULL
+       |GROUP BY u.lang ORDER BY u.lang""".stripMargin
+  }
 }

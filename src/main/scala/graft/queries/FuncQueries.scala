@@ -408,6 +408,60 @@ object FuncQueries {
       .orderBy("lang")
   }
 
+  /** Two-hop STREAMING curation pipeline (bronze→silver→gold) — the
+    * ingest-time composition of the curation stack, every stage a
+    * streaming operator with bounded keyed state:
+    *
+    *   hop 1 (bronze→silver): integer quality gate — ≥8 lowercased
+    *     whitespace tokens, 2–12 chars/token — row-local codegen on
+    *     the stream (the classifier form, [[graft.text.QualityModel
+    *     .scoreMicro]], is also row-local and drops in here; the
+    *     integer gate keeps the oracle caveat-free and the hot path
+    *     cheap) → first-seen exact dedup
+    *     ([[graft.stream.Streams.firstSeenDocs]], fingerprint-keyed
+    *     state) → durable parquet landing + checkpoint
+    *     ([[graft.stream.Streams.runAvailableNowToPath]]);
+    *   hop 2 (silver→gold): SimHash banded near-dup over the
+    *     SURVIVORS ([[graft.stream.Streams.nearDupBands]] — band
+    *     state holds deduped docs only);
+    *   rollup: curated per-lang doc count, token sum, and doc_id
+    *     checksum (silver minus near-dup hits).
+    *
+    * With id-ordered arrival the whole pipeline is SQL-replayable —
+    * [[graft.dedup.XxHashSql.streamCurateOracleSql]] replays every
+    * stage exactly (integer gate, min-id-per-md5 dedup, XXH64 SimHash
+    * bands over the deduped set). Each hop checkpoints independently,
+    * so at 100 TB/day this runs as two always-on queries whose only
+    * coupling is the silver directory — the standard multi-hop shape.
+    */
+  def streamCurate(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import graft.stream.Streams
+    import graft.text.TextAnalysis
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curate_hops")
+    val silver = tmp.resolve("silver").toString
+    val nTok = size(TextAnalysis.tokensLower(col("text"))).cast("long")
+    val nChr = length(
+      regexp_replace(trim(col("text")), "\\s+", "")).cast("long")
+    val kept = streamTable(s, d, "documents")
+      .filter(nTok >= 8 && nChr >= nTok * 2 && nChr <= nTok * 12)
+    Streams.runAvailableNowToPath(Streams.firstSeenDocs(kept).toDF(),
+      silver, tmp.resolve("ck_silver").toString)
+    val hits = Streams.nearDupBands(
+      Streams.fileSource(s, silver, s.read.parquet(silver).schema))
+    Streams.runAvailableNow(hits.toDF(), "graft_stream_curate_hits")
+    val dup = s.table("graft_stream_curate_hits")
+      .select("doc_id").distinct()
+    s.read.parquet(silver)
+      .join(broadcast(dup), Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokensLower(col("text"))).cast("long"))
+          .as("n_tokens"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+  }
+
   def slidingHourly(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))

@@ -409,6 +409,60 @@ object Streams {
       }
   }
 
+  /** One curated document row flowing between streaming hops. */
+  case class DocRow(doc_id: Long, lang: String, text: String)
+
+  /** Per-fingerprint state of [[firstSeenDocs]]: the doc_id that
+    * claimed this fingerprint (kept for observability; existence alone
+    * decides).
+    */
+  case class FpSeen(first: Long)
+
+  /** STREAMING first-seen exact dedup — the ingest-time form of
+    * [[graft.dedup.Dedup.exact]]: key each doc on its content
+    * fingerprint (md5 of the raw text, the same key the batch dedup
+    * and the oracle use), keep ONE bounded state cell per distinct
+    * fingerprint, and emit only the first doc to arrive with it.
+    * Within a micro-batch "first" = smallest doc_id (deterministic),
+    * so with id-ordered arrival — one AvailableNow batch, or an
+    * id-ordered landing sequence — the emitted set is exactly
+    * `doc_id = min(doc_id) per md5(text)`, the SQL-replayable
+    * relation. Across batches the semantics is FIRST-ARRIVAL wins
+    * (state short-circuits the whole group), which is what a
+    * continuous ingest wants: a re-crawled duplicate never re-enters
+    * the corpus.
+    *
+    * Scale: state is one (16-byte key, 8-byte id) cell per DISTINCT
+    * document, sharded across the cluster by fingerprint — the same
+    * footprint the incremental batch dedup's signature index carries,
+    * but maintained inline by the state store instead of a nightly
+    * merge.
+    */
+  def firstSeenDocs(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", langCol: String = "lang")
+                   (implicit spark: SparkSession)
+  : org.apache.spark.sql.Dataset[DocRow] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val keyed = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(langCol).cast("string").as("lang"),
+      col(textCol).cast("string").as("text"),
+      coalesce(md5(col(textCol)), lit("")).as("fp"))
+      .as[(Long, String, String, String)]
+    keyed.groupByKey(_._4)
+      .flatMapGroupsWithState[FpSeen, DocRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.minBy(_._1)
+            state.update(FpSeen(first._1))
+            Iterator.single(DocRow(first._1, first._2, first._3))
+          }
+      }
+  }
+
   /** The reference's recompute-per-file semantics: every micro-batch
     * triggers a full re-run of `recompute` over the batch (stream side)
     * and whatever static state the report joins against.
@@ -444,6 +498,30 @@ object Streams {
         .outputMode(outputMode)
         .format("memory")
         .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  /** [[runAvailableNow]] with a DURABLE parquet sink + checkpoint —
+    * the hop-to-hop landing shape of a multi-stage streaming pipeline
+    * (bronze→silver→gold): each hop is an independently-checkpointed
+    * exactly-once query whose output directory is the next hop's file
+    * source. Append mode only (a parquet sink can't upsert).
+    */
+  def runAvailableNowToPath(df: DataFrame, path: String,
+                            checkpoint: String,
+                            statePartitions: Int = 8): Unit = {
+    val spark = df.sparkSession
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = df.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()

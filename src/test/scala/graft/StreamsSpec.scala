@@ -319,6 +319,30 @@ class StreamsSpec extends SparkSpec {
     assert(msgs(boom).exists(m => m != null && m.contains("maxBucket")))
   }
 
+  test("firstSeenDocs: min-id within batch, first-arrival across batches") {
+    import spark.implicits._
+    implicit val s = spark
+    val dir = Files.createTempDirectory("firstseen_batches").toString
+    // batch 1: docs 5 and 9 share text A (min id 5 must win); doc 7
+    // is unique
+    Seq((5L, "en", "text A"), (9L, "en", "text A"), (7L, "de", "text B"))
+      .toDF("doc_id", "lang", "text").coalesce(1)
+      .write.parquet(s"$dir/f1")
+    Thread.sleep(1100) // distinct mtimes -> deterministic batch order
+    // batch 2: doc 2 repeats text A with a SMALLER id — state must
+    // still drop it (first-ARRIVAL, not global min-id); doc 11 is new
+    Seq((2L, "en", "text A"), (11L, "fr", "text C"))
+      .toDF("doc_id", "lang", "text").coalesce(1)
+      .write.parquet(s"$dir/f2")
+    val schema = spark.read.parquet(s"$dir/f1").schema
+    val uniq = Streams.firstSeenDocs(Streams.fileSource(
+      spark, s"$dir/*", schema, maxFilesPerTrigger = Some(1)))
+    Streams.runAvailableNow(uniq.toDF(), "firstseen_batches_test")
+    val got = spark.table("firstseen_batches_test")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(5L, 7L, 11L))
+  }
+
   test("flatMapGroupsWithState emits each closed session exactly once") {
     import spark.implicits._
     implicit val s = spark
