@@ -100,6 +100,8 @@ object SparkEntry {
     "q_dedup_minhash"  -> (TrainingQueries.dedupMinhash _),
     "q_dedup_simhash"  -> (TrainingQueries.dedupSimhash _),
     "q_knn_brute"      -> (TrainingQueries.knnBruteForce _),
+    "q_knn_filtered"   -> (TrainingQueries.knnFiltered _),
+    "q_bq_topk"        -> (TrainingQueries.bqTopK _),
     "q_knn_ivf"        -> (TrainingQueries.knnIvf _),
     "q_emb_neardup"    -> (TrainingQueries.embNearDup _),
     "q_emb_neardup_lsh" -> (TrainingQueries.embNearDupLsh _),
@@ -798,6 +800,23 @@ object SparkEntry {
         |  FROM embeddings q
         |  JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_knn_filtered" ->
+      // the predicate (label equality) joins INTO the pair source, so
+      // the oracle is q_knn_brute's shape with one more join key
+      """SELECT query_id, neighbor_id, rank, cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(
+        |        CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])) DESC,
+        |      c.vec_id ASC) AS BIGINT) AS rank,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM embeddings q
+        |  JOIN embeddings c ON q.vec_id < 10 AND q.label = c.label
+        |   AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_bq_topk" -> graft.sim.Similarity.bqTopKOracleSql(),
     "q_emb_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

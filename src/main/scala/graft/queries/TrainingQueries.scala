@@ -82,6 +82,30 @@ object TrainingQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Filtered vector search: exact top-5 among candidates sharing the
+    * query's `label` — the metadata-predicate ANN shape
+    * ([[Similarity.filteredTopK]]; the predicate is the JOIN KEY, so
+    * the plan is an equi-join, not a filtered cross product).
+    */
+  def knnFiltered(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.filteredTopK(emb, emb.filter(col("vec_id") < 10),
+        filterCols = Seq("label"), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Binary-quantized top-5: 32-bit sign codes, Hamming pre-rank to 32
+    * candidates, exact cosine re-rank ([[Similarity.bqTopK]]).
+    * Deterministic end to end → exact SQL oracle; recall vs brute
+    * force is additionally spec-checked in SimilaritySpec.
+    */
+  def bqTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bqTopK(emb, emb.filter(col("vec_id") < 10), k = 5, m = 32,
+        planes = 32, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-probed approximate top-5 (centroids = vec_id 0..19, probe 3).
     * Approximate → no SQL oracle; recall vs brute force is tested in
     * SimilaritySpec.

@@ -96,6 +96,88 @@ object Similarity {
         round(col("__dist"), 6).as("distance"))
   }
 
+  /** FILTERED vector search: exact cosine top-k where candidates must
+    * also agree with the query on `filterCols` (the "same tenant /
+    * same language / same shard" predicate every production vector
+    * store exposes). The crucial plan property: the filter columns
+    * become the JOIN KEY, so this is a hash-partitioned equi-join —
+    * the corpus shuffles once on the predicate columns and each query
+    * only ever meets its own slice — NOT the query×corpus broadcast
+    * product of [[bruteForceTopK]] with a post-filter. At 100 TB the
+    * difference is the whole game: selectivity 1/|distinct(filter)|
+    * multiplies into the pair count before any dot product runs, and
+    * a skewed filter value is an ordinary AQE skew-join, not a hot
+    * executor. Ties → smaller corpus id, same as every top-k here.
+    * Output: `(query_id, neighbor_id, rank, cosine)`.
+    */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame,
+                   filterCols: Seq[String], k: Int = 5,
+                   vecCol: String = "embedding",
+                   idCol: String = "vec_id"): DataFrame = {
+    require(filterCols.nonEmpty, "filteredTopK needs >= 1 filter column")
+    val c = withUnit(corpus, vecCol).select(
+      filterCols.map(col) ++
+        Seq(col(idCol).as("neighbor_id"), col("__unit").as("__cu")): _*)
+    val q = withUnit(queries, vecCol).select(
+      filterCols.map(col) ++
+        Seq(col(idCol).as("query_id"), col("__unit").as("__qu")): _*)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    c.join(q, filterCols)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__cos", array_dot(col("__qu"), col("__cu")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("__cos"), 6).as("cosine"))
+  }
+
+  /** Binary-quantized top-k: pack each vector into a `planes`-bit sign
+    * code ([[cosineLshBuckets]] — strict sign of literal-hyperplane
+    * dots), pre-rank candidates by HAMMING distance over the codes
+    * (one xor + popcount per pair — the bit-ops scan that makes BQ the
+    * memory-bandwidth path at 100 TB: 32 bits/vector vs 256 bytes of
+    * float32), keep the `m` closest codes per query, then exact-cosine
+    * re-rank ONLY those to the final top-k. Approximate relative to
+    * [[bruteForceTopK]] (a true neighbor whose code landed far away is
+    * missed — recall is spec-checked), but fully DETERMINISTIC: codes
+    * are pure functions of (planes, dim), both rank stages tie-break
+    * on neighbor id, so the whole plan replays in SQL
+    * ([[bqTopKOracleSql]]). Output: `(query_id, neighbor_id, rank,
+    * hamming, cosine)`.
+    */
+  def bqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+             m: Int = 32, planes: Int = 32,
+             vecCol: String = "embedding", idCol: String = "vec_id",
+             dim: Int = -1): DataFrame = {
+    val d0 = if (dim > 0) dim else probeDim(corpus, vecCol)
+    val cCodes = cosineLshBuckets(corpus, planes, vecCol, idCol, d0)
+      .select(col(idCol).as("neighbor_id"), col("bucket").as("__cc"))
+    val qCodes = cosineLshBuckets(queries, planes, vecCol, idCol, d0)
+      .select(col(idCol).as("query_id"), col("bucket").as("__qc"))
+    val wH = Window.partitionBy("query_id")
+      .orderBy(col("__ham").asc, col("neighbor_id").asc)
+    val cand = cCodes
+      .join(broadcast(qCodes), col("query_id") =!= col("neighbor_id"))
+      .withColumn("__ham",
+        bit_count(col("__qc").bitwiseXOR(col("__cc"))).cast("long"))
+      .withColumn("__hrank", row_number().over(wH))
+      .filter(col("__hrank") <= m)
+      .select("query_id", "neighbor_id", "__ham")
+    val cu = withUnit(corpus, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("__unit").as("__cu"))
+    val qu = withUnit(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("__unit").as("__qu"))
+    val wC = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    cand.join(cu, Seq("neighbor_id")).join(broadcast(qu), Seq("query_id"))
+      .withColumn("__cos", array_dot(col("__qu"), col("__cu")))
+      .withColumn("rank", row_number().over(wC).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("__ham").as("hamming"), round(col("__cos"), 6).as("cosine"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
     * merge per-query rankings from several retrieval systems into one,
     * scoring each (query, candidate) by Σ 1/(rrfK + rank) over the
@@ -437,6 +519,44 @@ object Similarity {
        |JOIN dv vb ON vb.vec_id = c.id_b
        |WHERE list_cosine_similarity(va.v, vb.v) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB oracle for [[bqTopK]] over the embeddings table (queries =
+    * `vec_id < qHi`): the same literal-hyperplane sign codes as
+    * [[nearDupLshOracleSql]], Hamming pre-rank with the identical
+    * (distance, id) tie-break, exact-cosine re-rank of the surviving
+    * `m`. Deterministic end to end — "approximate" means recall < 1
+    * vs brute force, never nondeterminism.
+    */
+  def bqTopKOracleSql(k: Int = 5, m: Int = 32, planes: Int = 32,
+                      dim: Int = 64, qHi: Int = 10): String = {
+    val hp = hyperplanes(planes, dim)
+    def arr(a: Array[Double]): String = a.mkString("[", ",", "]")
+    val bits = (0 until planes).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${arr(hp(p))}) > 0" +
+        s" THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH $embeddingsDvSql,
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, ($bits) AS code FROM dv),
+       |cand AS (
+       |  SELECT * FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      CAST(bit_count(xor(q.code, c.code)) AS BIGINT) AS hamming
+       |    FROM codes q JOIN codes c
+       |      ON q.vec_id < $qHi AND q.vec_id <> c.vec_id)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY hamming ASC, neighbor_id ASC) <= $m)
+       |SELECT query_id, neighbor_id, rank, hamming, cosine FROM (
+       |  SELECT cand.query_id, cand.neighbor_id, cand.hamming,
+       |    CAST(row_number() OVER (PARTITION BY cand.query_id
+       |      ORDER BY list_cosine_similarity(vq.v, vc.v) DESC,
+       |        cand.neighbor_id ASC) AS BIGINT) AS rank,
+       |    round(list_cosine_similarity(vq.v, vc.v), 6) AS cosine
+       |  FROM cand
+       |  JOIN dv vq ON vq.vec_id = cand.query_id
+       |  JOIN dv vc ON vc.vec_id = cand.neighbor_id)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** DuckDB oracle generator for signature clustering over

@@ -210,9 +210,15 @@ class ScaleSpec extends SparkSpec {
     // |queries| × corpus broadcast product); the MMR re-rank after it
     // is an equi-keyed join + per-group selection over the bounded
     // pool.
+    // q_bq_topk's pre-rank is the same bounded |queries| × corpus
+    // broadcast shape as q_pq_topk, but each pair costs ONE xor +
+    // popcount over a 32-bit code (the cheapest compressed scan);
+    // the exact re-rank after it joins equi on the candidate ids.
+    // Note q_knn_filtered is deliberately NOT here: its predicate is
+    // the join key, so the plan is an ordinary equi-join.
     val allowed = Set("q_emb_neardup", "q_knn_brute", "q_knn_ivf",
       "q_cross_join", "q_rrf_fusion", "q_pq_topk", "q_pq_ivf", "q_pq_opq",
-      "q_chisq", "q_mmr")
+      "q_chisq", "q_mmr", "q_bq_topk")
     // 1-row-frame fan-outs (a global aggregate cross-joined back in,
     // e.g. tfidf's corpus count, assignCells' collected centroid array)
     // also plan as BNLJ but are ×1 by construction — recognizable

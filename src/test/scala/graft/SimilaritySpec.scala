@@ -81,6 +81,55 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("bqTopK recall@5 vs brute force; widening m raises recall") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(m: Int): Double = {
+      val bq = Similarity.bqTopK(emb, queries, k = 5, m = m, planes = 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.count(bq.contains).toDouble / brute.size
+    }
+    val r32 = recallAt(32)
+    info(s"BQ recall@5 m=32: $r32")
+    // 32-bit codes on 64-dim embeddings: per-bit agreement for a true
+    // neighbor at cosine c is 1 - arccos(c)/pi, so moderate-cosine
+    // neighbors (this fixture's regime) land several bits away and a
+    // 32-candidate budget catches ~half — the knob, not the code
+    // length, buys recall (measured 0.4 here)
+    assert(r32 >= 0.3, s"BQ recall $r32")
+    // recall is MONOTONE in m: a larger budget's candidate pool is a
+    // superset, and the exact re-rank can only gain true neighbors
+    // (anything evicting one must itself be a true-top-k member)
+    assert(recallAt(64) >= r32, "recall must not drop as m grows")
+    // ... and m = corpus degenerates to exact brute force (every
+    // candidate survives the pre-rank, so the re-rank IS the top-k)
+    val n = emb.count().toInt
+    assert(recallAt(n) === 1.0, "m = corpus must recover brute force")
+  }
+
+  test("filteredTopK = per-label brute force; neighbors share the label") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val got = Similarity.filteredTopK(emb, queries, Seq("label"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val labelOf = emb.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (q, nb, _) =>
+      assert(labelOf(q) === labelOf(nb), s"$nb crosses $q's label filter")
+    }
+    // equivalence: running brute force on each label slice gives the
+    // same ranking (the filter is semantics, the equi-join is plan)
+    val byLabel = labelOf.values.toSet.flatMap { l: Int =>
+      val slice = emb.filter(col("label") === l)
+      Similarity.bruteForceTopK(slice, slice.filter(col("vec_id") < 10), k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    assert(got.toSet === byLabel)
+  }
+
   test("banded LSH near-dup: exact precision, high recall vs all-pairs") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
