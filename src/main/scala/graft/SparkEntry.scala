@@ -121,6 +121,7 @@ object SparkEntry {
     "q_redact"         -> (TrainingQueries.redact _),
     "q_curate"         -> (TrainingQueries.curate _),
     "q_curate_v2"      -> (TrainingQueries.curateV2 _),
+    "q_dedup_minhash_incr" -> (TrainingQueries.dedupMinhashIncr _),
     "q_dedup_clusters" -> (TrainingQueries.dedupClusters _),
     "q_dedup_reps"     -> (TrainingQueries.dedupReps _),
     "q_cluster_sample" -> (TrainingQueries.clusterSample _),
@@ -907,6 +908,11 @@ object SparkEntry {
         |LEFT JOIN rem r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_minhash" -> graft.dedup.XxHashSql.minhashOracleSql(),
+    // full MinHash relation restricted to pairs touching a new doc
+    // (doc_id % 5 = 4) — proves the incremental band-probe plan finds
+    // exactly what a full rebuild would
+    "q_dedup_minhash_incr" -> graft.dedup.XxHashSql.minhashOracleSql(
+      pairFilter = "a.doc_id % 5 = 4 OR b.doc_id % 5 = 4"),
     "q_emb_neardup_lsh" -> graft.sim.Similarity.nearDupLshOracleSql(
       threshold = 0.4, bands = 16, rowsPerBand = 4, dim = 64),
     "q_kmeans_cells" ->

@@ -272,19 +272,68 @@ object Dedup {
                            textCol: String = "text",
                            idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val sig = minhashSignatures(df, numHashes, k, textCol, idCol)
-    val banded = sig.select(
-      col(idCol),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows)))"))
-        .as(Seq("band", "band_hash")))
+    val banded = minhashBands(
+      minhashSignatures(df, numHashes, k, textCol, idCol),
+      numHashes, bands, idCol)
     val l = banded.select(col(idCol).as("doc_a"), col("band"), col("band_hash"))
     val r = banded.select(col(idCol).as("doc_b"), col("band"), col("band_hash"))
     l.join(r, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+  }
+
+  /** Band keys of a [[minhashSignatures]] frame: `bands` rows per doc,
+    * `(id, band, band_hash)` — the persistable LSH index grain (this
+    * is exactly what [[minhashIncremental]] stores between runs).
+    */
+  def minhashBands(sig: DataFrame, numHashes: Int = 64, bands: Int = 16,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    sig.select(
+      col(idCol),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows)))"))
+        .as(Seq("band", "band_hash")))
+  }
+
+  /** INCREMENTAL MinHash+LSH near-dup — the steady-state form of
+    * [[minhashLshCandidates]]+[[minhashSimilarity]]: a new batch of
+    * docs is signed and banded, its band keys probe the PERSISTED band
+    * index (old docs) unioned with the batch's own keys, and only
+    * pairs touching a new doc are verified — old×old never re-pairs,
+    * so a daily run costs |batch| band probes against a bucketed
+    * index, not a corpus² rebuild. Emits `(doc_a, doc_b,
+    * est_jaccard ≥ threshold)` with `doc_a < doc_b`; the caller
+    * appends the batch's bands/sigs to the index for the next run
+    * (same append-only discipline as [[exactIncremental]]'s
+    * fingerprint index).
+    *
+    * `indexBands`/`indexSigs`: the persisted `(doc_id, band,
+    * band_hash)` / `(doc_id, sig)` frames for previously-indexed docs
+    * ([[minhashBands]]/[[minhashSignatures]] output — signatures are
+    * needed to verify mixed old-new pairs).
+    */
+  def minhashIncremental(batch: DataFrame, indexBands: DataFrame,
+                         indexSigs: DataFrame, numHashes: Int = 64,
+                         bands: Int = 16, k: Int = 3,
+                         threshold: Double = 0.7,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val newSigs = minhashSignatures(batch, numHashes, k, textCol, idCol)
+    val newBands = minhashBands(newSigs, numHashes, bands, idCol)
+    val probe = newBands.select(
+      col(idCol).as("doc_n"), col("band"), col("band_hash"))
+    val index = indexBands.unionByName(newBands).select(
+      col(idCol).as("doc_o"), col("band"), col("band_hash"))
+    val cand = probe.join(index, Seq("band", "band_hash"))
+      .filter(col("doc_n") =!= col("doc_o"))
+      .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
+        greatest(col("doc_n"), col("doc_o")).as("doc_b"))
+      .distinct()
+    minhashSimilarity(cand, indexSigs.unionByName(newSigs), idCol)
+      .filter(col("est_jaccard") >= threshold)
   }
 
   /** MinHash similarity estimate for candidate pairs: fraction of

@@ -181,9 +181,16 @@ object XxHashSql {
     * signatures preserve equality joins; exactness needed the true
     * semantics.
     */
+  /** `pairFilter`: optional extra predicate over (doc_a, doc_b)
+    * injected into the candidate CTE — the incremental variant
+    * restricts to pairs touching a NEW doc (`q_dedup_minhash_incr`),
+    * the full dedup passes none.
+    */
   def minhashOracleSql(numHashes: Int = 64, bands: Int = 16,
-                       threshold: Double = 0.7): String = {
+                       threshold: Double = 0.7,
+                       pairFilter: String = ""): String = {
     val rows = numHashes / bands
+    val pf = if (pairFilter.isEmpty) "" else s" AND ($pairFilter)"
     s"""$macros
        |$murmurMacros
        |WITH tok AS (
@@ -228,7 +235,7 @@ object XxHashSql {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
-       |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id$pf)
        |SELECT c.doc_a, c.doc_b,
        |  round(len(list_filter([sa.sig[i] = sb.sig[i]
        |    for i in range(1, ${numHashes + 1})], x -> x))

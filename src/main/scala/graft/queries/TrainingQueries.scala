@@ -67,6 +67,22 @@ object TrainingQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental MinHash near-dup: the `doc_id % 5 == 4` slice arrives
+    * as the new batch, probing the band index persisted from the other
+    * 80% ([[graft.dedup.Dedup.minhashIncremental]] — old×old never
+    * re-pairs). The oracle is the FULL MinHash relation restricted to
+    * pairs touching a new doc, which proves the incremental plan loses
+    * nothing.
+    */
+  def dedupMinhashIncr(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val old = docs.filter(pmod(col("doc_id"), lit(5L)) < 4)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 4)
+    val oldSigs = Dedup.minhashSignatures(old)
+    Dedup.minhashIncremental(batch, Dedup.minhashBands(oldSigs), oldSigs)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash near-dup pairs (Hamming ≤ 3 over 64-bit signatures). */
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d))

@@ -139,6 +139,35 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"simhash recall $recall over ${truth.size}")
   }
 
+  test("minhashIncremental replayed in waves reconstructs the full relation") {
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val full = Dedup.minhashSimilarity(
+        Dedup.minhashLshCandidates(real), Dedup.minhashSignatures(real))
+      .filter(col("est_jaccard") >= 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.nonEmpty, "fixture has no minhash near-dups - vacuous")
+    // arrival as 3 waves: each wave probes the index accumulated from
+    // the previous ones (wave 0 probes an empty index), then appends
+    // itself — the steady-state discipline. The union of the waves'
+    // emissions must equal the one-shot batch relation: increments
+    // lose nothing.
+    var sigsAcc: org.apache.spark.sql.DataFrame = null
+    val got = scala.collection.mutable.Set[(Long, Long)]()
+    for (w <- 0 until 3) {
+      val wave = real.filter(pmod(col("doc_id"), lit(3L)) === w)
+      val wSigs = Dedup.minhashSignatures(wave)
+      val (ib, is) =
+        if (sigsAcc == null) (Dedup.minhashBands(wSigs).limit(0),
+          wSigs.limit(0))
+        else (Dedup.minhashBands(sigsAcc), sigsAcc)
+      got ++= Dedup.minhashIncremental(wave, ib, is)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      sigsAcc = if (sigsAcc == null) wSigs else sigsAcc.unionByName(wSigs)
+    }
+    assert(got.toSet === full)
+  }
+
   test("simhashRow equals the batch simhash bit-for-bit (incl. edges)") {
     import spark.implicits._
     val real = spark.read.parquet(s"$sfDir/documents.parquet")
