@@ -384,19 +384,19 @@ object ScaleProbe {
     // every doc/vector has exactly ONE twin — true pairs stay linear
     // at every k, and any corpus² candidate term reads directly as
     // superlinear wall (and pair-count) growth.
+    // one token-salted replica of the docs corpus: replica `i` in
+    // group `g` — shingles collide only within the group (shared by
+    // the decade and incr sections)
+    def docsTwinCopy(i: Int, g: Int): DataFrame = docs
+      .withColumn("doc_id", col("doc_id") + lit(i * 100000L))
+      .withColumn("text", concat_ws(" ",
+        transform(split(col("text"), " "),
+          t => concat(t, lit("~" + g)))))
     section("decade") {
       println("=== decade legs: true-pairs-linear twin corpora ===")
       def docsTwin(k: Int): DataFrame =
-        (0 until k).map { i =>
-          val g = i / 2
-          docs
-            .withColumn("doc_id", col("doc_id") + lit(i * 100000L))
-            // suffix every token with the group id: shingles collide
-            // only within the twin group
-            .withColumn("text", concat_ws(" ",
-              transform(split(col("text"), " "),
-                t => concat(t, lit("~" + g)))))
-        }.reduce(_ unionByName _)
+        (0 until k).map(i => docsTwinCopy(i, i / 2))
+          .reduce(_ unionByName _)
       def embTwin(k: Int): DataFrame =
         (0 until k).map { i =>
           val g = i / 2
@@ -425,6 +425,48 @@ object ScaleProbe {
         // read as superlinear wall here
         time(f"duplicatedSpans twin (x$k%-2d)")(
           graft.dedup.Dedup.duplicatedSpans(docsTwin(k)).count())
+      }
+    }
+
+    // r8 incremental-minhash law: a FIXED daily batch (one more twin
+    // copy of group 0 — its near-dups are copies 0/1 only, so found
+    // pairs stay constant at every k) probes a PERSISTED band index of
+    // a corpus growing x4 -> x64. The full rebuild must re-sign the
+    // whole corpus (wall ~ linear in k, the shingling dominates); the
+    // incremental leg signs only the batch and joins the stored index,
+    // so its wall should stay near-flat — any corpus-proportional term
+    // beyond the index scan reads directly as growth here. Index build
+    // time is deliberately excluded from the incremental timing: the
+    // index is persisted state, amortized across runs (that is the
+    // operator's whole point).
+    section("incr") {
+      println("=== incremental minhash: fixed batch vs growing index ===")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_incr_probe").toString
+      for (k <- Seq(4, 16, 64)) {
+        val corpus = (0 until k).map(i => docsTwinCopy(i, i / 2))
+          .reduce(_ unionByName _)
+        val batch = docsTwinCopy(k, 0)
+        val sigs = graft.dedup.Dedup.minhashSignatures(corpus)
+        sigs.write.mode("overwrite").parquet(s"$tmp/sigs_$k")
+        val idxSigs = spark.read.parquet(s"$tmp/sigs_$k")
+        graft.dedup.Dedup.minhashBands(idxSigs)
+          .write.mode("overwrite").parquet(s"$tmp/bands_$k")
+        val idxBands = spark.read.parquet(s"$tmp/bands_$k")
+        println(s"=== corpus x$k (${5000 * k} docs indexed, " +
+          "fixed 5000-doc batch) ===")
+        if (k <= 16) // the rebuild is the baseline being beaten; its
+          // x64 point is ~4x the x16 one by the law it demonstrates
+          time(f"minhash FULL rebuild  (x$k%-2d)")(
+            graft.dedup.Dedup.minhashSimilarity(
+              graft.dedup.Dedup.minhashLshCandidates(
+                corpus.unionByName(batch)),
+              graft.dedup.Dedup.minhashSignatures(
+                corpus.unionByName(batch)))
+              .filter(col("est_jaccard") >= 0.7).count())
+        time(f"minhash incremental   (x$k%-2d)")(
+          graft.dedup.Dedup.minhashIncremental(batch, idxBands, idxSigs)
+            .count())
       }
     }
     spark.stop()
