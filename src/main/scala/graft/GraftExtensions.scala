@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{ArrayCosine, ArrayDot, JaroWinklerSim, MisraGriesSketch, TokenShingles, TopKPairs, UnicodeNfc}
+import graft.functions.{ArrayCosine, ArrayDot, JaroWinklerSim, MisraGriesSketch, SimHash64, TokenShingles, TopKPairs, UnicodeNfc}
 
 /** `SparkSessionExtensions` hook: registers the graft native functions
   * so SQL users get `array_dot`/`array_cosine` without touching the
@@ -60,6 +60,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[TokenShingles].getName, "token_shingles"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           TokenShingles(exprs(0), exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[SimHash64].getName, "simhash64"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          SimHash64(exprs(0))))
     // sketch aggregates: SQL form takes the bound as a foldable int
     // literal (the buffer size must be fixed at plan time)
     e.injectFunction(

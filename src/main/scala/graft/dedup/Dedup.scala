@@ -382,37 +382,26 @@ object Dedup {
   }
 
   /** Row-local SimHash: the SAME 64-bit signature as [[simhash]], but
-    * computed per row with higher-order array functions — no explode,
-    * no shuffle, no join-back. One `aggregate` pass over the token
-    * hashes carries (per-bit counts, token count) in a struct
-    * accumulator; the finish lambda folds the 64 majority bits into
-    * the signature. Bit-for-bit equality with [[simhash]] is pinned by
-    * DedupSpec on real data (same tokens, same xxhash64 seed, same
-    * `2·count > n` majority, same null/empty handling: null text → 0,
-    * like the batch version's left-join fill).
+    * computed per row — no explode, no shuffle, no join-back — via the
+    * native [[graft.functions.SimHash64]] expression (two primitive
+    * loops inside whole-stage codegen; the r8 first cut composed
+    * `aggregate`/`zip_with` HOFs, which run interpreted with a boxed
+    * 64-slot struct accumulator per token — the custom expression is
+    * the same integer algorithm without that tax). Bit-for-bit
+    * equality with [[simhash]] is pinned by DedupSpec on real data
+    * (same tokens, same xxhash64 seed, same `2·count > n` majority,
+    * same null/empty handling: null text → 0, like the batch
+    * version's left-join fill).
     *
     * This is the INGEST-time form: a stream (or map-only batch pass)
     * can stamp signatures without any wide dependency, which is what
     * makes streaming near-dup ([[graft.stream.Streams.nearDupBands]])
     * a per-band keyed state problem instead of a corpus join.
     */
-  def simhashRow(text: Column): Column = {
-    val bitIdx = sequence(lit(0), lit(63))
-    val hs = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    val zero = struct(array_repeat(lit(0L), 64).as("c"), lit(0L).as("n"))
-    val folded = aggregate(hs, zero,
-      (a, h) => struct(
-        zip_with(a.getField("c"), bitIdx, (c, j) =>
-          c + call_function("shiftright", h, j).bitwiseAND(lit(1L)))
-          .as("c"),
-        (a.getField("n") + lit(1L)).as("n")),
-      a => aggregate(
-        zip_with(a.getField("c"), bitIdx, (c, j) =>
-          when(lit(2L) * c > a.getField("n"),
-            call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-        lit(0L), (x, y) => x.bitwiseOR(y)))
-    coalesce(folded, lit(0L))
-  }
+  def simhashRow(text: Column): Column =
+    coalesce(
+      graft.functions.SimHash64.asColumn(TextAnalysis.tokens(text)),
+      lit(0L))
 
   /** SimHash near-dup candidate pairs: block on 4 × 16-bit sub-keys
     * (any pair within Hamming distance ≤ 3 of a 64-bit key shares at

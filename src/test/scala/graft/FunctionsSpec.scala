@@ -71,6 +71,44 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("simhash64 == the interpreted HOF composition; edge semantics") {
+    import graft.functions.SimHash64
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(split(trim(col("text")), "\\s+").as("toks"))
+    // the r8 first-cut formulation (aggregate/zip_with HOFs — runs
+    // interpreted), kept here as the cross-path reference: the native
+    // expression's codegen loop must agree bit-for-bit on real data
+    val bitIdx = sequence(lit(0), lit(63))
+    val hs = transform(col("toks"), t => xxhash64(t))
+    val zero = struct(array_repeat(lit(0L), 64).as("c"), lit(0L).as("n"))
+    val hof = aggregate(hs, zero,
+      (a, h) => struct(
+        zip_with(a.getField("c"), bitIdx, (c, j) =>
+          c + call_function("shiftright", h, j).bitwiseAND(lit(1L)))
+          .as("c"),
+        (a.getField("n") + lit(1L)).as("n")),
+      a => aggregate(
+        zip_with(a.getField("c"), bitIdx, (c, j) =>
+          when(lit(2L) * c > a.getField("n"),
+            call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+        lit(0L), (x, y) => x.bitwiseOR(y)))
+    val diff = docs
+      .select(SimHash64.asColumn(col("toks")).as("a"), hof.as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(diff === 0L, "native and HOF SimHash disagree")
+    // edges: NULL array -> NULL; a single NULL token hashes as the
+    // seed (42 -> every set bit of 42 is a 1-of-1 majority -> sig 42);
+    // empty array -> no majorities -> 0
+    val e = Seq(1).toDF("i").select(
+      SimHash64.asColumn(lit(null).cast("array<string>")).as("x"),
+      SimHash64.asColumn(array(lit(null).cast("string"))).as("y"),
+      SimHash64.asColumn(array().cast("array<string>")).as("z"))
+      .collect()(0)
+    assert(e.isNullAt(0))
+    assert(e.getLong(1) === 42L)
+    assert(e.getLong(2) === 0L)
+  }
+
   test("EmbeddingCentroid aggregator matches posexplode-avg per label") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val typed = emb.select(col("label"), col("embedding"))
