@@ -145,6 +145,18 @@ object Similarity {
     * on neighbor id, so the whole plan replays in SQL
     * ([[bqTopKOracleSql]]). Output: `(query_id, neighbor_id, rank,
     * hamming, cosine)`.
+    *
+    * COST MODEL (measured, sf1 leg): building the corpus codes inline
+    * costs `planes` dots per corpus vector — 32× the 1 dot/pair of a
+    * brute scan — so with few queries this form is SLOWER than brute
+    * (16.3 s vs 1.8 s run_ms at 20k vecs × 10 queries). BQ wins when
+    * the codes are built ONCE — stamped at ingest and stored as a
+    * 4-byte column, the deployment shape — or when |queries| ≫
+    * `planes` amortizes the build; the per-query marginal cost is
+    * then a popcount scan over 32-bit codes instead of d-dim float
+    * dots (8× less memory traffic at d=64). The registered query
+    * keeps the inline build because that is what the oracle can
+    * replay end-to-end.
     */
   def bqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
              m: Int = 32, planes: Int = 32,
