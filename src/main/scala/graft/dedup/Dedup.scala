@@ -314,6 +314,16 @@ object Dedup {
     * band_hash)` / `(doc_id, sig)` frames for previously-indexed docs
     * ([[minhashBands]]/[[minhashSignatures]] output — signatures are
     * needed to verify mixed old-new pairs).
+    *
+    * STORAGE LAYOUT: persist the band frame BUCKETED on `band_hash`
+    * ([[graft.io.Bucketing.writeBucketed]]) and probe on that single
+    * key — the stored index is then scanned IN PLACE (no Exchange on
+    * the index side; only the batch shuffles, so shuffle bytes per
+    * run are O(batch) not O(index)). Joining on `band_hash` alone is
+    * sound because a cross-band hash collision only ADDS a candidate,
+    * and every candidate is verified against the signatures — IoSpec
+    * ("bucketed minhash band index") pins both the plan shape and the
+    * verified-relation equivalence.
     */
   def minhashIncremental(batch: DataFrame, indexBands: DataFrame,
                          indexSigs: DataFrame, numHashes: Int = 64,

@@ -546,6 +546,85 @@ class IoSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed minhash band index: probe shuffles only the batch side") {
+    // the production layout for the incremental near-dup index
+    // (Dedup.minhashIncremental): store the band keys bucketed on
+    // band_hash, and a daily probe join scans the index IN PLACE —
+    // only the (small) batch side shuffles. Shuffle bytes per run are
+    // O(batch), not O(index), which is the whole point of keeping an
+    // index at 100 TB.
+    import graft.io.Bucketing
+    import graft.dedup.Dedup
+    val db = "graft_mh_idx"
+    val loc = Files.createTempDirectory("mh_idx_wh").toString
+    Bucketing.ensureDatabase(spark, db, loc)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val old = docs.filter(pmod(col("doc_id"), lit(5L)) < 4)
+    Bucketing.writeBucketed(
+      Dedup.minhashBands(Dedup.minhashSignatures(old)),
+      s"$db.mh_bands", "band_hash", 4)
+    // AQE-off child session: plan-node collection needs real operators
+    // (AdaptiveSparkPlanExec is a leaf); the warehouse table is shared
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val batch = s2.read.parquet(s"$sfDir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(5L)) === 4)
+    val probe = Dedup.minhashBands(Dedup.minhashSignatures(batch))
+      .select(col("doc_id").as("doc_n"), col("band_hash"))
+    val idx = s2.table(s"$db.mh_bands")
+      .select(col("doc_id").as("doc_o"), col("band_hash"))
+    // join ON the bucket key ALONE: a cross-band hash collision only
+    // ADDS a candidate pair (never loses one — equal (band, hash)
+    // implies equal hash), and every candidate is verified against
+    // the signatures downstream, so the band column can stay out of
+    // the join and the bucket layout carries the whole key
+    val cand = probe.join(idx, Seq("band_hash"))
+      .select("doc_n", "doc_o")
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plan = cand.queryExecution.executedPlan
+    val smj = plan.collectFirst { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, s"expected a sort-merge probe join:\n$plan")
+    val sides = Seq(smj.get.left, smj.get.right)
+    val idxSide = sides.find(_.collect {
+      case s: FileSourceScanExec => s }.exists(_.bucketedScan))
+    assert(idxSide.nonEmpty, s"index side must plan a bucketed scan:\n$plan")
+    assert(idxSide.get.collect {
+      case e: ShuffleExchangeExec => e }.isEmpty,
+      s"stored index must not re-shuffle on probe:\n${idxSide.get}")
+    val batchSide = sides.find(s => !idxSide.contains(s)).get
+    assert(batchSide.collect {
+      case e: ShuffleExchangeExec => e }.nonEmpty,
+      "the batch side is the one that shuffles")
+    // semantics: after the signature-verify stage both candidate
+    // generators (bucket-key-only vs the two-key shuffle join) yield
+    // the SAME final relation — collisions are verified away
+    val oldDocs = s2.read.parquet(s"$sfDir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(5L)) < 4)
+    val allSigs = Dedup.minhashSignatures(
+      oldDocs.unionByName(batch))
+    def verified(c: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSimilarity(
+          c.filter(col("doc_n") =!= col("doc_o"))
+            .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
+              greatest(col("doc_n"), col("doc_o")).as("doc_b"))
+            .distinct(),
+          allSigs)
+        .filter(col("est_jaccard") >= 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reference = Dedup.minhashBands(Dedup.minhashSignatures(batch))
+      .select(col("doc_id").as("doc_n"), col("band"), col("band_hash"))
+      .join(Dedup.minhashBands(Dedup.minhashSignatures(oldDocs))
+          .select(col("doc_id").as("doc_o"), col("band"),
+            col("band_hash")),
+        Seq("band", "band_hash"))
+      .select("doc_n", "doc_o")
+    assert(verified(cand) === verified(reference))
+    assert(verified(cand).nonEmpty, "vacuous without near-dups")
+  }
+
   test("timestamped path + json sink + record sink") {
     val out = Sinks.timestampedPath(
       Files.createTempDirectory("sink").toString, "population_data_", ".json")
