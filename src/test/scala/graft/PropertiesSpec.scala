@@ -125,4 +125,34 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("simhash64: permutation-invariant, JVM-reference-exact on random tokens") {
+    import graft.functions.SimHash64
+    val word = Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString)
+    val arrays = sample(Gen.listOfN(150,
+      Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, word))), 44L)
+    // shuffle each array deterministically: the per-bit counts are a
+    // multiset property, so the signature must not see order
+    val shuffled = arrays.map(a => new scala.util.Random(7).shuffle(a))
+    val got = arrays.zip(shuffled).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("i", "a", "b")
+      .select(col("i"), SimHash64.asColumn(col("a")).as("sa"),
+        SimHash64.asColumn(col("b")).as("sb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // JVM reference: XXH64 over utf8 bytes + per-bit majority
+    def ref(toks: Seq[String]): Long = {
+      val hs = toks.map(t =>
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t), 42L))
+      (0 until 64).map { j =>
+        if (2L * hs.count(h => ((h >>> j) & 1L) == 1L) > hs.length)
+          1L << j else 0L
+      }.foldLeft(0L)(_ | _)
+    }
+    got.foreach { case (i, sa, sb) =>
+      assert(sa === sb, s"array $i: signature saw token order")
+      assert(sa === ref(arrays(i.toInt)), s"array $i: != JVM reference")
+    }
+  }
 }
