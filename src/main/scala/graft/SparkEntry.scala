@@ -201,6 +201,7 @@ object SparkEntry {
     "q_stream_hourly"  -> (FuncQueries.streamHourly _),
     "q_stream_sessions" -> (FuncQueries.streamSessions _),
     "q_stream_dedup"   -> (FuncQueries.streamDedup _),
+    "q_stream_enrich"  -> (FuncQueries.streamEnrich _),
     "q_stream_neardup" -> (FuncQueries.streamNearDup _),
     "q_stream_curate"  -> (FuncQueries.streamCurate _),
     "q_stream_join"    -> (FuncQueries.streamJoin _),
@@ -2154,6 +2155,15 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT lang, count(DISTINCT md5(text)) AS n_unique
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_enrich" ->
+      """WITH w(lang, weight) AS (
+        |  VALUES ('en', 100), ('de', 60), ('fr', 40), ('es', 20))
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CAST(len(list_filter(regexp_split_to_array(
+        |      lower(trim(d.text)), '\s+'), t -> t != '')) AS BIGINT)
+        |    * coalesce(w.weight, 0)) AS BIGINT) AS weighted_tokens
+        |FROM documents d LEFT JOIN w ON d.lang = w.lang
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q_stream_neardup" -> graft.dedup.XxHashSql.streamNearDupOracleSql(),
     "q_stream_curate" -> graft.dedup.XxHashSql.streamCurateOracleSql(),
     "q_stream_join" ->

@@ -373,6 +373,35 @@ object FuncQueries {
     s.table(sink).orderBy("user_id", "l_id", "r_id")
   }
 
+  /** STREAM-STATIC enrichment — the third streaming-join modality
+    * (alongside stream-stream [[streamJoin]] and the keyed-state
+    * operators): each micro-batch of documents joins a STATIC
+    * dimension (per-lang sampling weight, the mixture-table shape a
+    * training pipeline broadcasts everywhere). The static side is
+    * planned ONCE and broadcast; no state store, no watermark — the
+    * join is a map-side lookup on every batch, which is why this is
+    * the cheapest enrichment shape at 100 TB/day. Rolled up per
+    * source: doc count and weighted token mass; unmatched langs keep
+    * weight 0 (left join — a mixture table must never silently DROP
+    * a source's docs).
+    */
+  def streamEnrich(s: SparkSession, d: String): DataFrame = {
+    val sink = "graft_stream_enrich"
+    import s.implicits._
+    val weights = Seq(("en", 100L), ("de", 60L), ("fr", 40L),
+      ("es", 20L)).toDF("lang", "weight")
+    val enriched = streamTable(s, d, "documents")
+      .join(broadcast(weights), Seq("lang"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.text.TextAnalysis.tokensLower(col("text")))
+          .cast("long") * coalesce(col("weight"), lit(0L)))
+          .as("weighted_tokens"))
+    graft.stream.Streams.runAvailableNow(enriched, sink,
+      outputMode = "complete")
+    s.table(sink).orderBy("source")
+  }
+
   def streamDedup(s: SparkSession, d: String): DataFrame = {
     val sink = "graft_stream_dedup"
     val uniq = streamTable(s, d, "documents")

@@ -319,6 +319,38 @@ class StreamsSpec extends SparkSpec {
     assert(msgs(boom).exists(m => m != null && m.contains("maxBucket")))
   }
 
+  test("stream-static join: dim broadcast to every micro-batch, agg converges") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("enrich_batches").toString
+    Seq((1L, "en", "alpha beta", "web"), (2L, "de", "gamma", "web"))
+      .toDF("doc_id", "lang", "text", "source")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    Thread.sleep(1100)
+    Seq((3L, "en", "delta epsilon zeta", "books"),
+      (4L, "xx", "unknown lang words", "web"))
+      .toDF("doc_id", "lang", "text", "source")
+      .coalesce(1).write.parquet(s"$dir/f2")
+    val dim = Seq(("en", 10L), ("de", 3L)).toDF("lang", "weight")
+    val schema = spark.read.parquet(s"$dir/f1").schema
+    val agg = Streams.fileSource(spark, s"$dir/*", schema,
+        maxFilesPerTrigger = Some(1))
+      .join(broadcast(dim), Seq("lang"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.text.TextAnalysis.tokensLower(col("text")))
+          .cast("long") * coalesce(col("weight"), lit(0L)))
+          .as("wt"))
+    Streams.runAvailableNow(agg, "enrich_batches_test",
+      outputMode = "complete")
+    val got = spark.table("enrich_batches_test")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // web: docs 1 (en, 2 toks x10) + 2 (de, 1 tok x3) + 4 (xx, 3 toks
+    // x0 — LEFT join keeps the unmatched lang); books: doc 3 (en,
+    // 3 toks x10). The dim joined in BOTH micro-batches.
+    assert(got === Map("web" -> ((3L, 23L)), "books" -> ((1L, 30L))))
+  }
+
   test("firstSeenDocs: min-id within batch, first-arrival across batches") {
     import spark.implicits._
     implicit val s = spark
