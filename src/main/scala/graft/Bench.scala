@@ -12,7 +12,12 @@ import org.apache.spark.sql.SparkSession
   * {"metric":"total","value":<sum of per-query best walls>,"unit":"sec",
   *  "queries":{name: best-of-N wall sec, ...},   // HEADLINE subset only
   *  "sf": dir, "n_queries":<all queries timed>, "iters":N,
-  *  "method":"min_of_iters", "detail_file":"bench_detail.json",
+  *  "method":"min_of_iters",
+  *  "run_ms_total":N, "cpu_ms_total":N, "contention":R,
+  *                     // suite contention index: executor run/cpu over
+  *                     // best iterations; quiet ≈ 1.1, a contended
+  *                     // host point self-reports (r8 breach: 1.83)
+  *  "detail_file":"bench_detail.json",
   *  "n_errors":N,                                // only when queries failed
   *  "errors":{name: msg, ...}}  // at most 3 inline, each reduced to
   *                              // printable ASCII and cut to 60 chars;
@@ -188,6 +193,18 @@ object Bench {
   def renderOutputs(results: Seq[(String, QueryResult)], sfDir: String,
                     iters: Int): (String, String) = {
     val total = results.map(_._2.best).sum
+    // Suite-level contention index (VERDICT r8 #1): total executor
+    // run_ms vs cpu_ms over every query's BEST iteration. On a quiet
+    // host run ≈ cpu (r7/r8 quiet points: ratio ≈ 1.1); tasks
+    // descheduled by host contention inflate run_ms but not cpu_ms
+    // (the r6/r8 forensics signature — BENCH_r08's breach ran at
+    // 1.83). Carrying the ratio IN the parsed line makes a contended
+    // driver point self-adjudicating instead of needing post-hoc
+    // journal forensics.
+    val runMsTotal = results.map(_._2.metrics(0)).sum
+    val cpuMsTotal = results.map(_._2.metrics(1)).sum
+    val contention =
+      if (cpuMsTotal > 0) runMsTotal.toDouble / cpuMsTotal else Double.NaN
     val byName = results.toMap
     val qs = headline.flatMap(k => byName.get(k).map(r =>
         s"${jsonStr(k)}:${jsonNum(r.best)}"))
@@ -236,9 +253,13 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":${jsonStr(sfDir)},"n_queries":${results.size},""" +
       s""""iters":$iters,"method":"min_of_iters",""" +
+      s""""run_ms_total":$runMsTotal,"cpu_ms_total":$cpuMsTotal,""" +
+      s""""contention":${jsonNum(contention)},""" +
       s""""detail_file":${jsonStr(detailFile)}""" + errPartBrief + "}"
     val detailJson =
       s"""{"total":$total,"sf":${jsonStr(sfDir)},"iters":$iters,""" +
+      s""""run_ms_total":$runMsTotal,"cpu_ms_total":$cpuMsTotal,""" +
+      s""""contention":${jsonNum(contention)},""" +
       s""""detail":$detail$errPart}"""
     (line, detailJson)
   }

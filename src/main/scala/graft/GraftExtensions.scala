@@ -64,8 +64,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[SimHash64].getName, "simhash64"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          SimHash64(exprs(0))))
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          // arity-checked: silently dropping a second argument would
+          // return seed-42 signatures for simhash64(toks, 7) with no
+          // error — fail analysis instead (SimHash64 takes no seed).
+          if (exprs.length != 1)
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              messageParameters = Map(
+                "functionName" -> "simhash64",
+                "expectedNum" -> "1",
+                "actualNum" -> exprs.length.toString,
+                "docroot" -> "https://spark.apache.org/docs/latest"))
+          SimHash64(exprs(0))
+        }))
     // sketch aggregates: SQL form takes the bound as a foldable int
     // literal (the buffer size must be fixed at plan time)
     e.injectFunction(

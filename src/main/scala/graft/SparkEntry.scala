@@ -105,6 +105,7 @@ object SparkEntry {
     "q_knn_ivf"        -> (TrainingQueries.knnIvf _),
     "q_emb_neardup"    -> (TrainingQueries.embNearDup _),
     "q_emb_neardup_lsh" -> (TrainingQueries.embNearDupLsh _),
+    "q_emb_neardup_lsh_prod" -> (TrainingQueries.embNearDupLshProd _),
     "q_centroid"       -> (TrainingQueries.centroids _),
     "q_token_counts"   -> (TrainingQueries.tokenCounts _),
     "q_train_test_split" -> (TrainingQueries.trainTestSplit _),
@@ -916,6 +917,10 @@ object SparkEntry {
       pairFilter = "a.doc_id % 5 = 4 OR b.doc_id % 5 = 4"),
     "q_emb_neardup_lsh" -> graft.sim.Similarity.nearDupLshOracleSql(
       threshold = 0.4, bands = 16, rowsPerBand = 4, dim = 64),
+    // production config (4 x 16-bit bands): scale-safe candidate
+    // volume (65 536 buckets/band), same literal-hyperplane replay
+    "q_emb_neardup_lsh_prod" -> graft.sim.Similarity.nearDupLshOracleSql(
+      threshold = 0.25, bands = 4, rowsPerBand = 16, dim = 64),
     "q_kmeans_cells" ->
       s"""WITH ${graft.queries.TrainingQueries.kmeansAssignSql(16)}
          |SELECT cell, count(*) AS n_vectors FROM assign

@@ -333,11 +333,16 @@ object Dedup {
                          idCol: String = "doc_id"): DataFrame = {
     val newSigs = minhashSignatures(batch, numHashes, k, textCol, idCol)
     val newBands = minhashBands(newSigs, numHashes, bands, idCol)
+    // probe on band_hash ALONE: the index is bucketed on that single
+    // key, so the two-key join would force an index-side Exchange and
+    // void the O(batch)-shuffle property. Sound per the contract
+    // above — a cross-band collision only adds a candidate, and every
+    // candidate is signature-verified below.
     val probe = newBands.select(
-      col(idCol).as("doc_n"), col("band"), col("band_hash"))
+      col(idCol).as("doc_n"), col("band_hash"))
     val index = indexBands.unionByName(newBands).select(
-      col(idCol).as("doc_o"), col("band"), col("band_hash"))
-    val cand = probe.join(index, Seq("band", "band_hash"))
+      col(idCol).as("doc_o"), col("band_hash"))
+    val cand = probe.join(index, Seq("band_hash"))
       .filter(col("doc_n") =!= col("doc_o"))
       .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
         greatest(col("doc_n"), col("doc_o")).as("doc_b"))

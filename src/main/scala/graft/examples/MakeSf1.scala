@@ -71,8 +71,24 @@ object MakeSf1 {
     repl("events")((df, i) => df
       .withColumn("event_id", col("event_id") + lit(i * C))
       .withColumn("user_id", col("user_id") + lit(i * C)))
+    // documents shift by the ID-SPACE SIZE, not the generic stride:
+    // q_hierarchy/q_subtree_agg derive `parent = doc_id div 2`, and
+    // a contiguous base range [0, n) replicated as [i*n, (i+1)*n)
+    // keeps the whole [0, reps*n) range CLOSED under div-2 (every
+    // parent id exists; the forest deepens by log2(reps) rounds,
+    // exactly like real ×10 growth), where an arbitrary offset left
+    // odd replicas' parents dangling and the hierarchy guard
+    // (correctly) refused to run at sf1 (VERDICT r8 #4).
+    val docIds = load("documents")
+      .agg(min("doc_id"), max("doc_id"), count(lit(1))).collect()(0)
+    require(docIds.getLong(0) == 0L &&
+      docIds.getLong(1) == docIds.getLong(2) - 1L,
+      s"documents doc_id must be contiguous [0, n) for the div-2 " +
+        s"closure: min=${docIds.getLong(0)} max=${docIds.getLong(1)} " +
+        s"n=${docIds.getLong(2)}")
+    val nDocs = docIds.getLong(2)
     repl("documents")((df, i) => df
-      .withColumn("doc_id", col("doc_id") + lit(i * C))
+      .withColumn("doc_id", col("doc_id") + lit(i * nDocs))
       // per-replica token salt: shingles never collide across replicas
       .withColumn("text", when(col("text").isNotNull, concat_ws(" ",
         transform(split(col("text"), " "),

@@ -469,6 +469,68 @@ object ScaleProbe {
             .count())
       }
     }
+
+    section("quality") {
+      // VERDICT r8 #5: measure the 2^20-bucket quality model, don't
+      // assert it. The weight vector is a DATA literal (~8 MB of
+      // longs), so generated-code size must be dimension-independent;
+      // codegen fallback is disabled so a HugeMethodLimit-style
+      // failure would THROW here, not silently degrade.
+      println("=== quality classifier at production dimension ===")
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      try {
+        val d20 = 1 << 20
+        val w20 = Array.tabulate(d20)(i =>
+          ((i.toLong * 2654435761L + 987654321L) % 2000001L) - 1000000L)
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        for (k <- Seq(1, 16)) {
+          val corpus = (0 until k).map(i => docsTwinCopy(i, i))
+            .reduce(_ unionByName _)
+          val scored = graft.text.QualityModel
+            .scoreDocsWith(corpus, w20, -250000L)
+          val t0 = System.nanoTime()
+          val plan = scored.queryExecution.executedPlan
+          println(f"  plan build (x$k%-2d, D=2^20)   " +
+            f"${(System.nanoTime() - t0) / 1e9}%8.3fs  " +
+            s"(${plan.toString.length} plan chars)")
+          // first run pays literal broadcast + codegen compile; the
+          // repeats are the steady-state per-row cost
+          for (run <- 1 to 3)
+            time(f"score D=2^20 run$run (x$k%-2d)") {
+              scored.write.format("noop").mode("overwrite").save(); 0L
+            }
+        }
+        // reference point: the shipped 256-bucket model, same corpus
+        val base = graft.text.QualityModel.scoreDocs(
+          (0 until 16).map(i => docsTwinCopy(i, i)).reduce(_ unionByName _))
+        for (run <- 1 to 2)
+          time(f"score D=256   run$run (x16)") {
+            base.write.format("noop").mode("overwrite").save(); 0L
+          }
+      } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+
+    section("kcenter") {
+      // VERDICT r8 #3: the incremental min-distance recurrence must
+      // hold per-round cost FLAT as k grows (the naive re-fold grows
+      // linearly in selected-set size). Wall/k at k=256 vs k=64 over
+      // a 16k-vector corpus is the check.
+      println("=== k-center greedy: per-round cost vs k ===")
+      val corpus16k = (0 until 8).map { i =>
+        emb
+          .withColumn("vec_id", col("vec_id") + lit(i * 100000L))
+          .withColumn("embedding", expr(
+            s"transform(embedding, (x, j) -> " +
+              s"CASE WHEN pmod(hash($i, j), 2) = 0 THEN -x ELSE x END)"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      for (k <- Seq(64, 256)) {
+        val t0 = System.nanoTime()
+        val n = graft.sim.Similarity.kCenterGreedy(corpus16k, k).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"  kCenterGreedy k=$k%-4d  $secs%8.2fs  " +
+          f"(${secs / k * 1000}%6.1f ms/round, $n selected)")
+      }
+    }
     spark.stop()
   }
 }

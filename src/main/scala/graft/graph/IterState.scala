@@ -8,9 +8,11 @@ import org.apache.spark.sql.execution.LogicalRDD
   * Hierarchy): each round's frame is `localCheckpoint(true)`-ed
   * (eager — materialized before use, lineage cut so plans don't grow
   * with the round count) and the SUPERSEDED round's blocks are
-  * explicitly released, keeping peak storage at two rounds.
+  * explicitly released, keeping peak storage at two rounds. Shared
+  * beyond graph/: [[graft.sim.Similarity.kCenterGreedy]] uses the same
+  * discipline for its per-round min-distance state.
   */
-private[graph] object IterState {
+private[graft] object IterState {
   /** The materialized RDD behind an eagerly-localCheckpoint'd frame;
     * None when the frame isn't a checkpoint leaf (then there is
     * nothing to release).

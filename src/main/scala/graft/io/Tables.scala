@@ -108,20 +108,26 @@ object Tables {
             .filter(q => q.getName.endsWith(".parquet") &&
               !q.getName.startsWith("_") && !q.getName.startsWith("."))
             .sortBy(_.getName.toString)
+        // per-FILE catch: one unreadable footer must abstain, not
+        // discard the other files' votes — otherwise a single corrupt
+        // part silently bypasses both a confirmed NANOS verdict and
+        // the mixed-encoding loud failure this probe exists to raise.
         files.flatMap { f =>
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
           try {
-            val schema = r.getFooter.getFileMetaData.getSchema
-            if (!schema.containsField(c)) None // abstain: no column
-            else Some(f.getName -> (schema.getType(Seq(c): _*)
-              .getLogicalTypeAnnotation match {
-                case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-                  t.getUnit ==
-                    org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
-                case _ => false
-              }))
-          } finally r.close()
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+            try {
+              val schema = r.getFooter.getFileMetaData.getSchema
+              if (!schema.containsField(c)) None // abstain: no column
+              else Some(f.getName -> (schema.getType(Seq(c): _*)
+                .getLogicalTypeAnnotation match {
+                  case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                    t.getUnit ==
+                      org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
+                  case _ => false
+                }))
+            } finally r.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
         }
       } catch { case scala.util.control.NonFatal(_) => Seq.empty }
     val distinct = votes.map(_._2).distinct

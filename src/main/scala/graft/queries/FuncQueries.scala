@@ -394,8 +394,12 @@ object FuncQueries {
       .join(broadcast(weights), Seq("lang"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(graft.text.TextAnalysis.tokensLower(col("text")))
-          .cast("long") * coalesce(col("weight"), lit(0L)))
+        // greatest(.., 0): size() is -1 for NULL text under legacy
+        // sizeOfNull (ansi=false); a NULL-text doc must contribute 0
+        // tokens (the DuckDB oracle's sum skips NULLs), not -weight.
+        sum(greatest(
+          size(graft.text.TextAnalysis.tokensLower(col("text"))),
+          lit(0)).cast("long") * coalesce(col("weight"), lit(0L)))
           .as("weighted_tokens"))
     graft.stream.Streams.runAvailableNow(enriched, sink,
       outputMode = "complete")

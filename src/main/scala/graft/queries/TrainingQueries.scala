@@ -198,6 +198,25 @@ object TrainingQueries {
       bands = 16, rowsPerBand = 4)
       .orderBy("id_a", "id_b")
 
+  /** Embedding near-dup, PRODUCTION LSH config (4 bands × 16-bit) —
+    * the scale-safe registered form. [[embNearDupLsh]]'s 16×4 config
+    * is the small-SF oracle anchor but quadratic for n ≳ 10k (only 16
+    * buckets/band ⇒ occupancy n/16 ⇒ O(n²) candidates; measured ×179
+    * at sf1 — BASELINE.md §12); 16-bit bands give 65 536 buckets/band,
+    * keeping occupancy ≈ n/65 536 and candidate volume ~linear through
+    * 128k vectors (the §12 decade probe). Wide bands trade recall at
+    * LOW cosine for that linearity — exactly right for a true
+    * near-dup pass (per-bit agreement ≥ 0.86 at cosine ≥ 0.9, band
+    * hit p ≥ 0.09) and honest about the synthetic corpus (max pairwise
+    * cosine ≈ 0.5): threshold 0.25 keeps a non-trivial refined pair
+    * set at every SF. Deterministic end to end (literal hyperplanes),
+    * so the DuckDB replay oracle is exact.
+    */
+  def embNearDupLshProd(s: SparkSession, d: String): DataFrame =
+    Similarity.nearDupPairsLsh(Tables.embeddings(s, d), threshold = 0.25,
+      bands = 4, rowsPerBand = 16)
+      .orderBy("id_a", "id_b")
+
   /** Corpus heavy hitters via the Misra–Gries sketch (k=20 counters,
     * [[graft.functions.MisraGriesSketch]] — a native
     * TypedImperativeAggregate, so the sketch buffer lives as a JVM

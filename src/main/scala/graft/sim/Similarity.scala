@@ -785,16 +785,26 @@ object Similarity {
     * optimizes pure COVERAGE of the embedding space — the "pick k
     * maximally spread exemplars" cut.
     *
-    * Scale shape: the selected set is driver-held model state (k unit
-    * vectors — the [[kmeansCentroids]] discipline), and each round is
-    * ONE distributed pass: the centers ride the plan as array
-    * literals, min-distance is `1 − greatest(dot…)` computed
-    * row-local, and only the single argmax row is collected
-    * (`orderBy(…).limit(1)` → TakeOrderedAndProject, never a full
-    * sort). k rounds × one narrow pass; nothing corpus-sized ever
-    * reaches the driver. Determinism: ties break on smaller id;
-    * output `separation` is BigDecimal-HALF_UP rounded (the
-    * [[mmrSelect]] float-rounding discipline, same standing caveat).
+    * Scale shape — INCREMENTAL min-distance recurrence: the running
+    * `mind` (distance to the nearest selected center) is a PERSISTED
+    * column on the candidate frame, and each round folds in only the
+    * newest center — `mind ← least(mind, 1 − dot(u, c_new))` — then
+    * collects the single argmax row (`orderBy(…).limit(1)` →
+    * TakeOrderedAndProject, never a full sort). Total work is
+    * O(k·n·d) with a CONSTANT-size per-round plan (one center
+    * literal), vs the naive re-fold over all r selected centers which
+    * is O(k²·n·d) with an O(k·d)-literal plan — irrelevant at k=8,
+    * the whole game at a real coreset k in the thousands. Round state
+    * follows the [[graft.graph.IterState]] discipline (eager
+    * `localCheckpoint` per round, superseded blocks released → peak
+    * storage two rounds); only the 1-row argmax ever reaches the
+    * driver. Exactly equivalent to the re-fold: `1 − x` is monotone
+    * non-increasing in IEEE double arithmetic, so
+    * `least_i(1 − dot_i) = 1 − greatest_i(dot_i)` bit-for-bit
+    * (SimilaritySpec pins the equivalence property). Determinism:
+    * ties break on smaller id; output `separation` is
+    * BigDecimal-HALF_UP rounded (the [[mmrSelect]] float-rounding
+    * discipline, same standing caveat).
     *
     * Output: `(sel_rank, vec_id, separation)` — separation is the
     * selection-time min distance to the earlier picks (NULL for the
@@ -812,34 +822,45 @@ object Similarity {
     val seed = cu.orderBy(col("id").asc).limit(1).collect()
     if (seed.isEmpty) return Seq.empty[(Long, Long, Option[Double])]
       .toDF("sel_rank", "vec_id", "separation")
-    var selected = Vector(
-      (seed(0).getLong(0), seed(0).getSeq[Double](1).toArray,
-        Option.empty[Double]))
-    while (selected.size < k) {
-      val dots = selected.map { case (_, c, _) =>
-        array_dot(col("u"), typedLit(c.toSeq)) }
-      val maxdot = dots.reduce((a, b) => greatest(a, b))
-      val pickedIds = selected.map(_._1)
-      val next = cu.filter(!col("id").isInCollection(pickedIds))
-        .withColumn("mind", lit(1.0) - maxdot)
-        .orderBy(col("mind").desc, col("id").asc).limit(1)
-        .select(col("id"), col("mind"), col("u")).collect()
-      if (next.isEmpty) {
-        // corpus exhausted before k — return what exists
-        return selectedDf(spark, selected)
+    val seedId = seed(0).getLong(0)
+    val seedVec = seed(0).getSeq[Double](1).toArray
+    var selected = Vector((seedId, Option.empty[Double]))
+    // candidate state: (id, u, mind-to-selected-set); seeded with the
+    // distance to the first center, then one least() fold per round
+    var state = cu.filter(col("id") =!= seedId)
+      .withColumn("mind",
+        lit(1.0) - array_dot(col("u"), typedLit(seedVec.toSeq)))
+      .localCheckpoint(true)
+    try {
+      while (selected.size < k) {
+        val next = state
+          .orderBy(col("mind").desc, col("id").asc).limit(1)
+          .select(col("id"), col("mind"), col("u")).collect()
+        if (next.isEmpty) {
+          // corpus exhausted before k — return what exists
+          return selectedDf(spark, selected)
+        }
+        val nid = next(0).getLong(0)
+        val nvec = next(0).getSeq[Double](2).toArray
+        selected = selected :+ ((nid, Some(next(0).getDouble(1))))
+        if (selected.size < k) {
+          val folded = state.filter(col("id") =!= nid)
+            .withColumn("mind", least(col("mind"),
+              lit(1.0) - array_dot(col("u"), typedLit(nvec.toSeq))))
+            .localCheckpoint(true)
+          graft.graph.IterState.release(state)
+          state = folded
+        }
       }
-      selected = selected :+ ((next(0).getLong(0),
-        next(0).getSeq[Double](2).toArray,
-        Some(next(0).getDouble(1))))
-    }
-    selectedDf(spark, selected)
+      selectedDf(spark, selected)
+    } finally graft.graph.IterState.release(state)
   }
 
   private def selectedDf(spark: org.apache.spark.sql.SparkSession,
-                         sel: Vector[(Long, Array[Double], Option[Double])])
+                         sel: Vector[(Long, Option[Double])])
   : DataFrame = {
     import spark.implicits._
-    sel.zipWithIndex.map { case ((id, _, sep), i) =>
+    sel.zipWithIndex.map { case ((id, sep), i) =>
       ((i + 1).toLong, id, sep.map(d =>
         new java.math.BigDecimal(d)
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))

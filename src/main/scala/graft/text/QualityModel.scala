@@ -53,8 +53,9 @@ object QualityModel {
   /** SQL literal of [[weights]] for the DuckDB oracle. */
   def weightsSqlList: String = weights.mkString("[", ", ", "]")
 
-  private def bucketWeight(wLit: Column, tok: Column): Column =
-    element_at(wLit, (pmod(xxhash64(tok), lit(Dim)) + 1).cast("int"))
+  private def bucketWeight(wLit: Column, tok: Column,
+                           dim: Int = Dim): Column =
+    element_at(wLit, (pmod(xxhash64(tok), lit(dim)) + 1).cast("int"))
 
   private def bigramsOf(toks: Column): Column =
     when(size(toks) >= 2,
@@ -102,20 +103,40 @@ object QualityModel {
     */
   def scoreDocs(df: org.apache.spark.sql.DataFrame,
                 textCol: String = "text",
-                idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
-    val wLit = typedLit(weights.toSeq)
+                idCol: String = "doc_id"): org.apache.spark.sql.DataFrame =
+    scoreDocsWith(df, weights, bias, textCol, idCol)
+
+  /** [[scoreDocs]] with an explicit model — the drop-in point for a
+    * real trained weight vector (any dimension; the hash re-buckets to
+    * `w.length`). Also the production-dimension probe surface:
+    * ScaleProbe's `quality` section pushes a 2²⁰-bucket (~8 MB
+    * literal) model through this exact path to MEASURE plan-build,
+    * first-stage (codegen+broadcast), and steady-state cost rather
+    * than asserting them (VERDICT r8 #5; numbers in BASELINE.md §12).
+    * The array rides the plan as a DATA literal — generated code
+    * indexes into one object reference, so code SIZE is independent
+    * of dimension (no HugeMethodLimit exposure; the round-3 incident
+    * was per-element generated CODE, which this shape never emits).
+    */
+  def scoreDocsWith(df: org.apache.spark.sql.DataFrame,
+                    w: Array[Long], b: Long,
+                    textCol: String = "text",
+                    idCol: String = "doc_id")
+  : org.apache.spark.sql.DataFrame = {
+    val wLit = typedLit(w.toSeq)
     val toks = TextAnalysis.tokensLower(col(textCol))
     val dots = df
       .select(col(idCol), toks.as("__toks"))
       .select(col(idCol),
         explode(concat(col("__toks"), bigramsOf(col("__toks"))))
           .as("__t"))
-      .select(col(idCol), bucketWeight(wLit, col("__t")).as("__w"))
+      .select(col(idCol),
+        bucketWeight(wLit, col("__t"), w.length).as("__w"))
       .groupBy(idCol)
       .agg(sum("__w").as("__dot"))
     df.join(dots, Seq(idCol), "left")
       .withColumn("score_micro",
-        coalesce(col("__dot"), lit(0L)) + lit(bias))
+        coalesce(col("__dot"), lit(0L)) + lit(b))
       .drop("__dot")
   }
 

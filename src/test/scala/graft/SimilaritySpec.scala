@@ -493,4 +493,53 @@ class SimilaritySpec extends SparkSpec {
     val farthest = d.minBy { case (id, cos) => (cos, id) }._1
     assert(out(1)._2 === farthest, "rank 2 must be farthest from seed")
   }
+
+  test("kCenterGreedy: incremental recurrence == naive re-fold, exactly") {
+    // the O(k·n·d) production form folds one center per round into a
+    // persisted running `mind`; this pins its EXACT equivalence to the
+    // textbook re-fold over all selected centers (1 − x is monotone
+    // non-increasing in IEEE doubles, so least_i(1−dot_i) =
+    // 1−greatest_i(dot_i) bit-for-bit) — selections AND separations
+    // must match to the last ulp, not approximately.
+    import graft.sim.Similarity
+    import graft.functions.VectorFunctions.array_dot
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val k = 10
+    val got = Similarity.kCenterGreedy(emb, k)
+      .orderBy("sel_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // naive re-fold reference (the pre-r9 implementation), replaying
+    // the same normalization expressions
+    val cu = emb
+      .withColumn("__dvec",
+        expr("transform(embedding, x -> coalesce(cast(x AS DOUBLE), 0D))"))
+      .withColumn("__norm", expr(
+        "sqrt(aggregate(zip_with(__dvec, __dvec, (x, y) -> x * y), " +
+          "0D, (acc, v) -> acc + v))"))
+      .withColumn("u", expr(
+        "CASE WHEN __norm > 0 THEN transform(__dvec, x -> x / __norm) " +
+          "ELSE __dvec END"))
+      .select(col("vec_id").cast("long").as("id"), col("u"))
+    val seed = cu.orderBy(col("id").asc).limit(1).collect()(0)
+    var selected = Vector(
+      (seed.getLong(0), seed.getSeq[Double](1).toArray,
+        Option.empty[Double]))
+    while (selected.size < k) {
+      val maxdot = selected.map { case (_, c, _) =>
+        array_dot(col("u"), typedLit(c.toSeq)) }
+        .reduce((a, b) => greatest(a, b))
+      val next = cu.filter(!col("id").isInCollection(selected.map(_._1)))
+        .withColumn("mind", lit(1.0) - maxdot)
+        .orderBy(col("mind").desc, col("id").asc).limit(1)
+        .select(col("id"), col("mind"), col("u")).collect()(0)
+      selected = selected :+ ((next.getLong(0),
+        next.getSeq[Double](2).toArray, Some(next.getDouble(1))))
+    }
+    val want = selected.zipWithIndex.map { case ((id, _, sep), i) =>
+      ((i + 1).toLong, id, sep.map(d => new java.math.BigDecimal(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))
+    }
+    assert(got.toSeq === want)
+  }
 }

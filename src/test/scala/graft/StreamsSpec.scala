@@ -319,6 +319,55 @@ class StreamsSpec extends SparkSpec {
     assert(msgs(boom).exists(m => m != null && m.contains("maxBucket")))
   }
 
+  test("nearDupBands out-of-order arrival: first-ARRIVAL semantics, documented oracle scope") {
+    // The scaladoc's contract: the emitted relation equals the
+    // SQL-replayable "exists an earlier (smaller-id) doc" form ONLY
+    // under id-ordered arrival; under out-of-order multi-batch
+    // arrival, "earlier" means earlier-ARRIVED (within a batch, rows
+    // fold in id order). This pins the divergence explicitly: doc 10
+    // lands first, the near-identical doc 5 lands LATER — first-
+    // arrival flags 5 (it matches the already-stateful 10), while the
+    // id-ordered relation would flag 10 instead. q_stream_neardup's
+    // oracle stays scoped to id-ordered AvailableNow landings.
+    import spark.implicits._
+    implicit val s = spark
+    val dir = Files.createTempDirectory("neardup_ooo").toString
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq((10L, text)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    Thread.sleep(1100) // distinct mtimes -> deterministic batch order
+    Seq((5L, text), (20L, text)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/f2")
+    val schema = spark.read.parquet(s"$dir/f1").schema
+    val hits = Streams.nearDupBands(Streams.fileSource(
+      spark, s"$dir/*", schema, maxFilesPerTrigger = Some(1)))
+    Streams.runAvailableNow(hits.toDF(), "neardup_ooo_test")
+    val flagged = spark.table("neardup_ooo_test")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    // first-arrival: 5 flags against the earlier-ARRIVED 10; 20 flags
+    // against both; 10 arrived first and flags against nothing
+    assert(flagged === Set(5L, 20L))
+    // and the id-ordered SQL relation over the same rows differs —
+    // the oracle-scope caveat is real, not hypothetical
+    val blocked = Seq((10L, text), (5L, text), (20L, text))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.dedup.Dedup.simhashRow(col("text")).as("sig"),
+        explode(sequence(lit(0), lit(3))).as("block"))
+      .withColumn("bkey", expr("(sig >> (block * 16)) & 65535"))
+    val idOrdered = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.block") === col("b.block") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(expr("bit_count(a.sig ^ b.sig) <= 3"))
+      .select(col("b.doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(idOrdered === Set(10L, 20L))
+    assert(flagged !== idOrdered,
+      "arrival order changed nothing — caveat would be vacuous")
+  }
+
   test("stream-static join: dim broadcast to every micro-batch, agg converges") {
     import spark.implicits._
     val dir = Files.createTempDirectory("enrich_batches").toString
@@ -326,8 +375,13 @@ class StreamsSpec extends SparkSpec {
       .toDF("doc_id", "lang", "text", "source")
       .coalesce(1).write.parquet(s"$dir/f1")
     Thread.sleep(1100)
+    // doc 5 has NULL text: size() is -1 under legacy sizeOfNull, so an
+    // unclamped token count would SUBTRACT its lang weight — the
+    // greatest(.., 0) clamp (streamEnrich's contract: NULL-text docs
+    // contribute 0 tokens, like the oracle's NULL-skipping sum)
     Seq((3L, "en", "delta epsilon zeta", "books"),
-      (4L, "xx", "unknown lang words", "web"))
+      (4L, "xx", "unknown lang words", "web"),
+      (5L, "en", null.asInstanceOf[String], "books"))
       .toDF("doc_id", "lang", "text", "source")
       .coalesce(1).write.parquet(s"$dir/f2")
     val dim = Seq(("en", 10L), ("de", 3L)).toDF("lang", "weight")
@@ -337,7 +391,8 @@ class StreamsSpec extends SparkSpec {
       .join(broadcast(dim), Seq("lang"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(graft.text.TextAnalysis.tokensLower(col("text")))
+        sum(greatest(
+          size(graft.text.TextAnalysis.tokensLower(col("text"))), lit(0))
           .cast("long") * coalesce(col("weight"), lit(0L)))
           .as("wt"))
     Streams.runAvailableNow(agg, "enrich_batches_test",
@@ -347,8 +402,9 @@ class StreamsSpec extends SparkSpec {
       .toMap
     // web: docs 1 (en, 2 toks x10) + 2 (de, 1 tok x3) + 4 (xx, 3 toks
     // x0 — LEFT join keeps the unmatched lang); books: doc 3 (en,
-    // 3 toks x10). The dim joined in BOTH micro-batches.
-    assert(got === Map("web" -> ((3L, 23L)), "books" -> ((1L, 30L))))
+    // 3 toks x10) + doc 5 (en, NULL text -> 0 toks, counted in n_docs
+    // but adding 0, NOT -10). The dim joined in BOTH micro-batches.
+    assert(got === Map("web" -> ((3L, 23L)), "books" -> ((2L, 30L))))
   }
 
   test("firstSeenDocs: min-id within batch, first-arrival across batches") {

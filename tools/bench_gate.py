@@ -31,6 +31,59 @@ def load_runms(path):
             if isinstance(r, dict) and r.get("run_ms") is not None}
 
 
+# Quiet-window band for the suite contention index (executor run_ms /
+# cpu_ms over best iterations, carried in bench_detail since r9):
+# quiet local[32] runs at SUITE scale (sf0.1, the driver's binding
+# point) sit ~1.1-1.25; the r8 driver breach ran 1.83. The band does
+# NOT apply to micro-SF dev smokes: at sf0.001 per-task constant
+# overhead (fetch wait, tiny-partition scheduling) dominates cpu_ms
+# and a perfectly quiet run reads ~2.4 -- those points are labeled
+# "micro-SF" instead of misclassified.
+CONTENTION_QUIET_MAX = 1.35
+
+
+def load_detail(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def contention_of(d):
+    """Suite contention index of a loaded detail dict: the r9+
+    top-level field when present, else recomputed from per-query
+    run_ms/cpu_ms."""
+    if isinstance(d.get("contention"), (int, float)):
+        return d["contention"]
+    detail = d.get("detail", d)
+    run = sum(r.get("run_ms", 0) for r in detail.values()
+              if isinstance(r, dict))
+    cpu = sum(r.get("cpu_ms", 0) for r in detail.values()
+              if isinstance(r, dict))
+    return run / cpu if cpu else None
+
+
+def annotate_contention(path, label):
+    """ANNOTATE (never excuse) a detail file whose suite contention
+    index is outside the quiet band: the per-query run_ms gate below
+    still runs unchanged -- this line just makes a contended point
+    self-adjudicating in the gate output (VERDICT r8 #1)."""
+    d = load_detail(path)
+    c = contention_of(d)
+    sf = str(d.get("sf", ""))
+    if c is None:
+        print(f"CONTENTION {label}: index unavailable (no cpu_ms)")
+        return
+    if "sf0.001" in sf or "sf0.01" in sf:
+        band = ("micro-SF point (band uncalibrated: per-task constant "
+                "overhead dominates cpu at this scale)")
+    elif c <= CONTENTION_QUIET_MAX:
+        band = "QUIET"
+    else:
+        band = (f"CONTENDED (> {CONTENTION_QUIET_MAX} quiet band; wall "
+                "totals from this point reflect host load, run_ms stays "
+                "the cost signal)")
+    print(f"CONTENTION {label} ({sf or 'sf?'}): run/cpu = {c:.2f} -> {band}")
+
+
 def ledger_entries(baseline_path):
     """Query names listed under the 'run_ms regression ledger' heading
     (one bullet per query: `- q_name: justification`)."""
@@ -76,8 +129,25 @@ def selftest():
     r3, _ = gate(old, {k: v for k, v in new.items() if k != "q_c"},
                  2.0, 300, {"q_a"})
     assert any("q_c" in x and "missing" in x for x in r3), r3
+    # contention index: top-level field wins; recompute path works; the
+    # quiet/contended band boundary reads correctly
+    import tempfile, os
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        json.dump({"contention": 1.83, "detail": {}}, f)
+        p1 = f.name
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        json.dump({"detail": {"q_a": {"run_ms": 110, "cpu_ms": 100}}}, f)
+        p2 = f.name
+    try:
+        assert contention_of(load_detail(p1)) == 1.83
+        assert abs(contention_of(load_detail(p2)) - 1.1) < 1e-9
+        assert contention_of(load_detail(p1)) > CONTENTION_QUIET_MAX
+        assert contention_of(load_detail(p2)) <= CONTENTION_QUIET_MAX
+    finally:
+        os.unlink(p1)
+        os.unlink(p2)
     print("selftest ok: planted regression caught, ledger honored, "
-          "vanished query caught")
+          "vanished query caught, contention band classified")
     return 0
 
 
@@ -95,6 +165,8 @@ def main():
         return selftest()
     if not a.old or not a.new:
         ap.error("OLD_DETAIL and NEW_DETAIL required (or --selftest)")
+    annotate_contention(a.old, "old")
+    annotate_contention(a.new, "new")
     regressions, explained = gate(load_runms(a.old), load_runms(a.new),
                                   a.ratio, a.floor,
                                   ledger_entries(a.baseline))

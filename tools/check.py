@@ -35,7 +35,7 @@ ROUNDING_CAVEATS = {
         "diff is a 6-dp score at a x1e6 midpoint after a testdata refresh, "
         "demote this query to rows-only per the documented trigger rather "
         "than chasing an operator bug")
-    for q in ("q_mmr", "q_textrank", "q_dsir")
+    for q in ("q_mmr", "q_textrank", "q_dsir", "q_kcenter")
 }
 
 def main(sf_dir: str, out_dir: str) -> int:
