@@ -482,23 +482,29 @@ object ScaleProbe {
         val d20 = 1 << 20
         val w20 = Array.tabulate(d20)(i =>
           ((i.toLong * 2654435761L + 987654321L) % 2000001L) - 1000000L)
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        // both D=2^20 access paths, side by side: the plan-literal
+        // form (forced via literalDimMax) vs the broadcast long[]
+        // (the default above LiteralDimMax)
         for (k <- Seq(1, 16)) {
           val corpus = (0 until k).map(i => docsTwinCopy(i, i))
             .reduce(_ unionByName _)
-          val scored = graft.text.QualityModel
-            .scoreDocsWith(corpus, w20, -250000L)
-          val t0 = System.nanoTime()
-          val plan = scored.queryExecution.executedPlan
-          println(f"  plan build (x$k%-2d, D=2^20)   " +
-            f"${(System.nanoTime() - t0) / 1e9}%8.3fs  " +
-            s"(${plan.toString.length} plan chars)")
-          // first run pays literal broadcast + codegen compile; the
-          // repeats are the steady-state per-row cost
-          for (run <- 1 to 3)
-            time(f"score D=2^20 run$run (x$k%-2d)") {
-              scored.write.format("noop").mode("overwrite").save(); 0L
-            }
+          for ((tag, dimMax) <- Seq(
+              ("literal", Int.MaxValue), ("bcast  ", 0))) {
+            val scored = graft.text.QualityModel
+              .scoreDocsWith(corpus, w20, -250000L,
+                literalDimMax = dimMax)
+            val t0 = System.nanoTime()
+            val plan = scored.queryExecution.executedPlan
+            println(f"  plan build (x$k%-2d, D=2^20 $tag) " +
+              f"${(System.nanoTime() - t0) / 1e9}%8.3fs  " +
+              s"(${plan.toString.length} plan chars)")
+            // first run pays broadcast + codegen compile; the repeats
+            // are the steady-state per-row cost
+            for (run <- 1 to 3)
+              time(f"score D=2^20 $tag run$run (x$k%-2d)") {
+                scored.write.format("noop").mode("overwrite").save(); 0L
+              }
+          }
         }
         // reference point: the shipped 256-bucket model, same corpus
         val base = graft.text.QualityModel.scoreDocs(

@@ -34,9 +34,11 @@ import org.apache.spark.sql.functions._
 object QualityModel {
 
   /** Feature dimension (hash buckets). Power of two keeps `pmod`
-    * cheap; 256 is placeholder-sized — a production model would ship
-    * 2²⁰ buckets through the same literal path (a ~8 MB plan literal,
-    * broadcast once per stage, negligible against a 100 TB scan).
+    * cheap; 256 is placeholder-sized — a production model ships 2²⁰
+    * buckets through [[scoreDocsWith]], which routes dimensions above
+    * [[LiteralDimMax]] over a broadcast `long[]` (the ~8 MB-as-plan-
+    * literal alternative was MEASURED, not assumed, and pays a fixed
+    * ~6 s/job task-binary tax — see [[LiteralDimMax]]).
     */
   val Dim = 256
 
@@ -106,32 +108,56 @@ object QualityModel {
                 idCol: String = "doc_id"): org.apache.spark.sql.DataFrame =
     scoreDocsWith(df, weights, bias, textCol, idCol)
 
+  /** Above this dimension the weight vector ships as a
+    * `SparkContext.broadcast` instead of a plan literal. Measured
+    * (ScaleProbe `quality`, VERDICT r8 #5): the literal path SURVIVES
+    * codegen at D=2²⁰ (the array is literal DATA — one object
+    * reference, never per-element generated code, so no
+    * HugeMethodLimit exposure) but pays a corpus-size-INDEPENDENT
+    * ~6 s/job serialization tax (the 8 MB literal rides the task
+    * binary; x1 and x16 corpus legs pay identically) and a 7.7 MB
+    * plan string. The broadcast path ships a handle and moves the
+    * array once per executor — the shape a 1000-executor cluster
+    * wants. 2¹⁶ longs = 512 KB literal keeps the tax < 0.4 s;
+    * production D=2²⁰ lands on the broadcast side.
+    */
+  val LiteralDimMax = 1 << 16
+
   /** [[scoreDocs]] with an explicit model — the drop-in point for a
     * real trained weight vector (any dimension; the hash re-buckets to
     * `w.length`). Also the production-dimension probe surface:
-    * ScaleProbe's `quality` section pushes a 2²⁰-bucket (~8 MB
-    * literal) model through this exact path to MEASURE plan-build,
-    * first-stage (codegen+broadcast), and steady-state cost rather
-    * than asserting them (VERDICT r8 #5; numbers in BASELINE.md §12).
-    * The array rides the plan as a DATA literal — generated code
-    * indexes into one object reference, so code SIZE is independent
-    * of dimension (no HugeMethodLimit exposure; the round-3 incident
-    * was per-element generated CODE, which this shape never emits).
+    * ScaleProbe's `quality` section pushes a 2²⁰-bucket model through
+    * this exact path to MEASURE plan-build, first-run
+    * (codegen+broadcast), and steady-state cost rather than asserting
+    * them (VERDICT r8 #5; numbers in BASELINE.md §12). Weight access
+    * is a plan literal up to [[LiteralDimMax]] and a broadcast
+    * `long[]` above it ([[graft.functions.BroadcastLongArrayGet]]) —
+    * bit-identical scores either way (integer arithmetic, same
+    * array; TextSpec pins it), `literalDimMax` is overridable only
+    * for that pin.
     */
   def scoreDocsWith(df: org.apache.spark.sql.DataFrame,
                     w: Array[Long], b: Long,
                     textCol: String = "text",
-                    idCol: String = "doc_id")
+                    idCol: String = "doc_id",
+                    literalDimMax: Int = LiteralDimMax)
   : org.apache.spark.sql.DataFrame = {
-    val wLit = typedLit(w.toSeq)
+    val weightAt: Column => Column =
+      if (w.length <= literalDimMax) {
+        val wLit = typedLit(w.toSeq)
+        t => bucketWeight(wLit, t, w.length)
+      } else {
+        val bc = df.sparkSession.sparkContext.broadcast(w)
+        t => graft.functions.BroadcastWeights.broadcast_weights_get(
+          bc, (pmod(xxhash64(t), lit(w.length))).cast("int"))
+      }
     val toks = TextAnalysis.tokensLower(col(textCol))
     val dots = df
       .select(col(idCol), toks.as("__toks"))
       .select(col(idCol),
         explode(concat(col("__toks"), bigramsOf(col("__toks"))))
           .as("__t"))
-      .select(col(idCol),
-        bucketWeight(wLit, col("__t"), w.length).as("__w"))
+      .select(col(idCol), weightAt(col("__t")).as("__w"))
       .groupBy(idCol)
       .agg(sum("__w").as("__dot"))
     df.join(dots, Seq(idCol), "left")

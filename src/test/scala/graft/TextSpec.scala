@@ -211,5 +211,14 @@ class TextSpec extends SparkSpec {
       "scoreDocs must equal scoreMicro on every corpus doc")
     assert(viaDocs(1000000L) === QualityModel.bias)
     assert(viaDocs(1000001L) === QualityModel.bias)
+    // the BROADCAST weight path (production dimension's access shape,
+    // forced here via literalDimMax = 0) must be bit-identical to the
+    // literal path — same array, integer arithmetic, both eval modes
+    val viaBc = QualityModel.scoreDocsWith(docs,
+        QualityModel.weights, QualityModel.bias, literalDimMax = 0)
+      .select("doc_id", "score_micro")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaBc === a,
+      "broadcast weight path must equal the literal path")
   }
 }
