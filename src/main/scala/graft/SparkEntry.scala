@@ -106,6 +106,7 @@ object SparkEntry {
     "q_emb_neardup"    -> (TrainingQueries.embNearDup _),
     "q_emb_neardup_lsh" -> (TrainingQueries.embNearDupLsh _),
     "q_emb_neardup_lsh_prod" -> (TrainingQueries.embNearDupLshProd _),
+    "q_emb_neardup_incr" -> (TrainingQueries.embNearDupIncr _),
     "q_centroid"       -> (TrainingQueries.centroids _),
     "q_token_counts"   -> (TrainingQueries.tokenCounts _),
     "q_train_test_split" -> (TrainingQueries.trainTestSplit _),
@@ -123,6 +124,7 @@ object SparkEntry {
     "q_curate"         -> (TrainingQueries.curate _),
     "q_curate_v2"      -> (TrainingQueries.curateV2 _),
     "q_dedup_minhash_incr" -> (TrainingQueries.dedupMinhashIncr _),
+    "q_gopher_rules"   -> (TrainingQueries.gopherRules _),
     "q_dedup_clusters" -> (TrainingQueries.dedupClusters _),
     "q_dedup_reps"     -> (TrainingQueries.dedupReps _),
     "q_cluster_sample" -> (TrainingQueries.clusterSample _),
@@ -915,12 +917,19 @@ object SparkEntry {
     // exactly what a full rebuild would
     "q_dedup_minhash_incr" -> graft.dedup.XxHashSql.minhashOracleSql(
       pairFilter = "a.doc_id % 5 = 4 OR b.doc_id % 5 = 4"),
+    "q_gopher_rules" -> TrainingQueries.gopherRulesOracleSql,
     "q_emb_neardup_lsh" -> graft.sim.Similarity.nearDupLshOracleSql(
       threshold = 0.4, bands = 16, rowsPerBand = 4, dim = 64),
     // production config (4 x 16-bit bands): scale-safe candidate
     // volume (65 536 buckets/band), same literal-hyperplane replay
     "q_emb_neardup_lsh_prod" -> graft.sim.Similarity.nearDupLshOracleSql(
       threshold = 0.25, bands = 4, rowsPerBand = 16, dim = 64),
+    // full banded relation restricted to pairs touching a new vector
+    // (vec_id % 5 = 4) — proves the incremental single-bkey probe
+    // finds exactly what a full rebuild would
+    "q_emb_neardup_incr" -> graft.sim.Similarity.nearDupLshOracleSql(
+      threshold = 0.25, bands = 4, rowsPerBand = 16, dim = 64,
+      pairFilter = "a.vec_id % 5 = 4 OR b.vec_id % 5 = 4"),
     "q_kmeans_cells" ->
       s"""WITH ${graft.queries.TrainingQueries.kmeansAssignSql(16)}
          |SELECT cell, count(*) AS n_vectors FROM assign

@@ -55,6 +55,67 @@ object TrainingQueries {
         (col("score_micro") > 0).as("keep"))
       .orderBy("doc_id")
 
+  /** Gopher/MassiveText rule-based quality gate over documents
+    * ([[graft.text.TextAnalysis.gopherRules]]): per-doc repetition +
+    * structure signals and an integer-exact keep decision.
+    */
+  def gopherRules(s: SparkSession, d: String): DataFrame =
+    graft.text.TextAnalysis.gopherRules(Tables.documents(s, d))
+      .orderBy("doc_id")
+
+  /** Exact DuckDB oracle for [[gopherRules]]: the same token/gram
+    * constructions and the same CROSS-MULTIPLIED-INTEGER gate, so
+    * `keep` has no float anywhere on either engine.
+    */
+  def gopherRulesOracleSql: String = {
+    val stops = graft.text.TextAnalysis.stopwords
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(
+       |    regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |    t -> t != '') AS w
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id,
+       |    CAST(coalesce(len(w), 0) AS BIGINT) AS n_words,
+       |    CAST(coalesce(len(array_to_string(w, '')), 0) AS BIGINT)
+       |      AS sum_len,
+       |    CAST(coalesce(len(list_intersect(w, $stops)), 0) AS BIGINT)
+       |      AS n_stop_distinct,
+       |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bg,
+       |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |     for i in range(1, len(w) - 1)] AS tg
+       |  FROM tok),
+       |bgs AS (
+       |  SELECT doc_id, CAST(max(c) AS BIGINT) AS bg_max,
+       |    CAST(sum(c) AS BIGINT) AS bg_tot
+       |  FROM (SELECT doc_id, g, count(*) AS c
+       |        FROM (SELECT doc_id, unnest(bg) AS g FROM base)
+       |        GROUP BY 1, 2) GROUP BY 1),
+       |tgs AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS tg_dis,
+       |    CAST(sum(c) AS BIGINT) AS tg_tot
+       |  FROM (SELECT doc_id, g, count(*) AS c
+       |        FROM (SELECT doc_id, unnest(tg) AS g FROM base)
+       |        GROUP BY 1, 2) GROUP BY 1)
+       |SELECT b.doc_id, b.n_words,
+       |  round(b.sum_len / nullif(CAST(b.n_words AS DOUBLE), 0), 6)
+       |    AS mean_word_len,
+       |  round(bg_max / CAST(bg_tot AS DOUBLE), 6) AS top_bigram_frac,
+       |  round((tg_tot - tg_dis) / CAST(tg_tot AS DOUBLE), 6)
+       |    AS dup_trigram_frac,
+       |  b.n_stop_distinct,
+       |  (b.n_words >= 30 AND b.sum_len >= b.n_words * 3
+       |    AND b.sum_len <= b.n_words * 10
+       |    AND coalesce(bg_max * 100 <= bg_tot * 6, false)
+       |    AND coalesce((tg_tot - tg_dis) * 100 <= tg_tot * 2, false)
+       |    AND b.n_stop_distinct >= 2) AS keep
+       |FROM base b
+       |LEFT JOIN bgs ON bgs.doc_id = b.doc_id
+       |LEFT JOIN tgs ON tgs.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   /** MinHash-LSH candidate pairs, similarity-estimated. Hash functions
     * are engine-specific (xxhash64) → no SQL oracle; correctness is
     * recall-tested against brute-force Jaccard in DedupSpec.
@@ -81,6 +142,25 @@ object TrainingQueries {
     val oldSigs = Dedup.minhashSignatures(old)
     Dedup.minhashIncremental(batch, Dedup.minhashBands(oldSigs), oldSigs)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Incremental embedding near-dup: the `vec_id % 5 == 4` slice
+    * arrives as the new batch, probing the flattened-LSH-key index
+    * persisted from the other 80 %
+    * ([[graft.sim.Similarity.nearDupIncremental]] — old×old never
+    * re-pairs; production 4×16-bit config). The oracle is the full
+    * banded relation restricted to pairs touching a new vector,
+    * proving the single-bkey probe loses nothing.
+    */
+  def embNearDupIncr(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val old = emb.filter(pmod(col("vec_id"), lit(5L)) < 4)
+    val batch = emb.filter(pmod(col("vec_id"), lit(5L)) === 4)
+    Similarity.nearDupIncremental(batch,
+        Similarity.cosineLshKeys(old, dim = 64),
+        old.select(col("vec_id"), col("embedding")), threshold = 0.25,
+        dim = 64)
+      .orderBy("id_a", "id_b")
   }
 
   /** SimHash near-dup pairs (Hamming ≤ 3 over 64-bit signatures). */

@@ -487,6 +487,66 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("__cos"), 6).as("cosine"))
   }
 
+  /** Flattened LSH band key of [[cosineLshBands]] output: one LONG
+    * `band · 2^rowsPerBand + bucket` — the single-column, BUCKETABLE
+    * index grain for [[nearDupIncremental]] (the same persisted-index
+    * discipline as [[graft.dedup.Dedup.minhashBands]]: store this
+    * frame bucketed on `bkey`, probe on that one key, and the stored
+    * index is scanned in place — shuffle bytes per run O(batch), not
+    * O(index)).
+    */
+  def cosineLshKeys(df: DataFrame, bands: Int = 4, rowsPerBand: Int = 16,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id", dim: Int = -1): DataFrame =
+    cosineLshBands(df, bands, rowsPerBand, vecCol, idCol, dim)
+      .select(col(idCol),
+        (col("band").cast("long") * lit(1L << rowsPerBand) +
+          col("bucket")).as("bkey"))
+
+  /** INCREMENTAL embedding near-dup — the steady-state form of
+    * [[nearDupPairsLsh]] for daily ingest, mirroring
+    * [[graft.dedup.Dedup.minhashIncremental]]: a new batch of vectors
+    * is banded, its keys probe the PERSISTED key index (old vectors)
+    * unioned with the batch's own keys, and only pairs touching a new
+    * vector are cosine-verified — old×old never re-pairs, so a run
+    * costs |batch| band probes against a (bucketed) index, not a
+    * corpus² rebuild. Emits `(id_a, id_b, cosine ≥ threshold)` with
+    * `id_a < id_b`; the caller appends the batch's keys/vectors to
+    * the index for the next run.
+    *
+    * `indexKeys`: persisted `(vec_id, bkey)` ([[cosineLshKeys]]
+    * output); `indexVecs`: `(vec_id, embedding)` for the verify join.
+    * The probe joins on `bkey` ALONE (it already encodes the band),
+    * so a `bkey`-bucketed index satisfies the join distribution and
+    * is scanned WITHOUT an Exchange — the [[graft.io.Bucketing]]
+    * layout contract, same as the minhash band index.
+    */
+  def nearDupIncremental(batch: DataFrame, indexKeys: DataFrame,
+                         indexVecs: DataFrame, threshold: Double = 0.25,
+                         bands: Int = 4, rowsPerBand: Int = 16,
+                         vecCol: String = "embedding",
+                         idCol: String = "vec_id",
+                         dim: Int = -1): DataFrame = {
+    val newKeys = cosineLshKeys(batch, bands, rowsPerBand, vecCol,
+      idCol, dim)
+    val probe = newKeys.select(col(idCol).as("id_n"), col("bkey"))
+    val index = indexKeys.unionByName(newKeys)
+      .select(col(idCol).as("id_o"), col("bkey"))
+    val cand = probe.join(index, Seq("bkey"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+      .distinct()
+    val all = indexVecs.unionByName(
+      batch.select(col(idCol), col(vecCol).as("embedding")))
+    val va = all.select(col(idCol).as("id_a"), col("embedding").as("__va"))
+    val vb = all.select(col(idCol).as("id_b"), col("embedding").as("__vb"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .withColumn("__cos", array_cosine(col("__va"), col("__vb")))
+      .filter(col("__cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__cos"), 6).as("cosine"))
+  }
+
   /** DuckDB oracle for [[nearDupPairsLsh]] (r6 conversion): banded
     * cosine-LSH is DETERMINISTIC — the hyperplanes are a pure function
     * of (bands·rowsPerBand, dim) — so the oracle generator inlines the
@@ -503,13 +563,23 @@ object Similarity {
     * `dv(vec_id, v)`) supplying the vectors — defaults to the
     * embeddings table; q_media_neardup passes its centered-histogram
     * construction instead.
+    *
+    * `pairFilter`: optional extra predicate over candidate pairs
+    * (aliases `a`/`b`) — the incremental variant restricts to pairs
+    * touching a NEW vector (`q_emb_neardup_incr`); the full near-dup
+    * passes none. Sound because [[nearDupIncremental]]'s flattened
+    * `bkey` uniquely encodes (band, bucket), so its single-key probe
+    * generates EXACTLY this two-key relation restricted by the
+    * filter.
     */
   def nearDupLshOracleSql(threshold: Double = 0.5, bands: Int = 8,
                           rowsPerBand: Int = 4, dim: Int = 64,
-                          dvCtes: String = Similarity.embeddingsDvSql)
+                          dvCtes: String = Similarity.embeddingsDvSql,
+                          pairFilter: String = "")
   : String = {
     val hp = hyperplanes(bands * rowsPerBand, dim)
     def arr(a: Array[Double]): String = a.mkString("[", ",", "]")
+    val pf = if (pairFilter.isEmpty) "" else s" AND ($pairFilter)"
     val bandSelects = (0 until bands).map { b =>
       val bits = (0 until rowsPerBand).map { j =>
         s"(CASE WHEN list_dot_product(v, ${arr(hp(b * rowsPerBand + j))})" +
@@ -523,7 +593,7 @@ object Similarity {
        |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM keys a JOIN keys b
-       |  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id$pf)
        |SELECT c.id_a, c.id_b,
        |  round(list_cosine_similarity(va.v, vb.v), 6) AS cosine
        |FROM cand c

@@ -116,6 +116,103 @@ object TextAnalysis {
     df.withColumn("model_score", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A1.1 — the MassiveText filter),
+    * re-grained for token-structured corpora (this testdata has no
+    * line structure, so the line-grain rules are represented by their
+    * token/n-gram analogues — the same signals the paper's
+    * repetition table drives):
+    *
+    *  - `n_words` — word count (Gopher: 50 ≤ words ≤ 100 000);
+    *  - `mean_word_len` — mean word length (Gopher: in [3, 10]);
+    *  - `top_bigram_frac` — fraction of 2-gram instances taken by the
+    *    single most frequent 2-gram (Gopher: "fraction of characters
+    *    in most common n-gram" family);
+    *  - `dup_trigram_frac` — fraction of 3-gram instances that are
+    *    repeats of an earlier 3-gram (Gopher's duplicate-n-gram
+    *    family), `1 − distinct/total`;
+    *  - `n_stop_distinct` — distinct stopwords present (Gopher's
+    *    "contains ≥ 2 stop words" rule);
+    *  - `keep` — the composite gate.
+    *
+    * EXACTNESS: `keep` compares CROSS-MULTIPLIED INTEGERS
+    * (`100·max ≤ thr·total` instead of `max/total ≤ thr/100`), so the
+    * gate has no float anywhere and replays bit-exactly on any
+    * engine; only the DISPLAY ratios carry the standing 6-dp rounding
+    * caveat. Thresholds are calibrated to this corpus's measured
+    * quantiles (BASELINE.md §13) so the gate actually separates:
+    * words ≥ 30, 3 ≤ mean len ≤ 10, top-bigram ≤ 6 %,
+    * dup-trigram ≤ 2 %, ≥ 2 distinct stopwords.
+    *
+    * Scale shape: one narrow map for the per-doc scalars plus two
+    * explode→two-level-aggregate legs (bigram, trigram) keyed on the
+    * doc id — partial aggregation collapses per-doc counts map-side,
+    * so the shuffle carries distinct (doc, gram) rows, bounded by
+    * document length, never corpus-quadratic. No interpreted
+    * higher-order functions on the hot path (the gram arrays are
+    * `transform` over an index sequence — evaluated once per row —
+    * and the counting runs in exploded codegen aggregates).
+    *
+    * Output: `(idCol, n_words, mean_word_len, top_bigram_frac,
+    * dup_trigram_frac, n_stop_distinct, keep)`; docs with NULL/blank
+    * text keep n_words = 0, NULL metrics, keep = false.
+    */
+  def gopherRules(df: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    // coalesce the ARRAY, not the size: size(NULL) is -1 under the
+    // legacy sizeOfNull conf, so a NULL-text doc would read -1 words
+    val toks = coalesce(tokensLower(col(textCol)),
+      array().cast("array<string>"))
+    def gramsOf(tc: Column, k: Int): Column =
+      when(size(tc) >= k,
+        transform(sequence(lit(1), size(tc) - (k - 1)),
+          i => concat_ws(" ",
+            (0 until k).map(j => element_at(tc, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+    val base = df.select(
+      col(idCol),
+      coalesce(size(toks), lit(0)).cast("long").as("n_words"),
+      coalesce(length(array_join(toks, "")), lit(0)).cast("long")
+        .as("__sum_len"),
+      coalesce(size(array_intersect(toks,
+        array(stopwords.map(lit): _*))), lit(0)).cast("long")
+        .as("n_stop_distinct"),
+      gramsOf(toks, 2).as("__bg"), gramsOf(toks, 3).as("__tg"))
+    val bg = base
+      .select(col(idCol), explode(col("__bg")).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(idCol)
+      .agg(max("__c").as("__bg_max"), sum("__c").as("__bg_tot"))
+    val tg = base
+      .select(col(idCol), explode(col("__tg")).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__tg_dis"), sum("__c").as("__tg_tot"))
+    base.drop("__bg", "__tg")
+      .join(bg, Seq(idCol), "left")
+      .join(tg, Seq(idCol), "left")
+      .withColumn("mean_word_len",
+        round(col("__sum_len") /
+          nullif(col("n_words").cast("double"), lit(0.0)), 6))
+      .withColumn("top_bigram_frac",
+        round(col("__bg_max") / col("__bg_tot").cast("double"), 6))
+      .withColumn("dup_trigram_frac",
+        round((col("__tg_tot") - col("__tg_dis")) /
+          col("__tg_tot").cast("double"), 6))
+      .withColumn("keep",
+        col("n_words") >= 30 &&
+          col("__sum_len") >= col("n_words") * 3 &&
+          col("__sum_len") <= col("n_words") * 10 &&
+          coalesce(col("__bg_max") * 100 <= col("__bg_tot") * 6,
+            lit(false)) &&
+          coalesce((col("__tg_tot") - col("__tg_dis")) * 100 <=
+            col("__tg_tot") * 2, lit(false)) &&
+          col("n_stop_distinct") >= 2)
+      .select(col(idCol), col("n_words"), col("mean_word_len"),
+        col("top_bigram_frac"), col("dup_trigram_frac"),
+        col("n_stop_distinct"), col("keep"))
+  }
+
   /** Token-repetition ratio (Gopher-style repetition quality signal):
     * fraction of tokens that are repeats of an earlier token,
     * `1 − |distinct tokens| / |tokens|`. Narrow map — array ops only.

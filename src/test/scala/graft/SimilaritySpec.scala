@@ -494,6 +494,41 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1)._2 === farthest, "rank 2 must be farthest from seed")
   }
 
+  test("nearDupIncremental replayed in waves reconstructs the full LSH relation") {
+    // ingest the corpus in 5 id-sliced waves, each probing the index
+    // of everything before it; the union of wave outputs plus the
+    // wave-0 intra-batch pairs must equal the one-shot
+    // nearDupPairsLsh relation — old x old never re-pairs, nothing
+    // is lost (the minhashIncremental discipline, embedding modality)
+    import graft.sim.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val full = Similarity.nearDupPairsLsh(emb, threshold = 0.25,
+        bands = 4, rowsPerBand = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = scala.collection.mutable.Set[(Long, Long)]()
+    var ik: Option[org.apache.spark.sql.DataFrame] = None
+    var iv: Option[org.apache.spark.sql.DataFrame] = None
+    for (wave <- 0L to 4L) {
+      val batch = emb.filter(pmod(col("vec_id"), lit(5L)) === wave)
+      (ik, iv) match {
+        case (Some(keys), Some(vecs)) =>
+          got ++= Similarity.nearDupIncremental(batch, keys, vecs,
+              threshold = 0.25, dim = 64)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+        case _ => // first wave: intra-batch pairs via the batch form
+          got ++= Similarity.nearDupPairsLsh(batch, threshold = 0.25,
+              bands = 4, rowsPerBand = 16)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+      val newKeys = Similarity.cosineLshKeys(batch, dim = 64)
+      val newVecs = batch.select(col("vec_id"), col("embedding"))
+      ik = Some(ik.map(_.unionByName(newKeys)).getOrElse(newKeys))
+      iv = Some(iv.map(_.unionByName(newVecs)).getOrElse(newVecs))
+    }
+    assert(full.nonEmpty, "fixture has no LSH near-dups — vacuous")
+    assert(got.toSet === full)
+  }
+
   test("kCenterGreedy: incremental recurrence == naive re-fold, exactly") {
     // the O(k·n·d) production form folds one center per round into a
     // persisted running `mind`; this pins its EXACT equivalence to the

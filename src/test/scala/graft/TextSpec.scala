@@ -221,4 +221,42 @@ class TextSpec extends SparkSpec {
     assert(viaBc === a,
       "broadcast weight path must equal the literal path")
   }
+
+  test("gopherRules: signals on a hand-checkable fixture, integer gate, edge docs") {
+    import graft.text.TextAnalysis
+    // doc 1: "the the the the" — 4 words, top bigram "the the" = 3/3,
+    // dup trigram 1/2, 1 distinct stopword -> everything fails
+    // doc 2: 40 distinct-ish words incl. two stopwords, no repeated
+    // bigram -> keep
+    val good = (1 to 38).map(i => s"word$i").mkString("the a ", " ", "")
+    val rows = Seq(
+      (1L, "the the the the"),
+      (2L, good),
+      (3L, ""),                       // blank: 0 words, NULL metrics
+      (4L, null.asInstanceOf[String]) // NULL text: same contract
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(rows).orderBy("doc_id")
+      .collect()
+    val d1 = got(0)
+    assert(d1.getLong(1) === 4L)                 // n_words
+    assert(d1.getDouble(2) === 3.0)              // mean_word_len
+    assert(d1.getDouble(3) === 1.0)              // top_bigram 3/3
+    assert(d1.getDouble(4) === 0.5)              // dup_trigram 1/2
+    assert(d1.getLong(5) === 1L && !d1.getBoolean(6))
+    val d2 = got(1)
+    assert(d2.getLong(1) === 40L)
+    assert(d2.getDouble(3) < 0.06 && d2.getLong(5) === 2L)
+    assert(d2.getBoolean(6), s"fixture doc 2 must pass the gate: $d2")
+    for (edge <- Seq(got(2), got(3))) {
+      assert(edge.getLong(1) === 0L)
+      assert(edge.isNullAt(2) && edge.isNullAt(3) && edge.isNullAt(4))
+      assert(!edge.getBoolean(6))
+    }
+    // the gate must actually separate the real corpus (not constant)
+    val corpus = TextAnalysis.gopherRules(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val kept = corpus.filter(col("keep")).count()
+    val n = corpus.count()
+    assert(kept > 0 && kept < n, s"gate degenerate: $kept/$n kept")
+  }
 }
