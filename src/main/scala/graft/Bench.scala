@@ -191,16 +191,19 @@ object Bench {
     * round records `parsed: null`; BenchSpec asserts the bound.
     */
   def renderOutputs(results: Seq[(String, QueryResult)], sfDir: String,
-                    iters: Int): (String, String) = {
+                    iters: Int, cpus: Int = 4): (String, String) = {
     val total = results.map(_._2.best).sum
     // Suite-level contention index (VERDICT r8 #1): total executor
-    // run_ms vs cpu_ms over every query's BEST iteration. On a quiet
-    // host run ≈ cpu (r7/r8 quiet points: ratio ≈ 1.1); tasks
-    // descheduled by host contention inflate run_ms but not cpu_ms
-    // (the r6/r8 forensics signature — BENCH_r08's breach ran at
-    // 1.83). Carrying the ratio IN the parsed line makes a contended
-    // driver point self-adjudicating instead of needing post-hoc
-    // journal forensics.
+    // run_ms vs cpu_ms over every query's BEST iteration. The quiet
+    // band is THREAD-COUNT-DEPENDENT (r9 measurement): local[4]
+    // quiet points sit ≈ 1.10, local[32] quiet points ≈ 1.85 (more
+    // threads = more blocked-not-running task time in state-store /
+    // memory-bound stages even on an idle host — isolated q_stream_
+    // join walls are EQUAL across configs while run_ms doubles).
+    // That is why `cpus` rides next to the ratio: a 1.8 at cpus=32
+    // is a quiet point, a 1.8 at cpus=4 is genuine host contention
+    // (the r6/r8 forensics signature). Carrying both IN the parsed
+    // line makes a driver point self-adjudicating.
     val runMsTotal = results.map(_._2.metrics(0)).sum
     val cpuMsTotal = results.map(_._2.metrics(1)).sum
     val contention =
@@ -252,12 +255,13 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":${jsonStr(sfDir)},"n_queries":${results.size},""" +
-      s""""iters":$iters,"method":"min_of_iters",""" +
+      s""""iters":$iters,"method":"min_of_iters","cpus":$cpus,""" +
       s""""run_ms_total":$runMsTotal,"cpu_ms_total":$cpuMsTotal,""" +
       s""""contention":${jsonNum(contention)},""" +
       s""""detail_file":${jsonStr(detailFile)}""" + errPartBrief + "}"
     val detailJson =
       s"""{"total":$total,"sf":${jsonStr(sfDir)},"iters":$iters,""" +
+      s""""cpus":$cpus,""" +
       s""""run_ms_total":$runMsTotal,"cpu_ms_total":$cpuMsTotal,""" +
       s""""contention":${jsonNum(contention)},""" +
       s""""detail":$detail$errPart}"""
@@ -390,7 +394,8 @@ object Bench {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         }
 
-    val (line, detailJson) = renderOutputs(results, sfDir, iters)
+    val (line, detailJson) = renderOutputs(results, sfDir, iters,
+      cpus.toInt)
     // The stdout line is the primary contract — print it FIRST so a
     // detail-file write failure (non-writable cwd) can't discard the
     // whole bench after every query already ran.
