@@ -145,13 +145,18 @@ object TextAnalysis {
     * dup-trigram ≤ 2 %, ≥ 2 distinct stopwords.
     *
     * Scale shape: one narrow map for the per-doc scalars plus two
-    * explode→two-level-aggregate legs (bigram, trigram) keyed on the
-    * doc id — partial aggregation collapses per-doc counts map-side,
-    * so the shuffle carries distinct (doc, gram) rows, bounded by
-    * document length, never corpus-quadratic. No interpreted
-    * higher-order functions on the hot path (the gram arrays are
-    * `transform` over an index sequence — evaluated once per row —
-    * and the counting runs in exploded codegen aggregates).
+    * generator→two-level-aggregate legs (bigram, trigram) keyed on
+    * the doc id — partial aggregation collapses per-doc counts
+    * map-side, so the shuffle carries distinct (doc, gram) rows,
+    * bounded by document length, never corpus-quadratic. The gram
+    * fan-out is the NATIVE [[graft.functions.TokenShingles]]
+    * generator (tokenizes once per row, emits k-grams directly):
+    * the first cut built the gram arrays with `transform(sequence,
+    * i -> concat(element_at(toks, i)…))`, and Catalyst's
+    * CollapseProject inlined the whole tokenize expression into
+    * EVERY captured `element_at` — O(tokens²) re-tokenization per
+    * doc, measured 37 s cpu over sf0.1 vs 1.5 s for this form (the
+    * same interpreted-HOF trap the SimHash scaladoc documents).
     *
     * Output: `(idCol, n_words, mean_word_len, top_bigram_frac,
     * dup_trigram_frac, n_stop_distinct, keep)`; docs with NULL/blank
@@ -163,12 +168,12 @@ object TextAnalysis {
     // legacy sizeOfNull conf, so a NULL-text doc would read -1 words
     val toks = coalesce(tokensLower(col(textCol)),
       array().cast("array<string>"))
-    def gramsOf(tc: Column, k: Int): Column =
-      when(size(tc) >= k,
-        transform(sequence(lit(1), size(tc) - (k - 1)),
-          i => concat_ws(" ",
-            (0 until k).map(j => element_at(tc, i + j)): _*)))
-        .otherwise(array().cast("array<string>"))
+    // TokenShingles tokenizes exactly like tokensLower (trim, lower,
+    // \s+ split, drop empties), so gram strings match the oracle's
+    def gramLeg(k: Int): DataFrame = df
+      .select(col(idCol),
+        graft.functions.TokenShingles.tokenShingles(col(textCol), k))
+      .select(col(idCol), col("shingle").as("__g"))
     val base = df.select(
       col(idCol),
       coalesce(size(toks), lit(0)).cast("long").as("n_words"),
@@ -176,19 +181,16 @@ object TextAnalysis {
         .as("__sum_len"),
       coalesce(size(array_intersect(toks,
         array(stopwords.map(lit): _*))), lit(0)).cast("long")
-        .as("n_stop_distinct"),
-      gramsOf(toks, 2).as("__bg"), gramsOf(toks, 3).as("__tg"))
-    val bg = base
-      .select(col(idCol), explode(col("__bg")).as("__g"))
+        .as("n_stop_distinct"))
+    val bg = gramLeg(2)
       .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
       .groupBy(idCol)
       .agg(max("__c").as("__bg_max"), sum("__c").as("__bg_tot"))
-    val tg = base
-      .select(col(idCol), explode(col("__tg")).as("__g"))
+    val tg = gramLeg(3)
       .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("__tg_dis"), sum("__c").as("__tg_tot"))
-    base.drop("__bg", "__tg")
+    base
       .join(bg, Seq(idCol), "left")
       .join(tg, Seq(idCol), "left")
       .withColumn("mean_word_len",
