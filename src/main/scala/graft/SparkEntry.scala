@@ -145,6 +145,7 @@ object SparkEntry {
     "q_cms_exact"      -> (TrainingQueries.cmsExact _),
     "q_pq_assign"      -> (TrainingQueries.pqAssign _),
     "q_pq_topk"        -> (TrainingQueries.pqTopK _),
+    "q_pq_topk_exact"  -> (TrainingQueries.pqTopKExact _),
     "q_pq_ivf"         -> (TrainingQueries.pqIvf _),
     "q_bm25"           -> (TrainingQueries.bm25 _),
     "q_topk_agg"       -> (AnalyticsQueries.topKAgg _),
@@ -822,12 +823,17 @@ object SparkEntry {
         |   AND q.vec_id <> c.vec_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_bq_topk" -> graft.sim.Similarity.bqTopKOracleSql(),
+    // fixed-corpus anchor cap (TrainingQueries.EmbAnchorCap) on BOTH
+    // sides: the all-pairs ground truth needs a bounded n, not an
+    // sf-scaled one
     "q_emb_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |   CAST(b.embedding AS DOUBLE[])), 6) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |WHERE a.vec_id < ${TrainingQueries.EmbAnchorCap}
+        |  AND b.vec_id < ${TrainingQueries.EmbAnchorCap}
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |  CAST(b.embedding AS DOUBLE[])) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
     "q_mmr" -> graft.queries.TrainingQueries.mmrOracleSql(),
@@ -849,6 +855,10 @@ object SparkEntry {
         |WHERE lang IS NOT NULL
         |GROUP BY 1 ORDER BY lang""".stripMargin,
     "q_pq_assign" -> graft.queries.TrainingQueries.pqAssignOracleSql(),
+    // seed-codebook ADC scan replay (r9 VERDICT #5): LUT dots, sub-order
+    // ADC sum, shortlist + exact re-rank all pure SQL
+    "q_pq_topk_exact" ->
+      graft.queries.TrainingQueries.pqTopKExactOracleSql(),
     "q_textrank" -> graft.queries.TrainingQueries.textRankOracleSql(),
     "q_knn_ivf" -> graft.queries.TrainingQueries.knnIvfOracleSql(),
     "q_ppr_terms" -> graft.queries.TrainingQueries.pprTermsOracleSql(),
@@ -913,13 +923,18 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_minhash" -> graft.dedup.XxHashSql.minhashOracleSql(),
     // full MinHash relation restricted to pairs touching a new doc
-    // (doc_id % 5 = 4) — proves the incremental band-probe plan finds
-    // exactly what a full rebuild would
+    // (doc_id % 5 = 4) — the incremental band-probe plan reproduces
+    // the full rebuild's verified relation (single-key probe caveat:
+    // a ~2^-32 cross-band band_hash collision whose est_jaccard also
+    // clears the threshold would ADD a pair the rebuild never emits;
+    // verification guards recall exactly, set equality probabilistically)
     "q_dedup_minhash_incr" -> graft.dedup.XxHashSql.minhashOracleSql(
       pairFilter = "a.doc_id % 5 = 4 OR b.doc_id % 5 = 4"),
     "q_gopher_rules" -> TrainingQueries.gopherRulesOracleSql,
     "q_emb_neardup_lsh" -> graft.sim.Similarity.nearDupLshOracleSql(
-      threshold = 0.4, bands = 16, rowsPerBand = 4, dim = 64),
+      threshold = 0.4, bands = 16, rowsPerBand = 4, dim = 64,
+      dvCtes = graft.sim.Similarity.embeddingsDvSqlWhere(
+        s"vec_id < ${TrainingQueries.EmbAnchorCap}")),
     // production config (4 x 16-bit bands): scale-safe candidate
     // volume (65 536 buckets/band), same literal-hyperplane replay
     "q_emb_neardup_lsh_prod" -> graft.sim.Similarity.nearDupLshOracleSql(

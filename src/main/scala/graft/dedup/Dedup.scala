@@ -323,7 +323,12 @@ object Dedup {
     * sound because a cross-band hash collision only ADDS a candidate,
     * and every candidate is verified against the signatures — IoSpec
     * ("bucketed minhash band index") pins both the plan shape and the
-    * verified-relation equivalence.
+    * verified-relation equivalence. Equality with the two-key rebuild
+    * is probabilistic, not absolute: a 32-bit cross-band collision on
+    * a pair whose est_jaccard ALSO clears the threshold would add a
+    * pair the rebuild never emits (p ≈ 2⁻³² per cross-band pair, and
+    * such near-identical docs almost surely share a real band too);
+    * recall — never missing a rebuild pair — is exact.
     */
   def minhashIncremental(batch: DataFrame, indexBands: DataFrame,
                          indexSigs: DataFrame, numHashes: Int = 64,

@@ -477,6 +477,9 @@ object ScaleProbe {
       // codegen fallback is disabled so a HugeMethodLimit-style
       // failure would THROW here, not silently degrade.
       println("=== quality classifier at production dimension ===")
+      // restore the PRE-SECTION value, not a hard-coded default: a
+      // later section must inherit whatever the session had (ADVICE r9)
+      val fallbackBefore = spark.conf.getOption("spark.sql.codegen.fallback")
       spark.conf.set("spark.sql.codegen.fallback", "false")
       try {
         val d20 = 1 << 20
@@ -513,7 +516,14 @@ object ScaleProbe {
           time(f"score D=256   run$run (x16)") {
             base.write.format("noop").mode("overwrite").save(); 0L
           }
-      } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+      } finally {
+        fallbackBefore match {
+          case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+          case None => spark.conf.unset("spark.sql.codegen.fallback")
+        }
+        // retire the probe's 8 MB weight broadcasts with the plans
+        graft.text.QualityModel.destroyCachedBroadcasts()
+      }
     }
 
     section("kcenter") {

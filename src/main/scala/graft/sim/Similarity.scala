@@ -676,12 +676,20 @@ object Similarity {
     * or via [[embeddingsUnSql]]) so a change to the coercion can
     * never desynchronize one oracle from the others.
     */
-  def embeddingsDvSql: String =
-    """dv AS MATERIALIZED (
-      |  SELECT vec_id,
-      |    list_transform(embedding, x -> coalesce(CAST(x AS DOUBLE), 0.0))
-      |      AS v
-      |  FROM embeddings)""".stripMargin
+  def embeddingsDvSql: String = embeddingsDvSqlWhere("TRUE")
+
+  /** [[embeddingsDvSql]] restricted by a corpus predicate — the
+    * oracle-side twin of capping the Spark query's input (the
+    * fixed-corpus anchor discipline,
+    * [[graft.queries.TrainingQueries.EmbAnchorCap]]). Same coercion
+    * fragment, so the float discipline can never desynchronize.
+    */
+  def embeddingsDvSqlWhere(pred: String): String =
+    s"""dv AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> coalesce(CAST(x AS DOUBLE), 0.0))
+       |      AS v
+       |  FROM embeddings WHERE $pred)""".stripMargin
 
   /** [[embeddingsDvSql]] plus the `withUnit` replay: `un(vec_id, v,
     * u)` with u = v/|v| (index-order double norm, zero-norm

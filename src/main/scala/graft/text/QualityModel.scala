@@ -136,6 +136,33 @@ object QualityModel {
     * array; TextSpec pins it), `literalDimMax` is overridable only
     * for that pin.
     */
+  /** One broadcast per (session, weight-array identity): repeated
+    * planning (bench iterations, streaming restarts) must not
+    * accumulate ~8 MB broadcasts until session end (ADVICE r9).
+    * Scala tuple equality on a Java array is reference equality, so
+    * the key is identity — a caller mutating its array in place and
+    * re-planning gets the OLD broadcast, which is the standard Spark
+    * broadcast contract (broadcast values are immutable-by-contract).
+    * [[destroyCachedBroadcasts]] is the retire handle.
+    */
+  private val bcCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Array[Long]),
+    org.apache.spark.broadcast.Broadcast[Array[Long]]]()
+
+  /** Destroy every cached weight broadcast and empty the cache — call
+    * when the scoring plans built from them are retired (e.g. at the
+    * end of a probe section or before session shutdown).
+    */
+  def destroyCachedBroadcasts(): Unit = {
+    val it = bcCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      it.remove()
+      try e.getValue.destroy()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   def scoreDocsWith(df: org.apache.spark.sql.DataFrame,
                     w: Array[Long], b: Long,
                     textCol: String = "text",
@@ -147,7 +174,8 @@ object QualityModel {
         val wLit = typedLit(w.toSeq)
         t => bucketWeight(wLit, t, w.length)
       } else {
-        val bc = df.sparkSession.sparkContext.broadcast(w)
+        val bc = bcCache.computeIfAbsent((df.sparkSession, w),
+          _ => df.sparkSession.sparkContext.broadcast(w))
         t => graft.functions.BroadcastWeights.broadcast_weights_get(
           bc, (pmod(xxhash64(t), lit(w.length))).cast("int"))
       }

@@ -113,14 +113,21 @@ def ledger_entries(baseline_path):
     return set(re.findall(r"^[-*]\s*`?(q_\w+)`?", m.group(1), re.MULTILINE))
 
 
+# Measured quiet-window host-speed band (BASELINE.md #13): identical
+# code reads 20-30% apart between quiet windows, <0.1% within one. The
+# normalization factor is CLAMPED to this band (ADVICE r9): an
+# unbounded factor would let a genuine uniform code regression (every
+# query 2x slower -> w=2.0) be divided out entirely and the gate pass
+# on a printed WINDOW line. Outside the band the clamped residual
+# surfaces per-query AND a suite-wide pseudo-regression
+# (`q_suite_window_factor`) fails the gate unless ledgered.
+WINDOW_BAND = (0.70, 1.35)
+
+
 def window_factor(old, new):
     """Median new/old run_ms ratio over the shared non-trivial queries:
-    the host's BETWEEN-WINDOWS speed factor (BASELINE.md #13 -- identical
-    code measures 20-30% apart in different quiet windows while being
-    reproducible to <0.1% within one). Gating on window-NORMALIZED
-    ratios keeps the gate meaningful across windows and still catches
-    shape outliers; the factor is printed so a uniform slowdown is
-    visible, never silently absorbed."""
+    the host's BETWEEN-WINDOWS speed factor. Returns the RAW median;
+    callers clamp to WINDOW_BAND before normalizing."""
     import statistics
     ratios = [new[q] / old[q] for q in set(old) & set(new)
               if old[q] and old[q] >= 100 and new[q] is not None]
@@ -129,10 +136,19 @@ def window_factor(old, new):
 
 def gate(old, new, ratio, floor, ledger):
     regressions, explained = [], []
-    w = window_factor(old, new)
-    if abs(w - 1.0) > 0.05:
-        print(f"WINDOW factor {w:.2f}x (median run_ms ratio over shared "
-              "queries) -- gating on window-normalized ratios")
+    w_raw = window_factor(old, new)
+    w = min(max(w_raw, WINDOW_BAND[0]), WINDOW_BAND[1])
+    if abs(w_raw - 1.0) > 0.05:
+        print(f"WINDOW factor {w_raw:.2f}x (median run_ms ratio over shared "
+              f"queries), gating at clamped {w:.2f}x "
+              f"(quiet band {WINDOW_BAND[0]}-{WINDOW_BAND[1]})")
+    if not (WINDOW_BAND[0] <= w_raw <= WINDOW_BAND[1]):
+        line = (f"q_suite_window_factor: median run_ms ratio {w_raw:.2f}x "
+                f"outside the measured quiet-window band "
+                f"{WINDOW_BAND[0]}-{WINDOW_BAND[1]} -- a uniform "
+                f"suite-wide cost change, not host-window variance")
+        (explained if "q_suite_window_factor" in ledger
+         else regressions).append(line)
     for q in sorted(set(old) & set(new)):
         o, n = old[q], new[q] / w
         if n > o * ratio and n - o > floor:
@@ -166,16 +182,24 @@ def selftest():
     r3, _ = gate(old, {k: v for k, v in new.items() if k != "q_c"},
                  2.0, 300, {"q_a"})
     assert any("q_c" in x and "missing" in x for x in r3), r3
-    # window normalization: a uniform 1.5x host-window slowdown across
-    # >= 8 shared queries must NOT trip; a genuine 4x shape outlier on
-    # top of it MUST still trip
+    # window normalization: a uniform 1.3x host-window slowdown (inside
+    # the quiet band) across >= 8 shared queries must NOT trip; a
+    # genuine 4x shape outlier on top of it MUST still trip
     base = {f"q_{i}": 1000 + 37 * i for i in range(10)}
-    slow = {q: int(v * 1.5) for q, v in base.items()}
+    slow = {q: int(v * 1.3) for q, v in base.items()}
     r4, _ = gate(base, slow, 2.0, 300, set())
     assert r4 == [], r4
     slow["q_3"] = base["q_3"] * 4
     r5, _ = gate(base, slow, 2.0, 300, set())
     assert len(r5) == 1 and r5[0].startswith("q_3:"), r5
+    # clamp (ADVICE r9): a uniform 2x suite-wide regression must NOT be
+    # absorbed by the window factor -- the suite-wide pseudo-regression
+    # trips the gate, and a ledger entry is the only way past it
+    double = {q: v * 2 for q, v in base.items()}
+    r6, _ = gate(base, double, 2.0, 300, set())
+    assert len(r6) == 1 and r6[0].startswith("q_suite_window_factor:"), r6
+    r7, e7 = gate(base, double, 2.0, 300, {"q_suite_window_factor"})
+    assert r7 == [] and len(e7) == 1, (r7, e7)
     # contention index: top-level field wins; recompute path works; the
     # quiet/contended band boundary reads correctly
     import tempfile, os
