@@ -157,6 +157,7 @@ object SparkEntry {
     "q_scd2_lookup"    -> (AnalyticsQueries.scd2Lookup _),
     "q_lm_score"       -> (TrainingQueries.lmScore _),
     "q_mix_rebalance"  -> (TrainingQueries.mixRebalance _),
+    "q_epoch_plan"     -> ((s, d) => TrainingQueries.epochPlan(s, d)),
     "q_date_spine"     -> (AnalyticsQueries.dateSpine _),
     "q_equi_depth"     -> (AnalyticsQueries.equiDepth _),
     "q_substring_dup"  -> (TrainingQueries.substringDups _),
@@ -175,6 +176,7 @@ object SparkEntry {
     "q_pmi"            -> (TrainingQueries.pmi _),
     "q_pca"            -> (TrainingQueries.pcaVariance _),
     "q_semdedup"       -> (TrainingQueries.semDedup _),
+    "q_semdedup_prod"  -> (TrainingQueries.semDedupProd _),
     "q_pq_opq"         -> (TrainingQueries.pqOpq _),
     "q_dsir"           -> (TrainingQueries.dsirWeights _),
     "q_bpe"            -> (TrainingQueries.bpeMerges _),
@@ -949,8 +951,22 @@ object SparkEntry {
       s"""WITH ${graft.queries.TrainingQueries.kmeansAssignSql(16)}
          |SELECT cell, count(*) AS n_vectors FROM assign
          |GROUP BY cell ORDER BY cell""".stripMargin,
+    // fixed-corpus anchor (EmbAnchorCap, r10): k=16 cells are
+    // quadratic in n via cell occupancy — the anchor pins the replay
+    // on a bounded corpus; q_semdedup_prod scales k with the data
     "q_semdedup" ->
-      s"""WITH ${graft.queries.TrainingQueries.kmeansAssignSql(16)},
+      s"""WITH ${graft.queries.TrainingQueries.kmeansAssignSql(16,
+             s"vec_id < ${TrainingQueries.EmbAnchorCap}")},
+         |dom AS (
+         |  SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.v, b.v) >= 0.9)
+         |SELECT s.vec_id, s.cell FROM assign s
+         |LEFT JOIN dom ON s.vec_id = dom.vec_id
+         |WHERE dom.vec_id IS NULL ORDER BY s.vec_id""".stripMargin,
+    // production config: full SF, k=256 (occupancy-bounded pair stage)
+    "q_semdedup_prod" ->
+      s"""WITH ${graft.queries.TrainingQueries.kmeansAssignSql(256)},
          |dom AS (
          |  SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
          |  ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -1486,6 +1502,48 @@ object SparkEntry {
         |  round(200.0 * (sqrt(n_docs) / z), 2) AS alloc,
         |  round((sqrt(n_docs) / z) / n_docs, 6) AS doc_weight
         |FROM s CROSS JOIN z ORDER BY source""".stripMargin,
+    // token-budget epoch plan: pure-integer replay (fixed-point
+    // weights, bigint DIV/%, multiplicative-hash shuffle order) — see
+    // TrainingQueries.epochPlan scaladoc for why no float threshold
+    // can flip a document between engines
+    "q_epoch_plan" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(
+        |      regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS src_tokens,
+        |    CAST(round(sqrt(sum(n_tok)) * 1000000) AS BIGINT) AS w_fp
+        |  FROM docs GROUP BY 1),
+        |z AS (SELECT CAST(sum(w_fp) AS BIGINT) AS z FROM s),
+        |plan AS (
+        |  SELECT source, n_docs, src_tokens,
+        |    (100000 * w_fp) // z AS target_tokens,
+        |    ((100000 * w_fp) // z) // src_tokens AS full_epochs,
+        |    ((100000 * w_fp) // z) % src_tokens AS rem_tokens
+        |  FROM s CROSS JOIN z),
+        |ordered AS (
+        |  SELECT source, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY (doc_id % 2147483648) * 2654435761 % 4294967296,
+        |        doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM docs),
+        |part AS (
+        |  SELECT o.source, count(*) AS n_partial_docs,
+        |    CAST(sum(o.n_tok) AS BIGINT) AS partial_tokens
+        |  FROM ordered o JOIN plan p ON o.source = p.source
+        |  WHERE o.cum_before < p.rem_tokens GROUP BY 1)
+        |SELECT p.source, p.n_docs, p.src_tokens, p.target_tokens,
+        |  p.full_epochs, p.rem_tokens,
+        |  coalesce(n_partial_docs, 0) AS n_partial_docs,
+        |  coalesce(partial_tokens, 0) AS partial_tokens
+        |FROM plan p LEFT JOIN part USING (source)
+        |ORDER BY source""".stripMargin,
     "q_date_spine" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day FROM events

@@ -3,19 +3,19 @@ package graft.examples
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Synthesize an sf1-shaped dataset (10× sf0.1) for the decade bench
-  * leg: every table replicated with DISJOINT key ranges — and, for
+/** Synthesize an sfN-shaped dataset (N× sf0.1) for the decade bench
+  * legs: every table replicated with DISJOINT key ranges — and, for
   * the similarity-bearing tables, per-replica salting — so operator
   * COST scales honestly instead of being distorted by artificial
   * cross-replica duplicates:
   *
   *  - relational keys (orders/lineitem/customer/supplier/part,
   *    events users) shift by replica, so join/group cardinalities
-  *    scale ×10 like real data;
+  *    scale ×N like real data;
   *  - document text is token-salted per replica (the ScaleProbe twin
   *    discipline): each replica keeps the base corpus's own
-  *    intra-replica near-dups (true-dup volume scales ×10, linear),
-  *    but no cross-replica pairs exist — an exact copy ×10 would make
+  *    intra-replica near-dups (true-dup volume scales ×N, linear),
+  *    but no cross-replica pairs exist — an exact copy ×N would make
   *    the true pair set quadratic and every dedup query's cost
   *    unrepresentative;
   *  - embeddings get a deterministic per-replica sign pattern, same
@@ -23,14 +23,24 @@ import org.apache.spark.sql.functions._
   *  - region/nation are fixed dimensions (25/5 rows) at every scale,
   *    exactly like TPC-H.
   *
-  * Usage: `sbt "runMain graft.examples.MakeSf1 [outDir]"`, then
-  * `SPARK_GRAFT_SF_DIR=outDir sbt "runMain graft.Bench"`.
+  * Usage:
+  *   `sbt "runMain graft.examples.MakeSf1 [outDir] [reps] [tablesCsv]"`
+  * then `SPARK_GRAFT_SF_DIR=outDir sbt "runMain graft.Bench"`.
+  *
+  * `reps` defaults to 10 (the sf1 leg). The ×100 capstone leg
+  * (VERDICT r9 #2) passes `reps=100 tables=documents,embeddings` —
+  * the curation/dedup family's two tables — because replicating the
+  * relational fact tables ×100 buys nothing for that family and
+  * ~10× the build time. With a table subset, the fixed dims are
+  * still copied so the bench warm-up finds them.
   */
 object MakeSf1 {
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
-    val reps = 10
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val only: Option[Set[String]] = args.drop(2).headOption
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -42,14 +52,15 @@ object MakeSf1 {
     def load(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def save(df: DataFrame, t: String) =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
-    def repl(t: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
-      val base = load(t)
-      save((0 until reps).map(i => shift(base, i)).reduce(_ unionByName _), t)
-      println(s"[make-sf1] $t x$reps")
-    }
+    def repl(t: String)(shift: (DataFrame, Int) => DataFrame): Unit =
+      if (only.forall(_.contains(t))) {
+        val base = load(t)
+        save((0 until reps).map(i => shift(base, i)).reduce(_ unionByName _), t)
+        println(s"[make-sf] $t x$reps")
+      }
 
-    // fixed dims
-    for (t <- Seq("region", "nation")) { save(load(t), t); println(s"[make-sf1] $t (fixed dim)") }
+    // fixed dims (always copied: the bench warm-up reads nation)
+    for (t <- Seq("region", "nation")) { save(load(t), t); println(s"[make-sf] $t (fixed dim)") }
 
     val C = 10000000L // key stride, beyond every sf0.1 key range
     repl("customer")((df, i) => df
@@ -76,31 +87,33 @@ object MakeSf1 {
     // a contiguous base range [0, n) replicated as [i*n, (i+1)*n)
     // keeps the whole [0, reps*n) range CLOSED under div-2 (every
     // parent id exists; the forest deepens by log2(reps) rounds,
-    // exactly like real ×10 growth), where an arbitrary offset left
+    // exactly like real ×N growth), where an arbitrary offset left
     // odd replicas' parents dangling and the hierarchy guard
     // (correctly) refused to run at sf1 (VERDICT r8 #4).
-    val docIds = load("documents")
-      .agg(min("doc_id"), max("doc_id"), count(lit(1))).collect()(0)
-    require(docIds.getLong(0) == 0L &&
-      docIds.getLong(1) == docIds.getLong(2) - 1L,
-      s"documents doc_id must be contiguous [0, n) for the div-2 " +
-        s"closure: min=${docIds.getLong(0)} max=${docIds.getLong(1)} " +
-        s"n=${docIds.getLong(2)}")
-    val nDocs = docIds.getLong(2)
-    repl("documents")((df, i) => df
-      .withColumn("doc_id", col("doc_id") + lit(i * nDocs))
-      // per-replica token salt: shingles never collide across replicas
-      .withColumn("text", when(col("text").isNotNull, concat_ws(" ",
-        transform(split(col("text"), " "),
-          t => concat(t, lit(s"~$i"))))))
-      .withColumn("n_chars", length(coalesce(col("text"), lit("")))))
+    if (only.forall(_.contains("documents"))) {
+      val docIds = load("documents")
+        .agg(min("doc_id"), max("doc_id"), count(lit(1))).collect()(0)
+      require(docIds.getLong(0) == 0L &&
+        docIds.getLong(1) == docIds.getLong(2) - 1L,
+        s"documents doc_id must be contiguous [0, n) for the div-2 " +
+          s"closure: min=${docIds.getLong(0)} max=${docIds.getLong(1)} " +
+          s"n=${docIds.getLong(2)}")
+      val nDocs = docIds.getLong(2)
+      repl("documents")((df, i) => df
+        .withColumn("doc_id", col("doc_id") + lit(i * nDocs))
+        // per-replica token salt: shingles never collide across replicas
+        .withColumn("text", when(col("text").isNotNull, concat_ws(" ",
+          transform(split(col("text"), " "),
+            t => concat(t, lit(s"~$i"))))))
+        .withColumn("n_chars", length(coalesce(col("text"), lit("")))))
+    }
     repl("embeddings")((df, i) => df
       .withColumn("vec_id", col("vec_id") + lit(i * C))
       .withColumn("embedding", expr(
         s"transform(embedding, (x, j) -> " +
           s"CASE WHEN pmod(hash($i, j), 2) = 0 THEN -x ELSE x END)")))
 
-    println(s"[make-sf1] wrote $out")
+    println(s"[make-sf] wrote $out (x$reps)")
     spark.stop()
   }
 }

@@ -473,13 +473,18 @@ object FuncQueries {
     import graft.text.TextAnalysis
     val tmp = java.nio.file.Files.createTempDirectory("graft_curate_hops")
     val silver = tmp.resolve("silver").toString
+    // the silver PARQUET is the durable hop-to-hop artifact and stays
+    // on disk; the drain's checkpoint is ephemeral (RAM-backed when
+    // available — see Streams.ephemeralCheckpointDir) so the query's
+    // wall doesn't track /tmp's fsync-latency window
+    val ckSilver = Streams.ephemeralCheckpointDir("graft_ck_silver_")
     val nTok = size(TextAnalysis.tokensLower(col("text"))).cast("long")
     val nChr = length(
       regexp_replace(trim(col("text")), "\\s+", "")).cast("long")
     val kept = streamTable(s, d, "documents")
       .filter(nTok >= 8 && nChr >= nTok * 2 && nChr <= nTok * 12)
     Streams.runAvailableNowToPath(Streams.firstSeenDocs(kept).toDF(),
-      silver, tmp.resolve("ck_silver").toString)
+      silver, ckSilver.toString)
     val hits = Streams.nearDupBands(
       Streams.fileSource(s, silver, s.read.parquet(silver).schema))
     Streams.runAvailableNow(hits.toDF(), "graft_stream_curate_hits")

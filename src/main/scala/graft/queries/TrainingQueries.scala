@@ -1501,6 +1501,62 @@ object TrainingQueries {
       .orderBy("source")
   }
 
+  /** Token-budget epoch plan (pretraining data-recipe assembly — the
+    * step after [[mixRebalance]]'s mixture weights: turn weights +
+    * a global token budget into per-source REPEAT factors and the
+    * exact fractional-epoch document set). Per source:
+    * `full_epochs = ⌊target/src_tokens⌋` passes over the whole
+    * source, plus a partial pass of the first documents — in a
+    * deterministic multiplicative-hash shuffle order — whose running
+    * token sum covers the remainder.
+    *
+    * Everything after the one grouped token count is INTEGER
+    * arithmetic, so the plan is bit-reproducible on any engine:
+    * the temperature-smoothed weight `w_fp = round(√tokens·10⁶)` is
+    * quantized ONCE to fixed-point (what a reproducible recipe ships
+    * anyway), the budget split `B·w_fp DIV Σw` is bigint division,
+    * and the partial-pass cut compares bigint running sums — no float
+    * threshold can flip a document in or out. The shuffle order is
+    * Knuth's multiplicative hash `(doc_id mod 2³¹)·2654435761 mod
+    * 2³²` (doc_id-keyed, payload never read). Cost at scale: one
+    * narrow groupBy(source) over (doc_id, source, n_tok) plus one
+    * per-source window — both linear, no wide rows past the scan.
+    */
+  def epochPlan(s: SparkSession, d: String,
+                budgetTokens: Long = 100000L): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      size(TextAnalysis.tokensLower(coalesce(col("text"), lit(""))))
+        .cast("long").as("n_tok"))
+    val plan = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("src_tokens"))
+      .withColumn("w_fp", round(sqrt(col("src_tokens")) * 1e6).cast("long"))
+      .crossJoin(broadcast(
+        docs.groupBy("source").agg(sum("n_tok").as("t"))
+          .agg(sum(round(sqrt(col("t")) * 1e6).cast("long")).as("z"))))
+      .withColumn("target_tokens", expr(s"($budgetTokens * w_fp) DIV z"))
+      .withColumn("full_epochs", expr("target_tokens DIV src_tokens"))
+      .withColumn("rem_tokens", expr("target_tokens % src_tokens"))
+    val cut = Window.partitionBy("source")
+      .orderBy(col("shuf"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val partial = docs
+      .withColumn("shuf",
+        expr("pmod(pmod(doc_id, 2147483648) * 2654435761, 4294967296)"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(cut), lit(0L)))
+      .join(plan.select("source", "rem_tokens"), Seq("source"))
+      .filter(col("cum_before") < col("rem_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_partial_docs"),
+        sum("n_tok").as("partial_tokens"))
+    plan.join(partial, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        col("target_tokens"), col("full_epochs"), col("rem_tokens"),
+        coalesce(col("n_partial_docs"), lit(0L)).as("n_partial_docs"),
+        coalesce(col("partial_tokens"), lit(0L)).as("partial_tokens"))
+      .orderBy("source")
+  }
+
   /** Model-based quality scoring (sigmoid of weight·features — the
     * classifier-filter inference shape; weights are codegen-folded
     * literals, the way broadcast model coefficients reach executors).
@@ -1996,8 +2052,8 @@ object TrainingQueries {
     * argmax dot with smallest-centroid-id tie-break. All dots are
     * index-order double accumulation in both engines.
     */
-  def kmeansAssignSql(k: Int): String =
-    s"""${Similarity.embeddingsDvSql},
+  def kmeansAssignSql(k: Int, where: String = "TRUE"): String =
+    s"""${Similarity.embeddingsDvSqlWhere(where)},
        |cu1 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
        |      AS cent_id,
@@ -2028,9 +2084,34 @@ object TrainingQueries {
     * survivor id set carries an EXACT oracle. The τ-independence and
     * domination invariants (any iters) stay property-tested in
     * SimilaritySpec; trained-centroid flows run in q_pq_ivf.
+    *
+    * ORACLE-ANCHOR config, capped at the fixed [[EmbAnchorCap]]
+    * corpus (r10): with k fixed at 16, cell occupancy is n/16 and the
+    * within-cell pair stage is quadratic in n — the sf10 capstone leg
+    * measured it at cpu ×71 per data ×10 (the suite's most expensive
+    * row, 724 s cpu at 200k vectors). Same discipline as
+    * [[embNearDup]]/[[embNearDupLsh]]: the anchor pins the replay on
+    * a FIXED corpus; [[semDedupProd]] ingests the full SF with
+    * occupancy-bounded k.
     */
   def semDedup(s: SparkSession, d: String): DataFrame =
-    Similarity.semDedup(Tables.embeddings(s, d), k = 16, iters = 0,
+    Similarity.semDedup(
+        Tables.embeddings(s, d).filter(col("vec_id") < EmbAnchorCap),
+        k = 16, iters = 0, threshold = 0.9)
+      .orderBy("vec_id")
+
+  /** SemDeDup, PRODUCTION config: full-SF corpus, k = 256 cells —
+    * the paper's k = O(√n) occupancy knob applied (Abbas et al. 2023
+    * §3: cluster count must grow with the corpus so the within-cell
+    * pair product stays bounded). At 200k vectors occupancy is ~780
+    * (≈16× fewer pairs than the k=16 anchor would generate);
+    * assignment stays the narrow broadcast-centroid map. Seed
+    * centroids (iters = 0) keep the full pipeline SQL-replayable, so
+    * this config is EXACTLY oracled at every SF, like
+    * [[embNearDupLshProd]].
+    */
+  def semDedupProd(s: SparkSession, d: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(s, d), k = 256, iters = 0,
         threshold = 0.9)
       .orderBy("vec_id")
 

@@ -487,21 +487,60 @@ object Streams {
     * parallelism gain when keys are few. Callers with genuinely large
     * key spaces pass a larger value.
     */
+  /** Ephemeral checkpoint root for drain-then-discard queries: a
+    * RAM-backed tmpfs (`/dev/shm`) when the platform has one, else
+    * `java.io.tmpdir`. An AvailableNow drain into a memory sink has
+    * no recovery story past the process — its checkpoint exists only
+    * to drive the micro-batch commit protocol within the run — so
+    * paying disk fsync latency per offsets/commit/state-delta write
+    * buys nothing and makes the drain's wall track /tmp's IO window
+    * (measured 2.5–9.5 ms per 4 KB fsync, BASELINE.md §13; the
+    * recurring ledger entries on q_stream_* were exactly this). A
+    * DURABLE pipeline keeps its checkpoint on durable storage —
+    * [[runAvailableNowToPath]] still takes the caller's path
+    * verbatim.
+    */
+  def ephemeralCheckpointDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val root =
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(root, prefix)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.util.control.NonFatal
+    try {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    } catch { case NonFatal(_) => () }
+  }
+
   def runAvailableNow(df: DataFrame, queryName: String,
                       outputMode: String = "append",
-                      statePartitions: Int = 8): Unit = {
+                      statePartitions: Int = 4): Unit = {
     val spark = df.sparkSession
     val old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val ck = ephemeralCheckpointDir("graft_ck_")
     try {
       val q = df.writeStream
         .outputMode(outputMode)
         .format("memory")
         .queryName(queryName)
+        .option("checkpointLocation", ck.toString)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", old)
+      deleteRecursively(ck)
+    }
   }
 
   /** [[runAvailableNow]] with a DURABLE parquet sink + checkpoint —
@@ -512,7 +551,7 @@ object Streams {
     */
   def runAvailableNowToPath(df: DataFrame, path: String,
                             checkpoint: String,
-                            statePartitions: Int = 8): Unit = {
+                            statePartitions: Int = 4): Unit = {
     val spark = df.sparkSession
     val old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)

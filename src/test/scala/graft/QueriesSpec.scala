@@ -122,6 +122,36 @@ class QueriesSpec extends SparkSpec {
     assert(a.exists(t => !c.contains(t)))
   }
 
+  test("epoch plan: integer identities and a covering-minimal partial cut") {
+    val rows = TrainingQueries.epochPlan(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val budget = 100000L
+    // fixed-point weights sum to z; per-source targets floor-sum to
+    // at most the budget (integer division loses < n_sources tokens)
+    val targets = rows.map(_.getAs[Long]("target_tokens"))
+    assert(targets.sum <= budget &&
+      targets.sum > budget - rows.length)
+    rows.foreach { r =>
+      val src = r.getAs[Long]("src_tokens")
+      val tgt = r.getAs[Long]("target_tokens")
+      val full = r.getAs[Long]("full_epochs")
+      val rem = r.getAs[Long]("rem_tokens")
+      val nPart = r.getAs[Long]("n_partial_docs")
+      val pTok = r.getAs[Long]("partial_tokens")
+      // division identity: the plan decomposes the target exactly
+      assert(full * src + rem === tgt, s"identity broke for $r")
+      assert(rem >= 0 && rem < src)
+      // the partial pass COVERS the remainder (the doc that crosses
+      // the cut is included whole) and is empty iff rem is zero
+      assert(pTok >= rem, s"partial under-covers: $r")
+      if (rem === 0L) assert(nPart === 0L && pTok === 0L)
+      else assert(nPart > 0L)
+    }
+    // deterministic: the plan is bit-identical across runs
+    val again = TrainingQueries.epochPlan(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("sparse retrieval: cosines in (0,1], k-bounded, no self-matches") {
     val rows = TrainingQueries.sparseRetrieval(spark, sfDir, k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

@@ -185,7 +185,9 @@ class ScaleSpec extends SparkSpec {
     // broadcast-hash), never a CartesianProduct or
     // BroadcastNestedLoopJoin — the shapes that die at 100 TB.
     // Documented exceptions: q_emb_neardup (the O(n²) small-corpus
-    // oracle baseline for the LSH path), q_knn_brute (bounded broadcast
+    // oracle baseline for the LSH path — r10: input capped at a FIXED
+    // EmbAnchorCap corpus, so the product is bounded at every sf),
+    // q_knn_brute (bounded broadcast
     // cross product: |queries| × corpus by design), q_knn_ivf (two
     // BOUNDED broadcast fan-outs: the 1-row centroid-array frame and
     // the |queries| × |centroids| probe ranking — the corpus-side
@@ -216,9 +218,11 @@ class ScaleSpec extends SparkSpec {
     // the exact re-rank after it joins equi on the candidate ids.
     // Note q_knn_filtered is deliberately NOT here: its predicate is
     // the join key, so the plan is an ordinary equi-join.
+    // q_pq_topk_exact is the identical bounded ADC-scan shape as
+    // q_pq_topk, under seed (iters=0) codebooks for the exact oracle.
     val allowed = Set("q_emb_neardup", "q_knn_brute", "q_knn_ivf",
-      "q_cross_join", "q_rrf_fusion", "q_pq_topk", "q_pq_ivf", "q_pq_opq",
-      "q_chisq", "q_mmr", "q_bq_topk")
+      "q_cross_join", "q_rrf_fusion", "q_pq_topk", "q_pq_topk_exact",
+      "q_pq_ivf", "q_pq_opq", "q_chisq", "q_mmr", "q_bq_topk")
     // 1-row-frame fan-outs (a global aggregate cross-joined back in,
     // e.g. tfidf's corpus count, assignCells' collected centroid array)
     // also plan as BNLJ but are ×1 by construction — recognizable
