@@ -328,6 +328,17 @@ object Bench {
       // type-driven repair in Tables.normalizeTs is the second belt.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // The default 60 s state-store maintenance tick snapshots EVERY
+      // loaded provider — including orphans of already-completed
+      // AvailableNow drains — and its cost lands on whichever query
+      // happens to be running, a roaming +3–12 s run_ms tax that
+      // moved between q_stream_* rows every round (measured r10:
+      // streaming mini-suite run_ms 29.5 s → 15.3 s with the tick
+      // stretched). Drains live ≪ 60 s, so maintenance buys them
+      // nothing; one tick per hour still bounds orphaned-provider
+      // memory over the longest suite run. Harness-session scope
+      // only — the library never mutates a caller's session.
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkLogs.quietIterativeCleanup()

@@ -25,6 +25,10 @@ object Verify {
       // type-driven repair in Tables.normalizeTs is the second belt.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // one maintenance tick per hour: AvailableNow drains live ≪ 60 s
+      // and the default tick's provider-snapshot cost lands on whatever
+      // query is running (see Bench.scala for the measurement)
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkLogs.quietIterativeCleanup()
