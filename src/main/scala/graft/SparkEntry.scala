@@ -103,6 +103,7 @@ object SparkEntry {
     "q_knn_filtered"   -> (TrainingQueries.knnFiltered _),
     "q_bq_topk"        -> (TrainingQueries.bqTopK _),
     "q_knn_ivf"        -> (TrainingQueries.knnIvf _),
+    "q_recall_at_k"    -> (TrainingQueries.recallAtK _),
     "q_emb_neardup"    -> (TrainingQueries.embNearDup _),
     "q_emb_neardup_lsh" -> (TrainingQueries.embNearDupLsh _),
     "q_emb_neardup_lsh_prod" -> (TrainingQueries.embNearDupLshProd _),
@@ -863,6 +864,9 @@ object SparkEntry {
       graft.queries.TrainingQueries.pqTopKExactOracleSql(),
     "q_textrank" -> graft.queries.TrainingQueries.textRankOracleSql(),
     "q_knn_ivf" -> graft.queries.TrainingQueries.knnIvfOracleSql(),
+    // recall@k of the IVF index vs exact ground truth — both legs the
+    // already-pinned deterministic replays, so the MEASUREMENT is exact
+    "q_recall_at_k" -> graft.queries.TrainingQueries.recallAtKOracleSql(),
     "q_ppr_terms" -> graft.queries.TrainingQueries.pprTermsOracleSql(),
     // span-grain duplication: DuckDB groups positional 5-gram STRINGS
     // where Spark groups their xxhash64 — identical partitions of the

@@ -213,6 +213,38 @@ object TrainingQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** ANN index-quality evaluation, recall@k — the monitoring op a
+    * production retrieval/dedup pipeline runs continuously: per query,
+    * |IVF top-k ∩ exact top-k| / k, over the SAME query set and k as
+    * [[knnIvf]]. Both legs are deterministic (id-seeded centroids,
+    * unit-dot argmaxes), so the recall itself carries an exact SQL
+    * oracle — the measurement is pinned, not just the index. Scale:
+    * the exact leg is the bounded |queries|×corpus broadcast product
+    * (same contract as q_knn_brute — ground truth over a FIXED probe
+    * set, never corpus×corpus); the IVF leg routes through cells. A
+    * left-semi intersect + one grouped count past those.
+    */
+  def recallAtK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id").between(10, 19))
+    val k = 5
+    val exact = Similarity.bruteForceTopK(emb, queries, k = k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.ivfTopK(emb, queries,
+        centroidIds = (0L until 20L), k = k, nProbe = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble), 6)
+          .as("recall_at_k"))
+      .orderBy("query_id")
+  }
+
   /** DuckDB oracle for [[knnIvf]] (r6 conversion): the id-seeded IVF
     * path is fully deterministic — centroid set is an id filter, cell
     * assignment / probe ranking / candidate top-k are argmaxes over
@@ -225,10 +257,9 @@ object TrainingQueries {
     * centroids via assignCells' withUnit — all the same computation
     * since centroids ARE corpus rows).
     */
-  def knnIvfOracleSql(centLo: Int = 0, centHi: Int = 19,
-                      qLo: Int = 10, qHi: Int = 19,
-                      k: Int = 5, nProbe: Int = 3): String =
-    s"""WITH ${Similarity.embeddingsUnSql},
+  private def ivfCtes(centLo: Int, centHi: Int,
+                      qLo: Int, qHi: Int, nProbe: Int): String =
+    s"""${Similarity.embeddingsUnSql},
        |cents AS MATERIALIZED (
        |  SELECT vec_id AS cell, u AS cu FROM un
        |  WHERE vec_id BETWEEN $centLo AND $centHi),
@@ -244,7 +275,12 @@ object TrainingQueries {
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY list_dot_product(q.u, c.cu) DESC, c.cell ASC) AS rn
        |    FROM un q, cents c WHERE q.vec_id BETWEEN $qLo AND $qHi)
-       |  WHERE rn <= $nProbe)
+       |  WHERE rn <= $nProbe)""".stripMargin
+
+  def knnIvfOracleSql(centLo: Int = 0, centHi: Int = 19,
+                      qLo: Int = 10, qHi: Int = 19,
+                      k: Int = 5, nProbe: Int = 3): String =
+    s"""WITH ${ivfCtes(centLo, centHi, qLo, qHi, nProbe)}
        |SELECT query_id, neighbor_id, rank, cosine FROM (
        |  SELECT qc.query_id, a.neighbor_id,
        |    CAST(row_number() OVER (PARTITION BY qc.query_id
@@ -254,6 +290,47 @@ object TrainingQueries {
        |  FROM qc JOIN assign a ON qc.cell = a.cell
        |  WHERE qc.query_id <> a.neighbor_id)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB oracle for [[recallAtK]]: both legs are the already-pinned
+    * deterministic replays ([[knnIvfOracleSql]]'s CTEs for the IVF
+    * side, the unit-dot window for the exact side), so the recall —
+    * an intersection count of two deterministic id sets — is exact.
+    */
+  def recallAtKOracleSql(centLo: Int = 0, centHi: Int = 19,
+                         qLo: Int = 10, qHi: Int = 19,
+                         k: Int = 5, nProbe: Int = 3): String =
+    s"""WITH ${ivfCtes(centLo, centHi, qLo, qHi, nProbe)},
+       |ivf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT qc.query_id, a.neighbor_id,
+       |      row_number() OVER (PARTITION BY qc.query_id
+       |        ORDER BY list_dot_product(qc.qu, a.nu) DESC,
+       |          a.neighbor_id ASC) AS rank
+       |    FROM qc JOIN assign a ON qc.cell = a.cell
+       |    WHERE qc.query_id <> a.neighbor_id)
+       |  WHERE rank <= $k),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.u, n.u) DESC, n.vec_id ASC)
+       |        AS rank
+       |    FROM un q JOIN un n ON q.vec_id BETWEEN $qLo AND $qHi
+       |     AND q.vec_id <> n.vec_id)
+       |  WHERE rank <= $k),
+       |hits AS (
+       |  SELECT i.query_id, count(*) AS n_hits FROM ivf i
+       |  JOIN exact e ON i.query_id = e.query_id
+       |   AND i.neighbor_id = e.neighbor_id
+       |  GROUP BY 1)
+       |SELECT q.vec_id AS query_id,
+       |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $k, 6)
+       |    AS recall_at_k
+       |FROM (SELECT vec_id FROM embeddings
+       |      WHERE vec_id BETWEEN $qLo AND $qHi) q
+       |LEFT JOIN hits h ON q.vec_id = h.query_id
+       |ORDER BY query_id""".stripMargin
 
   /** Deterministic corpus cap for the two quadratic ORACLE-ANCHOR
     * queries ([[embNearDup]], [[embNearDupLsh]]): their only job is to

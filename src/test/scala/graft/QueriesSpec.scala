@@ -122,6 +122,29 @@ class QueriesSpec extends SparkSpec {
     assert(a.exists(t => !c.contains(t)))
   }
 
+  test("recall@k: recounts the two component top-k sets exactly") {
+    import graft.sim.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = emb.filter(col("vec_id").between(10, 19))
+    val exact = Similarity.bruteForceTopK(emb, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, qs, centroidIds = (0L until 20L),
+        k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = TrainingQueries.recallAtK(spark, sfDir).collect()
+    assert(got.map(_.getLong(0)).toSet === qs.collect()
+      .map(_.getAs[Long]("vec_id")).toSet) // every query row present
+    got.foreach { r =>
+      val q = r.getLong(0)
+      val expHits = ivf.filter(_._1 == q).count(exact.contains)
+      assert(r.getLong(1) === expHits.toLong, s"n_hits off for query $q")
+      assert(math.abs(r.getDouble(2) - expHits / 5.0) < 1e-9)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+    // the index is USEFUL on this corpus: nonzero aggregate recall
+    assert(got.map(_.getLong(1)).sum > 0)
+  }
+
   test("epoch plan: integer identities and a covering-minimal partial cut") {
     val rows = TrainingQueries.epochPlan(spark, sfDir).collect()
     assert(rows.nonEmpty)

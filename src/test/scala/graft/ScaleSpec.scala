@@ -220,7 +220,11 @@ class ScaleSpec extends SparkSpec {
     // the join key, so the plan is an ordinary equi-join.
     // q_pq_topk_exact is the identical bounded ADC-scan shape as
     // q_pq_topk, under seed (iters=0) codebooks for the exact oracle.
+    // q_recall_at_k contains BOTH bounded shapes by construction: the
+    // q_knn_brute broadcast ground-truth product and q_knn_ivf's probe
+    // fan-outs (it joins the two legs to measure index recall).
     val allowed = Set("q_emb_neardup", "q_knn_brute", "q_knn_ivf",
+      "q_recall_at_k",
       "q_cross_join", "q_rrf_fusion", "q_pq_topk", "q_pq_topk_exact",
       "q_pq_ivf", "q_pq_opq", "q_chisq", "q_mmr", "q_bq_topk")
     // 1-row-frame fan-outs (a global aggregate cross-joined back in,
