@@ -7,7 +7,7 @@ loads the Spark-written parquet from Verify, and compares row count,
 column names, and values (columns sorted by name; rows sorted; floats
 compared exactly after both sides round-trip through float64).
 """
-import json, sys, glob
+import json, os, sys, glob
 import duckdb
 import pandas as pd
 import numpy as np
@@ -42,7 +42,12 @@ def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata tables are single parquet FILES; Spark-written
+        # scale legs (MakeSf1 output) are parquet DIRECTORIES
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
