@@ -1526,8 +1526,10 @@ object SparkEntry {
         |plan AS (
         |  SELECT source, n_docs, src_tokens,
         |    (100000 * w_fp) // z AS target_tokens,
-        |    ((100000 * w_fp) // z) // src_tokens AS full_epochs,
-        |    ((100000 * w_fp) // z) % src_tokens AS rem_tokens
+        |    coalesce(((100000 * w_fp) // z) // src_tokens, 0)
+        |      AS full_epochs,
+        |    coalesce(((100000 * w_fp) // z) % src_tokens, 0)
+        |      AS rem_tokens
         |  FROM s CROSS JOIN z),
         |ordered AS (
         |  SELECT source, n_tok,

@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
   *   `sbt "runMain graft.examples.MakeSf1 [outDir] [reps] [tablesCsv]"`
   * then `SPARK_GRAFT_SF_DIR=outDir sbt "runMain graft.Bench"`.
   *
-  * `reps` defaults to 10 (the sf1 leg). The ×100 capstone leg
-  * (VERDICT r9 #2) passes `reps=100 tables=documents,embeddings` —
-  * the curation/dedup family's two tables — because replicating the
+  * Args are POSITIONAL: `reps` defaults to 10 (the sf1 leg). The
+  * ×100 capstone leg (VERDICT r9 #2) passes
+  * `MakeSf1 /tmp/graft_sf10 100 documents,embeddings` — the
+  * curation/dedup family's two tables — because replicating the
   * relational fact tables ×100 buys nothing for that family and
   * ~10× the build time. With a table subset, the fixed dims are
   * still copied so the bench warm-up finds them.

@@ -290,13 +290,21 @@ object ScaleProbe {
         }
         def noopTime(q: String, dir: String): Double = {
           val t0 = System.nanoTime()
-          SparkEntry.queries(q)(spark, dir)
-            .write.format("noop").mode("overwrite").save()
+          // the CPU-dense pair leg uses the UNCAPPED kernel: the
+          // registered q_emb_neardup is a fixed-corpus oracle anchor
+          // since r10 (EmbAnchorCap), which would shrink the workload
+          // this probe exists to scale out
+          val frame =
+            if (q == "q_emb_neardup_full")
+              graft.sim.Similarity.nearDupPairs(
+                graft.io.Tables.embeddings(spark, dir), threshold = 0.5)
+            else SparkEntry.queries(q)(spark, dir)
+          frame.write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
         println("=== split-parallelism: single-file vs multi-file parquet ===")
         for (q <- Seq("q_profile", "q_math_funcs", "q_coerce",
-            "q_emb_neardup")) {
+            "q_emb_neardup_full")) {
           val single = (1 to 2).map(_ => noopTime(q, sfDir)).min
           val multi = (1 to 2).map(_ => noopTime(q, multiDir)).min
           println(f"$q%-16s single-file ${single}%6.2fs  " +

@@ -483,8 +483,12 @@ object FuncQueries {
       regexp_replace(trim(col("text")), "\\s+", "")).cast("long")
     val kept = streamTable(s, d, "documents")
       .filter(nTok >= 8 && nChr >= nTok * 2 && nChr <= nTok * 12)
-    Streams.runAvailableNowToPath(Streams.firstSeenDocs(kept).toDF(),
+    try Streams.runAvailableNowToPath(Streams.firstSeenDocs(kept).toDF(),
       silver, ckSilver.toString)
+    // the drain is complete once the call returns — the RAM-backed
+    // checkpoint has no recovery role past it (tmpfs would otherwise
+    // leak across process exits)
+    finally Streams.deleteRecursively(ckSilver)
     val hits = Streams.nearDupBands(
       Streams.fileSource(s, silver, s.read.parquet(silver).schema))
     Streams.runAvailableNow(hits.toDF(), "graft_stream_curate_hits")

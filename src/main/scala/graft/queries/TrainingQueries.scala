@@ -1605,15 +1605,20 @@ object TrainingQueries {
       col("doc_id"), col("source"),
       size(TextAnalysis.tokensLower(coalesce(col("text"), lit(""))))
         .cast("long").as("n_tok"))
+    // z comes from a global window over the ALREADY-AGGREGATED
+    // per-source frame (rows = #sources), not a second corpus pass —
+    // the tokenizing scan runs once for the plan and once for the
+    // partial-cut window, never a third time. Zero-token sources
+    // (DIV/% by 0 → NULL) plan as 0 epochs / 0 remainder.
     val plan = docs.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("src_tokens"))
       .withColumn("w_fp", round(sqrt(col("src_tokens")) * 1e6).cast("long"))
-      .crossJoin(broadcast(
-        docs.groupBy("source").agg(sum("n_tok").as("t"))
-          .agg(sum(round(sqrt(col("t")) * 1e6).cast("long")).as("z"))))
+      .withColumn("z", sum("w_fp").over(Window.partitionBy()))
       .withColumn("target_tokens", expr(s"($budgetTokens * w_fp) DIV z"))
-      .withColumn("full_epochs", expr("target_tokens DIV src_tokens"))
-      .withColumn("rem_tokens", expr("target_tokens % src_tokens"))
+      .withColumn("full_epochs",
+        coalesce(expr("target_tokens DIV src_tokens"), lit(0L)))
+      .withColumn("rem_tokens",
+        coalesce(expr("target_tokens % src_tokens"), lit(0L)))
     val cut = Window.partitionBy("source")
       .orderBy(col("shuf"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1721,7 +1726,12 @@ object TrainingQueries {
     val files =
       if (f.isFile) Array(f)
       else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-    files.sortBy(_.getName)
+    if (files.isEmpty)
+      // non-local-filesystem dir (hdfs://, s3a://, …): no cheap content
+      // tag exists, so DISABLE caching rather than risk serving a stale
+      // closure for a regenerated corpus — a unique tag never matches
+      s"uncacheable:${java.util.UUID.randomUUID()}"
+    else files.sortBy(_.getName)
       .map(x => s"${x.getName}:${x.length}:${x.lastModified}")
       .mkString("|")
   }
@@ -1730,18 +1740,23 @@ object TrainingQueries {
     clusterCache.synchronized {
       val tag = docsContentTag(d)
       val cur = clusterCache.get((s, d))
-      if (cur != null && cur._1 == tag) cur._2
+      if (cur != null && cur._1 == tag) cur._2.withColumnRenamed("id", "doc_id")
       else {
         import graft.graph.ConnectedComponents
+        // release the superseded relation's pinned localCheckpoint
+        // blocks instead of waiting for driver GC + ContextCleaner.
+        // The cache holds the BARE checkpoint leaf (the rename is
+        // applied on return) because IterState.release only resolves
+        // a LogicalRDD leaf, not a Project over one.
+        if (cur != null) graft.graph.IterState.release(cur._2)
         val docs = Tables.documents(s, d)
         val pairs = Dedup.ngramJaccard(docs, threshold = 0.8)
         // CC.run returns an EAGER localCheckpoint-backed frame: the
         // closure is computed here, once, and its blocks stay pinned
         // in executor storage — no extra persist layer needed
         val comps = ConnectedComponents.run(pairs, "doc_a", "doc_b")
-          .withColumnRenamed("id", "doc_id")
         clusterCache.put((s, d), (tag, comps))
-        comps
+        comps.withColumnRenamed("id", "doc_id")
       }
     }
 

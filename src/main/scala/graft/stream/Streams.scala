@@ -509,7 +509,7 @@ object Streams {
     java.nio.file.Files.createTempDirectory(root, prefix)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.util.control.NonFatal
     try {
       import java.nio.file.{Files, Path}

@@ -143,17 +143,52 @@ object QualityModel {
     * the key is identity — a caller mutating its array in place and
     * re-planning gets the OLD broadcast, which is the standard Spark
     * broadcast contract (broadcast values are immutable-by-contract).
-    * [[destroyCachedBroadcasts]] is the retire handle.
+    * The cache is a BOUNDED LRU ([[BcCacheMax]] entries): a caller
+    * that rebuilds its weight array per call gets a fresh broadcast
+    * each time, but eviction DESTROYS the eldest one, so the
+    * worst-case footprint is capped instead of growing until session
+    * end (the failure mode an unbounded identity cache would
+    * reintroduce). [[destroyCachedBroadcasts]] is the eager retire
+    * handle. NOTE: an evicted-then-reused plan re-fetching a
+    * destroyed broadcast fails — callers cycling through > [[BcCacheMax]]
+    * live weight models concurrently should hold their own
+    * broadcasts; the cache serves the overwhelmingly common
+    * one-model-replanned-many-times shape.
     */
-  private val bcCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, Array[Long]),
-    org.apache.spark.broadcast.Broadcast[Array[Long]]]()
+  private val BcCacheMax = 8
+  private val bcCache = new java.util.LinkedHashMap[
+      (org.apache.spark.sql.SparkSession, Array[Long]),
+      org.apache.spark.broadcast.Broadcast[Array[Long]]](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[
+          (org.apache.spark.sql.SparkSession, Array[Long]),
+          org.apache.spark.broadcast.Broadcast[Array[Long]]]): Boolean =
+      if (size() > BcCacheMax) {
+        try e.getValue.destroy()
+        catch { case scala.util.control.NonFatal(_) => () }
+        true
+      } else false
+  }
+
+  private def cachedBroadcast(s: org.apache.spark.sql.SparkSession,
+                              w: Array[Long])
+  : org.apache.spark.broadcast.Broadcast[Array[Long]] =
+    bcCache.synchronized {
+      val k = (s, w)
+      val cur = bcCache.get(k)
+      if (cur != null) cur
+      else {
+        val bc = s.sparkContext.broadcast(w)
+        bcCache.put(k, bc)
+        bc
+      }
+    }
 
   /** Destroy every cached weight broadcast and empty the cache — call
     * when the scoring plans built from them are retired (e.g. at the
     * end of a probe section or before session shutdown).
     */
-  def destroyCachedBroadcasts(): Unit = {
+  def destroyCachedBroadcasts(): Unit = bcCache.synchronized {
     val it = bcCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
@@ -174,8 +209,7 @@ object QualityModel {
         val wLit = typedLit(w.toSeq)
         t => bucketWeight(wLit, t, w.length)
       } else {
-        val bc = bcCache.computeIfAbsent((df.sparkSession, w),
-          _ => df.sparkSession.sparkContext.broadcast(w))
+        val bc = cachedBroadcast(df.sparkSession, w)
         t => graft.functions.BroadcastWeights.broadcast_weights_get(
           bc, (pmod(xxhash64(t), lit(w.length))).cast("int"))
       }
