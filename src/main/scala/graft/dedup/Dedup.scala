@@ -335,8 +335,27 @@ object Dedup {
                          bands: Int = 16, k: Int = 3,
                          threshold: Double = 0.7,
                          textCol: String = "text",
-                         idCol: String = "doc_id"): DataFrame = {
-    val newSigs = minhashSignatures(batch, numHashes, k, textCol, idCol)
+                         idCol: String = "doc_id"): DataFrame =
+    minhashIncrementalSigned(
+      minhashSignatures(batch, numHashes, k, textCol, idCol),
+      indexBands, indexSigs, numHashes, bands, threshold, idCol)
+
+  /** [[minhashIncremental]] for a batch the caller has ALREADY signed —
+    * the production grain: a daily run signs the batch once,
+    * MATERIALIZES the signatures (they must be appended to the
+    * persisted index for tomorrow's run anyway), and probes with that
+    * frame. Passing the raw batch to [[minhashIncremental]] instead
+    * embeds the signature pass twice in one plan (band probe +
+    * verification join) — Spark does not dedupe common subtrees
+    * without a persist boundary, so the lazy form pays the batch
+    * signature pass 2× per run (measured: the registered
+    * q_dedup_minhash_incr cost MORE than the full q_dedup_minhash
+    * rebuild before r11 restructured it onto this entry point).
+    */
+  def minhashIncrementalSigned(newSigs: DataFrame, indexBands: DataFrame,
+                               indexSigs: DataFrame, numHashes: Int = 64,
+                               bands: Int = 16, threshold: Double = 0.7,
+                               idCol: String = "doc_id"): DataFrame = {
     val newBands = minhashBands(newSigs, numHashes, bands, idCol)
     // probe on band_hash ALONE: the index is bucketed on that single
     // key, so the two-key join would force an index-side Exchange and

@@ -50,6 +50,21 @@ object MakeSf1 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // With a table subset, pre-existing NON-selected tables in the out
+    // dir are left untouched — a prior build at a different reps value
+    // would yield a silently mixed-scale dataset (ADVICE r10). Warn
+    // loudly so a bench leg over such a dir is attributable.
+    only.foreach { sel =>
+      val all = Seq("customer", "supplier", "part", "orders", "lineitem",
+        "events", "documents", "embeddings")
+      val stale = all.filterNot(sel)
+        .filter(t => new java.io.File(s"$out/$t.parquet").exists())
+      if (stale.nonEmpty)
+        println(s"[make-sf] WARNING: out dir already holds non-selected " +
+          s"tables ${stale.mkString(", ")} from a prior build — they are " +
+          s"LEFT AS-IS and may be at a different scale than this x$reps run")
+    }
+
     def load(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def save(df: DataFrame, t: String) =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")

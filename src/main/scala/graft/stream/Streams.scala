@@ -500,13 +500,30 @@ object Streams {
     * [[runAvailableNowToPath]] still takes the caller's path
     * verbatim.
     */
+  /** Minimum usable bytes `/dev/shm` must report before a drain
+    * checkpoint routes there (ADVICE r10: containers commonly cap shm
+    * at 64 MB — a stateful drain whose deltas exceed that must fall
+    * back to disk rather than fail with no-space). Overridable, and
+    * the tmpfs path is fully opt-out-able, via the system property
+    * `graft.stream.ephemeralDir` (any writable dir, e.g. /tmp).
+    */
+  private val ShmMinUsableBytes = 256L << 20
+
   def ephemeralCheckpointDir(prefix: String): java.nio.file.Path = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val root =
-      if (java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.isWritable(shm)) shm
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    java.nio.file.Files.createTempDirectory(root, prefix)
+    import java.nio.file.{Files, Paths}
+    val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
+    val root = sys.props.get("graft.stream.ephemeralDir") match {
+      case Some(dir) =>
+        val p = Paths.get(dir)
+        if (Files.isDirectory(p) && Files.isWritable(p)) p else tmp
+      case None =>
+        val shm = Paths.get("/dev/shm")
+        val shmOk = Files.isDirectory(shm) && Files.isWritable(shm) &&
+          (try Files.getFileStore(shm).getUsableSpace >= ShmMinUsableBytes
+           catch { case scala.util.control.NonFatal(_) => false })
+        if (shmOk) shm else tmp
+    }
+    Files.createTempDirectory(root, prefix)
   }
 
   private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {

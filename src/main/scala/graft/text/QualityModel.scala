@@ -145,15 +145,16 @@ object QualityModel {
     * broadcast contract (broadcast values are immutable-by-contract).
     * The cache is a BOUNDED LRU ([[BcCacheMax]] entries): a caller
     * that rebuilds its weight array per call gets a fresh broadcast
-    * each time, but eviction DESTROYS the eldest one, so the
-    * worst-case footprint is capped instead of growing until session
-    * end (the failure mode an unbounded identity cache would
-    * reintroduce). [[destroyCachedBroadcasts]] is the eager retire
-    * handle. NOTE: an evicted-then-reused plan re-fetching a
-    * destroyed broadcast fails — callers cycling through > [[BcCacheMax]]
-    * live weight models concurrently should hold their own
-    * broadcasts; the cache serves the overwhelmingly common
-    * one-model-replanned-many-times shape.
+    * each time, but eviction UNPERSISTS the eldest one (async, keep
+    * the driver-side value), so the worst-case EXECUTOR footprint is
+    * capped instead of growing until session end (the failure mode an
+    * unbounded identity cache would reintroduce) — and, unlike
+    * `destroy()`, an evicted-then-reused plan still works: executors
+    * lazily re-fetch an unpersisted broadcast from the driver (ADVICE
+    * r10 — destroy() turned the bound into a SparkException for
+    * callers holding > [[BcCacheMax]] live plans).
+    * [[destroyCachedBroadcasts]] is the eager FULL retire handle for
+    * when the plans themselves are known dead.
     */
   private val BcCacheMax = 8
   private val bcCache = new java.util.LinkedHashMap[
@@ -164,7 +165,10 @@ object QualityModel {
           (org.apache.spark.sql.SparkSession, Array[Long]),
           org.apache.spark.broadcast.Broadcast[Array[Long]]]): Boolean =
       if (size() > BcCacheMax) {
-        try e.getValue.destroy()
+        // unpersist, NOT destroy: frees executor copies but keeps the
+        // broadcast usable — a still-live evicted plan re-fetches from
+        // the driver on next execution instead of throwing.
+        try e.getValue.unpersist(false)
         catch { case scala.util.control.NonFatal(_) => () }
         true
       } else false
