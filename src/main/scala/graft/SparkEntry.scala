@@ -182,6 +182,7 @@ object SparkEntry {
     "q_dsir"           -> (TrainingQueries.dsirWeights _),
     "q_bpe"            -> (TrainingQueries.bpeMerges _),
     "q_bpe_tokenize"   -> (TrainingQueries.bpeTokenize _),
+    "q_bpe_tokenize_exact" -> (TrainingQueries.bpeTokenizeExact _),
     "q_attribution"    -> (AnalyticsQueries.attribution _),
     "q_skew_report"    -> (AnalyticsQueries.skewReport _),
     "q_rfm"            -> (AnalyticsQueries.rfm _),
@@ -936,6 +937,10 @@ object SparkEntry {
     // verification guards recall exactly, set equality probabilistically)
     "q_dedup_minhash_incr" -> graft.dedup.XxHashSql.minhashOracleSql(
       pairFilter = "a.doc_id % 5 = 4 OR b.doc_id % 5 = 4"),
+    // tokenizer under the frozen seed merge table — training stays
+    // rows-only (q_bpe), the APPLY step is hash-exact at every SF
+    "q_bpe_tokenize_exact" -> graft.text.Bpe.tokenizeOracleSql(
+      TrainingQueries.BpeSeedMerges),
     "q_gopher_rules" -> TrainingQueries.gopherRulesOracleSql,
     "q_emb_neardup_lsh" -> graft.sim.Similarity.nearDupLshOracleSql(
       threshold = 0.4, bands = 16, rowsPerBand = 4, dim = 64,
@@ -1926,22 +1931,42 @@ object SparkEntry {
         |SELECT o_custkey, freq, monetary, r, f, m,
         |  r * 100 + f * 10 + m AS segment
         |FROM s ORDER BY o_custkey""".stripMargin,
+    // MATERIALIZED barriers + threshold-before-dimension-joins (r11):
+    // the flat two-pp-join form let DuckDB's optimizer pick a
+    // pp × pp × no CROSS_PRODUCT build side (4×10^10 rows at sf1 —
+    // the 52-CPU-min sf1-sweep exclusion of BASELINE §14.6). Barriers
+    // pin the join order; the top-20-by-n_pair threshold is applied
+    // BEFORE the per-part-count joins (sound: n_pair is the primary
+    // sort key, so every true top-20 row clears the 20th-largest
+    // n_pair). Verified value-identical to the flat form at
+    // sf0.001/0.01/0.1; 3.8 s at sf1 where the flat form never
+    // finished.
     "q_basket" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),
         |no AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
-        |pp AS (SELECT pk, count(*) AS n_part FROM li GROUP BY 1),
-        |pr AS (
+        |pp AS MATERIALIZED (
+        |  SELECT pk, count(*) AS n_part FROM li GROUP BY 1),
+        |pr AS MATERIALIZED (
         |  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_pair
         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-        |  GROUP BY 1, 2)
+        |  GROUP BY 1, 2),
+        |th AS (SELECT n_pair AS t FROM pr
+        |       ORDER BY n_pair DESC LIMIT 1 OFFSET 19),
+        |cand AS MATERIALIZED (
+        |  SELECT * FROM pr
+        |  WHERE n_pair >= coalesce((SELECT min(t) FROM th), 0)),
+        |j1 AS MATERIALIZED (
+        |  SELECT cand.*, pp.n_part AS n_a
+        |  FROM cand JOIN pp ON pp.pk = cand.part_a),
+        |j2 AS MATERIALIZED (
+        |  SELECT j1.*, pp.n_part AS n_b
+        |  FROM j1 JOIN pp ON pp.pk = j1.part_b)
         |SELECT part_a, part_b, n_pair,
-        |  round((n_pair * n_orders) / (na.n_part * nb.n_part), 6) AS lift
-        |FROM pr
-        |JOIN pp na ON na.pk = part_a
-        |JOIN pp nb ON nb.pk = part_b
-        |CROSS JOIN no
+        |  round((n_pair * (SELECT n_orders FROM no)) / (n_a * n_b), 6)
+        |    AS lift
+        |FROM j2
         |ORDER BY n_pair DESC, lift DESC, part_a, part_b
         |LIMIT 20""".stripMargin,
     "q_shuffle_shard" ->
@@ -3068,21 +3093,31 @@ object SparkEntry {
         |      AS fold
         |  FROM documents)
         |GROUP BY 1 ORDER BY fold""".stripMargin,
+    // MATERIALIZED barriers (r11, same rationale as q_basket): the
+    // flat two-pp-join form is one optimizer mood away from the
+    // pp × pp cross-product build side that hung q_basket at sf1.
+    // Sequential single-key joins behind barriers are
+    // order-deterministic; verified value-identical tri-SF, 17 s at
+    // sf1 (600k output rows).
     "q_item_sim" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),
-        |pp AS (SELECT pk, count(*) AS n FROM li GROUP BY 1),
-        |pairs AS (
+        |pp AS MATERIALIZED (SELECT pk, count(*) AS n FROM li GROUP BY 1),
+        |pairs AS MATERIALIZED (
         |  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_pair
         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
         |  GROUP BY 1, 2),
+        |j1 AS MATERIALIZED (
+        |  SELECT pairs.*, pp.n AS n_a
+        |  FROM pairs JOIN pp ON pp.pk = pairs.part_a),
+        |j2 AS MATERIALIZED (
+        |  SELECT j1.*, pp.n AS n_b
+        |  FROM j1 JOIN pp ON pp.pk = j1.part_b),
         |sim AS (
         |  SELECT part_a, part_b,
-        |    n_pair / sqrt(CAST(pa.n * pb.n AS DOUBLE)) AS cos
-        |  FROM pairs
-        |  JOIN pp pa ON pairs.part_a = pa.pk
-        |  JOIN pp pb ON pairs.part_b = pb.pk),
+        |    n_pair / sqrt(CAST(n_a * n_b AS DOUBLE)) AS cos
+        |  FROM j2),
         |r AS (
         |  SELECT part_a, part_b, cos, row_number() OVER (
         |    PARTITION BY part_a ORDER BY cos DESC, part_b) AS rn

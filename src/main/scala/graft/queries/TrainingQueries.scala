@@ -2138,6 +2138,37 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
+  /** The merge table [[bpeTokenizeExact]] freezes: the first 12 merges
+    * the trainer learns on the base documents corpus, pinned as
+    * LITERALS so tokenization is deterministic at every SF (training
+    * itself stays rows-only checked in q_bpe — the frozen table is the
+    * seed-codebook trick from q_pq_assign applied to the tokenizer).
+    */
+  val BpeSeedMerges: Seq[graft.text.Bpe.Merge] = Seq(
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"),
+    ("t", "</w>"), ("er", "</w>"), ("o", "w"), ("ow", "</w>"),
+    ("l", "u"), ("i", "n"), ("y", "</w>"), ("a", "r")
+  ).zipWithIndex.map { case ((a, b), i) =>
+    graft.text.Bpe.Merge(i, a, b, 0L)
+  }
+
+  /** BPE TOKENIZATION under the frozen [[BpeSeedMerges]] table — the
+    * hash-oracled form of the tokenizer ([[graft.text.Bpe.tokenize]]'s
+    * broadcast-merges + per-partition memo path, exactly the plan
+    * q_bpe_tokenize runs, minus the data-dependent training step that
+    * keeps THAT entry rows-only). The DuckDB side replays the greedy
+    * merge sweep as a chained `replace` over a U+001F-delimited symbol
+    * string ([[graft.text.Bpe.tokenizeOracleSql]]). Output is the
+    * per-doc subword count plus the space-joined subword stream —
+    * string-compared, so every token boundary is pinned.
+    */
+  def bpeTokenizeExact(s: SparkSession, d: String): DataFrame =
+    graft.text.Bpe.tokenize(Tables.documents(s, d), "text", BpeSeedMerges)
+      .select(col("doc_id"),
+        size(col("bpe_tokens")).cast("long").as("n_bpe"),
+        concat_ws(" ", col("bpe_tokens")).as("bpe_text"))
+      .orderBy("doc_id")
+
   /** DSIR-style importance weights (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): score
     * every raw document by the average log-likelihood ratio of its

@@ -138,6 +138,55 @@ object Bpe {
       .toDF(idCol, outCol)
   }
 
+  /** DuckDB SQL replay of [[tokenize]] under a FIXED merge table — the
+    * seed-model trick (same discipline as the seed-codebook PQ oracle,
+    * [[graft.sim.ProductQuantizer]]): training is data-dependent and
+    * iterative (rows-only checkable), but tokenization under a frozen
+    * merge list is a deterministic string rewrite BOTH engines can
+    * express exactly, so the tokenizer itself gets a hash oracle.
+    *
+    * Encoding: the symbol sequence of a whole document is one string
+    * where every symbol is wrapped in its own U+001F (unit separator) boundary
+    * pair (`<US>sym<US>`), so an adjacent pair (a,b) appears as the
+    * unambiguous substring `<US>a<US><US>b<US>` and SQL
+    * `replace` — which substitutes non-overlapping occurrences left to
+    * right, exactly the single-pass BPE merge sweep in [[tokenize]] —
+    * applies one merge per call. Chaining the replaces in rank order
+    * replays the greedy inference rule. Merging at the DOC level (all
+    * words in one string) is sound because a word's last symbol always
+    * carries the `</w>` suffix and no BPE merge can have a left side
+    * containing `</w>` (such a symbol is word-final by construction),
+    * so a cross-word boundary pair never matches any merge pattern.
+    * U+001F itself can never appear inside a symbol:
+    * symbols are built from whitespace-split word characters.
+    */
+  def tokenizeOracleSql(merges: Seq[Merge],
+                        table: String = "documents",
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): String = {
+    val S = "\u001f"
+    val seq0 =
+      s"'$S' || array_to_string(flatten(list_transform(ws, " +
+        s"w -> list_append(string_split(w, ''), '$Eow'))), '$S$S') || '$S'"
+    val chained = merges.sortBy(_.rank).foldLeft(seq0) { (acc, m) =>
+      s"replace($acc, '$S${m.left}$S$S${m.right}$S', '$S${m.left}${m.right}$S')"
+    }
+    s"""WITH w AS (
+       |  SELECT $idCol,
+       |    list_filter(string_split_regex(lower(trim(coalesce($textCol, ''))), '\\s+'),
+       |                x -> x <> '') AS ws
+       |  FROM $table),
+       |t AS (
+       |  SELECT $idCol, replace(trim($chained, '$S'), '$S$S', ' ') AS bpe_text
+       |  FROM w)
+       |SELECT $idCol,
+       |  CAST(CASE WHEN bpe_text = '' THEN 0
+       |       ELSE length(string_split(bpe_text, ' ')) END AS BIGINT) AS n_bpe,
+       |  bpe_text
+       |FROM t
+       |ORDER BY $idCol""".stripMargin
+  }
+
   /** Segment one word with a learned merge list (greedy by merge rank —
     * the standard inference rule). Driver-side helper for specs and
     * vocabulary inspection.
