@@ -191,7 +191,9 @@ object Bench {
     * round records `parsed: null`; BenchSpec asserts the bound.
     */
   def renderOutputs(results: Seq[(String, QueryResult)], sfDir: String,
-                    iters: Int, cpus: Int = 4): (String, String) = {
+                    iters: Int, cpus: Int = 4,
+                    calib: Option[(Int, Seq[(String, QueryResult)])] = None)
+  : (String, String) = {
     val total = results.map(_._2.best).sum
     // Suite-level contention index (VERDICT r8 #1): total executor
     // run_ms vs cpu_ms over every query's BEST iteration. The quiet
@@ -252,18 +254,36 @@ object Bench {
       if (errsBrief.isEmpty) ""
       else s""","n_errors":${errsBrief.size},"errors":""" +
         errsBrief.take(3).mkString("{", ",", "}")
+    // Same-window close-config point (VERDICT r10 #6): when the driver
+    // runs at cpus=32, the 2x gate was adjudicated through a DOCUMENTED
+    // ~1.76x thread band — fragile. The calib leg re-times the headline
+    // subset at local[4]/partitions=4 (the close config) in the SAME
+    // process and window, so the line carries a measured, not asserted,
+    // cross-config bridge: calib.sec is directly comparable to the
+    // BENCH_DETAIL_r*_close headline sums.
+    val calibLine = calib.map { case (ccpus, cres) =>
+      val csec = cres.map(_._2.best).sum
+      s""","calib":{"cpus":$ccpus,"sec":${jsonNum(csec)},"n":${cres.size}}"""
+    }.getOrElse("")
+    val calibDetail = calib.map { case (ccpus, cres) =>
+      val csec = cres.map(_._2.best).sum
+      val cqs = cres.map { case (k, r) =>
+        s"${jsonStr(k)}:${jsonNum(r.best)}" }.mkString("{", ",", "}")
+      s""","calib":{"cpus":$ccpus,"sec":${jsonNum(csec)},"queries":$cqs}"""
+    }.getOrElse("")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":${jsonStr(sfDir)},"n_queries":${results.size},""" +
       s""""iters":$iters,"method":"min_of_iters","cpus":$cpus,""" +
       s""""run_ms_total":$runMsTotal,"cpu_ms_total":$cpuMsTotal,""" +
       s""""contention":${jsonNum(contention)},""" +
-      s""""detail_file":${jsonStr(detailFile)}""" + errPartBrief + "}"
+      s""""detail_file":${jsonStr(detailFile)}""" + calibLine +
+      errPartBrief + "}"
     val detailJson =
       s"""{"total":$total,"sf":${jsonStr(sfDir)},"iters":$iters,""" +
       s""""cpus":$cpus,""" +
       s""""run_ms_total":$runMsTotal,"cpu_ms_total":$cpuMsTotal,""" +
-      s""""contention":${jsonNum(contention)},""" +
+      s""""contention":${jsonNum(contention)}$calibDetail,""" +
       s""""detail":$detail$errPart}"""
     (line, detailJson)
   }
@@ -405,8 +425,41 @@ object Bench {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         }
 
+    // Calibration leg (VERDICT r10 #6): when the main run is NOT at the
+    // close config (local[4]), re-time the fixed headline subset at
+    // local[4]/partitions=4 in this same JVM so the emitted point is
+    // interpretable without a documented thread-band factor. Dev
+    // subsets (SPARK_GRAFT_ONLY) skip it; SPARK_GRAFT_CALIB=0 opts out.
+    val calib: Option[(Int, Seq[(String, QueryResult)])] =
+      if (cpus == "4" || only.nonEmpty ||
+          sys.env.get("SPARK_GRAFT_CALIB").contains("0")) None
+      else {
+        spark.stop()
+        val cs = SparkSession.builder()
+          .master("local[4]")
+          .config("spark.sql.shuffle.partitions", "4")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.ansi.enabled", "false")
+          .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+          .config("spark.ui.enabled", "false")
+          .config("spark.sql.streaming.stateStore.maintenanceInterval",
+            "3600s")
+          .getOrCreate()
+        cs.sparkContext.setLogLevel("WARN")
+        val cl = new MetricsListener
+        cs.sparkContext.addSparkListener(cl)
+        val cres = headline
+          .flatMap(k => SparkEntry.queries.get(k).map(k -> _))
+          .map { case (name, fn) =>
+            name -> runQuery(cs, cl, iters = 2)(() =>
+              fn(cs, sfDir).write.format("noop").mode("overwrite").save())
+          }
+        cs.stop()
+        Some((4, cres))
+      }
+
     val (line, detailJson) = renderOutputs(results, sfDir, iters,
-      cpus.toInt)
+      cpus.toInt, calib)
     // The stdout line is the primary contract — print it FIRST so a
     // detail-file write failure (non-writable cwd) can't discard the
     // whole bench after every query already ran.

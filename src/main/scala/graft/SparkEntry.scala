@@ -247,6 +247,7 @@ object SparkEntry {
     "q_tpch_q10"       -> (AnalyticsQueries.tpchQ10 _),
     "q_mutual_info"    -> (AnalyticsQueries.mutualInfo _),
     "q_dedup_containment" -> (TrainingQueries.dedupContainment _),
+    "q_dedup_containment_prod" -> (TrainingQueries.dedupContainmentProd _),
     "q_kfold"          -> (TrainingQueries.kfold _),
     "q_changepoint"    -> (AnalyticsQueries.changepoint _),
     "q_anomaly_days"   -> (AnalyticsQueries.anomalyDays _),
@@ -2645,6 +2646,36 @@ object SparkEntry {
         |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
         |     for i in range(1, len(w) - 1)])) AS shingle
         |  FROM tok),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS contained, b.doc_id AS container,
+        |    count(*) AS n_both
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT contained, container,
+        |  round(n_both / ca.n, 6) AS containment
+        |FROM inter JOIN cnt ca ON ca.doc_id = contained
+        |WHERE round(n_both / ca.n, 6) >= 0.9
+        |ORDER BY contained, container""".stripMargin,
+    // production config: identical pipeline with the maxDf stop-gram
+    // cap applied to sets AND index before scoring (see
+    // TrainingQueries.ContainmentMaxDf)
+    "q_dedup_containment_prod" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |     for i in range(1, len(w) - 1)])) AS shingle
+        |  FROM tok),
+        |keep AS (
+        |  SELECT shingle FROM (
+        |    SELECT shingle, count(*) AS df FROM sh0 GROUP BY 1)
+        |  WHERE df <= ${graft.queries.TrainingQueries.ContainmentMaxDf}),
+        |sh AS (
+        |  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS contained, b.doc_id AS container,

@@ -60,6 +60,26 @@ class BenchSpec extends SparkSpec {
     assert(r.jitMs.forall(v => v >= 0 || v == -1L))
   }
 
+  test("calibration leg renders into the line and detail, inside the window") {
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      name -> Bench.QueryResult(1.234567, Seq(1.234567),
+        Array(11L, 22L, 33L, 44L), None, okFlags = Seq(true))
+    }
+    val calibQs = Seq("q_agg_sum", "q_curate").map(n =>
+      n -> Bench.QueryResult(0.5, Seq(0.5, 0.6),
+        Array(1L, 1L, 0L, 2L), None, okFlags = Seq(true, true)))
+    val (line, detailJson) = Bench.renderOutputs(
+      results, "/root/testdata/sf0.1", 1, cpus = 32,
+      calib = Some((4, calibQs)))
+    assert(line.contains(""""calib":{"cpus":4,"sec":1.000000,"n":2}"""), line)
+    assert(line.length < 1300, s"line with calib: ${line.length}")
+    assert(detailJson.contains(""""calib":{"cpus":4,"sec":1.000000,"queries":{"q_agg_sum":0.500000,"q_curate":0.500000}}"""))
+    // no calib -> fields absent (close-config runs stay byte-compatible);
+    // match the exact key shape — q_calibration is a query name
+    val (line2, detail2) = Bench.renderOutputs(results, "/root/testdata/sf0.1", 1)
+    assert(!line2.contains(""""calib":{""") && !detail2.contains(""""calib":{"""))
+  }
+
   test("stdout line stays inside the driver tail window, even on mass failure") {
     // every SparkEntry query name, all failing with long messages — the
     // worst case for line growth (r01/r02 recorded parsed:null because
