@@ -148,8 +148,14 @@ object Dedup {
   private def prefixIndex(df: DataFrame, k: Int, textCol: String,
                           idCol: String, maxDf: Option[Int])
   : (DataFrame, DataFrame) = {
-    val sh0 = shingles(df, k, textCol, idCol)
-      .select(col(idCol), xxhash64(col("shingle")).as("h"))
+    // byte-level gram hashing (VERDICT r10 #7): same values as
+    // `shingles(...)` + `xxhash64(shingle)` with per-doc distinct, but
+    // no gram STRING is ever materialized — the expression form's
+    // token/gram-array churn was 20–30 s of GC per gram query at the
+    // sf10 leg. Distinct is on the hash, identical barring 64-bit
+    // collisions (the operator's documented posture).
+    val sh0 = df.select(col(idCol),
+      graft.functions.GramHashes.gramHashesDistinct(col(textCol), k))
     val sh = maxDf match {
       case Some(cap) =>
         val ok = sh0.groupBy("h").agg(count(lit(1)).as("__df"))
@@ -247,9 +253,17 @@ object Dedup {
   def minhashSignatures(df: DataFrame, numHashes: Int = 64, k: Int = 3,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
-    val sh = shingles(df, k, textCol, idCol)
+    // factored permutation hashing (VERDICT r10 #7): multi-column
+    // `xxhash64(shingle, lit(i))` threads one running hash through its
+    // inputs, so the per-seed value = hashInt(i, xxhash64(shingle)).
+    // The round-10 form recomputed the string-bytes hash 64× per gram
+    // row; here GramHashes emits the base hash once (no gram string at
+    // all) and each permutation is one codegen'd integer fold —
+    // value-identical (the DuckDB replay already factors it this way).
+    val sh = df.select(col(idCol),
+      graft.functions.GramHashes.gramHashesDistinct(col(textCol), k))
     val mins = (0 until numHashes).map { i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i")
+      min(graft.functions.XxHash64FoldInt.fold(col("h"), i)).as(s"h$i")
     }
     sh.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
@@ -558,17 +572,11 @@ object Dedup {
     */
   private def coveredWindowStarts(df: DataFrame, k: Int, textCol: String,
                                   idCol: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    // positional k-gram hashes, expression-only: (pos, xxhash64(gram))
-    val posGram = expr(
-      s"""CASE WHEN size(__toks) >= $k THEN
-         |  transform(sequence(1, size(__toks) - $k + 1),
-         |    i -> struct(CAST(i AS BIGINT) AS pos,
-         |      xxhash64(array_join(slice(__toks, i, $k), ' ')) AS h))
-         |ELSE array() END""".stripMargin)
-    val ph = df.select(col(idCol), toks.as("__toks"))
-      .select(col(idCol), explode(posGram).as("pg"))
-      .select(col(idCol), col("pg.pos").as("pos"), col("pg.h").as("h"))
+    // positional k-gram hashes via the byte-level generator (VERDICT
+    // r10 #7) — same (pos, xxhash64(gram)) rows as the former
+    // struct-transform expression, zero gram-string materialization
+    val ph = df.select(col(idCol),
+      graft.functions.GramHashes.gramHashesPositional(col(textCol), k))
     val dup = ph.groupBy("h").count()
       .filter(col("count") >= 2).select("h")
     ph.join(dup, Seq("h"), "left_semi").select(col(idCol), col("pos"))
