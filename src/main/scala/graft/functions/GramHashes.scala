@@ -52,7 +52,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * consumed row-by-row (GenerateExec exhausts each input row's
   * iterator before the next eval), so per-thread reuse is safe.
   */
-case class GramHashes(child: Expression, n: Expression, positional: Boolean)
+case class GramHashes(child: Expression, n: Expression, positional: Boolean,
+                      lower: Boolean = false, dropEmpty: Boolean = false)
     extends Generator with CodegenFallback {
 
   override def prettyName: String = "gram_hashes"
@@ -104,7 +105,13 @@ case class GramHashes(child: Expression, n: Expression, positional: Boolean)
     if (t == null || kv == null) return Nil
     val k = kv.asInstanceOf[Int]
     if (k < 1) return Nil
-    val u = t.asInstanceOf[UTF8String]
+    // `lower` mode tokenizes the LOWERED bytes (Spark `lower()` =
+    // UTF8String.toLowerCase), matching tokensLower's
+    // split(lower(trim(text))): 0x20-trim commutes with lowercase, and
+    // no case mapping creates or removes the ASCII separators the
+    // tokenizer splits on
+    val u0 = t.asInstanceOf[UTF8String]
+    val u = if (lower) u0.toLowerCase else u0
     val base = u.getBaseObject
     val off = u.getBaseOffset
     val nb = u.numBytes
@@ -116,25 +123,45 @@ case class GramHashes(child: Expression, n: Expression, positional: Boolean)
     val sc = scratch.get()
     // tokenize: Java `split("\\s+", -1)` semantics — a leading
     // separator yields a leading empty token, a trailing separator a
-    // trailing empty token, and the empty string one empty token
+    // trailing empty token, and the empty string one empty token.
+    // `dropEmpty` = the tokensLower contract (filter(t != '')): only
+    // maximal NON-empty runs are tokens.
     var ntok = 0
     var i = s
-    var done = false
-    while (!done) {
-      var j = i
-      while (j < e && !isSep(Platform.getByte(base, off + j))) j += 1
-      sc.ensureTokens(ntok + 1)
-      sc.starts(ntok) = i
-      sc.ends(ntok) = j
-      if (ntok > 0)
-        sc.contig(ntok - 1) =
-          i - sc.ends(ntok - 1) == 1 &&
-            Platform.getByte(base, off + i - 1) == 0x20
-      ntok += 1
-      if (j >= e) done = true
-      else {
+    if (dropEmpty) {
+      while (i < e && isSep(Platform.getByte(base, off + i))) i += 1
+      while (i < e) {
+        var j = i
+        while (j < e && !isSep(Platform.getByte(base, off + j))) j += 1
+        sc.ensureTokens(ntok + 1)
+        sc.starts(ntok) = i
+        sc.ends(ntok) = j
+        if (ntok > 0)
+          sc.contig(ntok - 1) =
+            i - sc.ends(ntok - 1) == 1 &&
+              Platform.getByte(base, off + i - 1) == 0x20
+        ntok += 1
         i = j
         while (i < e && isSep(Platform.getByte(base, off + i))) i += 1
+      }
+    } else {
+      var done = false
+      while (!done) {
+        var j = i
+        while (j < e && !isSep(Platform.getByte(base, off + j))) j += 1
+        sc.ensureTokens(ntok + 1)
+        sc.starts(ntok) = i
+        sc.ends(ntok) = j
+        if (ntok > 0)
+          sc.contig(ntok - 1) =
+            i - sc.ends(ntok - 1) == 1 &&
+              Platform.getByte(base, off + i - 1) == 0x20
+        ntok += 1
+        if (j >= e) done = true
+        else {
+          i = j
+          while (i < e && isSep(Platform.getByte(base, off + i))) i += 1
+        }
       }
     }
     if (ntok < k) return Nil
@@ -212,6 +239,17 @@ object GramHashes {
   /** All gram positions, columns `(pos: BIGINT 1-based, h: LONG)`. */
   def gramHashesPositional(text: Column, k: Int): Column =
     toCol(GramHashes(toExpr(text), Literal(k), positional = true))
+
+  /** All gram hashes (non-distinct, no positions) over the
+    * [[graft.text.TextAnalysis.tokensLower]] tokenization — lowered,
+    * empty tokens dropped. Column `h: LONG`. The grouping-key form for
+    * count-shaped gram aggregates (Gopher repetition legs), where the
+    * gram's identity is only ever a key: max/sum/count per (doc, gram)
+    * are identical on hashes barring 64-bit collisions.
+    */
+  def gramHashesLowerAll(text: Column, k: Int): Column =
+    toCol(GramHashes(toExpr(text), Literal(k), positional = true,
+      lower = true, dropEmpty = true))
 }
 
 /** `xxhash64Fold(h, i)` = the value of Spark's MULTI-COLUMN

@@ -561,10 +561,12 @@ object AnalyticsQueries {
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_pair"))
     pairs
-      .join(perPart.select(col("pk").as("part_a"),
-        col("n_part").as("n_a")), "part_a")
-      .join(perPart.select(col("pk").as("part_b"),
-        col("n_part").as("n_b")), "part_b")
+      // catalog-sized per-part counts broadcast onto the interaction-
+      // sized pair aggregate — same cliff note as [[itemSim]]
+      .join(broadcast(perPart.select(col("pk").as("part_a"),
+        col("n_part").as("n_a"))), "part_a")
+      .join(broadcast(perPart.select(col("pk").as("part_b"),
+        col("n_part").as("n_b"))), "part_b")
       .crossJoin(broadcast(nOrders))
       .withColumn("lift", round(
         (col("n_pair") * col("n_orders")) / (col("n_a") * col("n_b")), 6))
@@ -607,10 +609,21 @@ object AnalyticsQueries {
       // extra shuffles, stage width pinned.
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
         col("part_a"))
-      .join(perPart.select(col("pk").as("part_a"), col("n").as("n_a")),
-        "part_a")
-      .join(perPart.select(col("pk").as("part_b"), col("n").as("n_b")),
-        "part_b")
+      // BROADCAST the per-item counts, explicitly: perPart is
+      // CATALOG-sized (one row per item), the pair relation is
+      // INTERACTION-sized (Σ basket² — two orders of magnitude larger
+      // here, unboundedly larger at 100 TB). Statically Spark can't
+      // size the aggregate output, and at the sf10 (×100) leg both
+      // probes fell off the 10 MB auto-broadcast cliff into
+      // SortMergeJoins that sorted the ~10⁸-row pair relation TWICE
+      // (measured: ×46 run_ms per data ×10 — n·log n sorts of the big
+      // side, vs q_basket's ×11 linear). A part-count table broadcasts
+      // fine well past 10⁷ items; beyond that the right form is
+      // bucketing both sides by item, not sorting interactions.
+      .join(broadcast(perPart.select(col("pk").as("part_a"),
+        col("n").as("n_a"))), "part_a")
+      .join(broadcast(perPart.select(col("pk").as("part_b"),
+        col("n").as("n_b"))), "part_b")
       .withColumn("cos", col("n_pair") / sqrt(col("n_a") * col("n_b")))
     sim.groupBy("part_a")
       .agg(SketchAggregates.top_k_pairs(col("cos"), col("part_b"), 3)

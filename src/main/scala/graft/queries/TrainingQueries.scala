@@ -1200,11 +1200,36 @@ object TrainingQueries {
     * per round at 100 TB. GraphSpec pins top-20 equivalence vs the
     * unbounded run.
     */
-  def pprTerms(s: SparkSession, d: String): DataFrame = {
-    val bg = Dedup.shingles(Tables.documents(s, d), k = 2)
-      .select(split(col("shingle"), " ").getItem(0).as("src"),
-        split(col("shingle"), " ").getItem(1).as("dst"))
+  /** Weighted term-bigram edge list shared by [[pprTerms]] and
+    * [[textRank]]: per-doc DISTINCT adjacent token pairs, counted
+    * across docs. Built directly as (src, dst) STRUCT pairs from the
+    * token array — the former spelling went through
+    * `Dedup.shingles` ("src dst" strings) and re-`split` them, paying
+    * one array_join + one regex split + two string allocations per
+    * edge occurrence for nothing (tokens cannot contain the joint —
+    * whitespace IS the tokenizer — so string-distinct ≡ pair-distinct
+    * and the relation is unchanged). At the ×100 leg the graph build
+    * is ~3×10⁸ edge occurrences, where that round-trip was pure waste.
+    * Same `__toks`-column-then-explode shape as Dedup.shingles (the
+    * CollapseProject re-tokenization trap the gopherRules scaladoc
+    * documents).
+    */
+  private def bigramEdges(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.text.TextAnalysis.tokens(col("text"))
+    val pairArr = expr(
+      """CASE WHEN size(__toks) >= 2 THEN
+        |  transform(sequence(0, size(__toks) - 2),
+        |    i -> struct(__toks[i] AS src, __toks[i + 1] AS dst))
+        |ELSE array() END""".stripMargin)
+    Tables.documents(s, d)
+      .select(toks.as("__toks"))
+      .withColumn("e", explode(array_distinct(pairArr)))
+      .select(col("e.src"), col("e.dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
+  def pprTerms(s: SparkSession, d: String): DataFrame = {
+    val bg = bigramEdges(s, d)
     val sym = bg.unionByName(bg.select(col("dst").as("src"),
       col("src").as("dst"), col("w")))
     val seeds = Tables.documents(s, d).filter(col("doc_id") === 0)
@@ -1441,10 +1466,7 @@ object TrainingQueries {
     * driver-recomputed values.
     */
   def textRank(s: SparkSession, d: String): DataFrame = {
-    val bg = Dedup.shingles(Tables.documents(s, d), k = 2)
-      .select(split(col("shingle"), " ").getItem(0).as("src"),
-        split(col("shingle"), " ").getItem(1).as("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val bg = bigramEdges(s, d)
     val sym = bg.unionByName(bg.select(col("dst").as("src"),
       col("src").as("dst"), col("w")))
     graft.graph.PageRank.run(sym, weightCol = Some("w"), iters = 10)

@@ -168,12 +168,17 @@ object TextAnalysis {
     // legacy sizeOfNull conf, so a NULL-text doc would read -1 words
     val toks = coalesce(tokensLower(col(textCol)),
       array().cast("array<string>"))
-    // TokenShingles tokenizes exactly like tokensLower (trim, lower,
-    // \s+ split, drop empties), so gram strings match the oracle's
+    // byte-level gram HASHES (VERDICT r10 #7): the gram legs only use
+    // the gram as a grouping key (max/sum/count per (doc, gram)), so
+    // the xxhash64 of the gram keys the same groups as the string —
+    // barring 64-bit collisions, the family's documented posture —
+    // with zero gram-string materialization. GramHashes' lower/
+    // dropEmpty mode tokenizes exactly like tokensLower (trim, lower,
+    // \s+ split, drop empties), so group counts match the oracle's
     def gramLeg(k: Int): DataFrame = df
       .select(col(idCol),
-        graft.functions.TokenShingles.tokenShingles(col(textCol), k))
-      .select(col(idCol), col("shingle").as("__g"))
+        graft.functions.GramHashes.gramHashesLowerAll(col(textCol), k))
+      .select(col(idCol), col("h").as("__g"))
     val base = df.select(
       col(idCol),
       coalesce(size(toks), lit(0)).cast("long").as("n_words"),

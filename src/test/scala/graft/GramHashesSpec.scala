@@ -113,6 +113,35 @@ class GramHashesSpec extends SparkSpec {
     assertSameSet(direct, folded)
   }
 
+  test("lowerAll mode keys the same gram groups as the TokenShingles strings") {
+    // the Gopher legs' contract: per-(doc, gram) count multisets are
+    // identical whether the key is the lowered gram STRING or its
+    // xxhash64 — max/sum/count-of-groups per doc must all agree
+    def profile(counts: DataFrame): DataFrame = counts
+      .groupBy("doc_id")
+      .agg(max("__c").as("mx"), sum("__c").as("tot"),
+        count(lit(1)).as("dis"))
+    for (k <- Seq(2, 3)) {
+      val byHash = profile(hostile.select(col("doc_id"),
+          graft.functions.GramHashes.gramHashesLowerAll(col("text"), k))
+        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("__c")))
+      val byString = profile(hostile.select(col("doc_id"),
+          graft.functions.TokenShingles.tokenShingles(col("text"), k))
+        .groupBy(col("doc_id"), col("shingle")).agg(count(lit(1)).as("__c")))
+      assertSameSet(byHash, byString)
+    }
+    // and on real data with mixed case
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val bh = profile(docs.select(col("doc_id"),
+        graft.functions.GramHashes.gramHashesLowerAll(col("text"), 2))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("__c")))
+    val bs = profile(docs.select(col("doc_id"),
+        graft.functions.TokenShingles.tokenShingles(col("text"), 2))
+      .groupBy(col("doc_id"), col("shingle")).agg(count(lit(1)).as("__c")))
+    assertSameSet(bh, bs)
+  }
+
   test("minhashSignatures unchanged by the factored path (golden row)") {
     // one full signature on a fixed doc, against the r10 direct form
     val doc = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta"))
