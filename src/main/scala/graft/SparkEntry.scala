@@ -170,6 +170,7 @@ object SparkEntry {
     "q_vocab_coverage" -> (TrainingQueries.vocabCoverage _),
     "q_url_stats"      -> (FuncQueries.urlStats _),
     "q_interval_join"  -> (AnalyticsQueries.intervalJoin _),
+    "q_interval_count" -> (AnalyticsQueries.intervalCount _),
     "q_profile"        -> (AnalyticsQueries.profileTable _),
     "q_dq_checks"      -> (AnalyticsQueries.dqChecks _),
     "q_transitions"    -> (AnalyticsQueries.transitions _),
@@ -1712,7 +1713,8 @@ object SparkEntry {
         |      AS BIGINT) AS l_lo,
         |    CAST(date_diff('day', DATE '1990-01-01', o_orderdate)
         |      + o_orderkey % 14 AS BIGINT) AS l_hi
-        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |  FROM orders WHERE o_orderkey % 101 = 0
+        |    AND o_orderkey < 10000000),
         |r AS (
         |  SELECT l_orderkey * 8 + l_linenumber AS r_id,
         |    CAST(date_diff('day', DATE '1990-01-01', l_shipdate)
@@ -1724,6 +1726,24 @@ object SparkEntry {
         |  least(l_hi, r_hi) - greatest(l_lo, r_lo) + 1 AS overlap_days
         |FROM l JOIN r ON l_lo <= r_hi AND r_lo <= l_hi
         |ORDER BY l_id, r_id""".stripMargin,
+    "q_interval_count" ->
+      """WITH l AS (
+        |  SELECT o_orderkey AS l_id,
+        |    CAST(date_diff('day', DATE '1990-01-01', o_orderdate)
+        |      AS BIGINT) AS l_lo,
+        |    CAST(date_diff('day', DATE '1990-01-01', o_orderdate)
+        |      + o_orderkey % 14 AS BIGINT) AS l_hi
+        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |r AS (
+        |  SELECT CAST(date_diff('day', DATE '1990-01-01', l_shipdate)
+        |      AS BIGINT) AS r_lo,
+        |    CAST(date_diff('day', DATE '1990-01-01', l_shipdate)
+        |      + l_linenumber * 3 AS BIGINT) AS r_hi
+        |  FROM lineitem WHERE l_orderkey % 23 = 0)
+        |SELECT l_id, count(r_lo) AS n_overlap
+        |FROM l LEFT JOIN r ON l_lo <= r_hi AND r_lo <= l_hi
+        |GROUP BY l_id
+        |ORDER BY l_id""".stripMargin,
     "q_profile" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,

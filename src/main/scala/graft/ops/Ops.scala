@@ -285,6 +285,68 @@ object Ops {
       .drop("__bin")
   }
 
+  /** Interval-overlap COUNT — per LEFT interval, the number of RIGHT
+    * intervals whose closed span intersects it, WITHOUT materializing
+    * the pair stream. The full-suite ×100 leg caught why this form
+    * must exist: interval sets over a FIXED value domain (calendar
+    * days, port numbers, price cents) densify as data grows, so the
+    * pair-enumerating [[intervalOverlapJoin]]'s OUTPUT is quadratic in
+    * scale factor (measured: q_interval_join output 2,964 rows at
+    * sf0.01 → 30.1M at sf1 → ~3B at sf10; run_ms ×90 per data ×10 —
+    * the only output-quadratic row in the suite). When the downstream
+    * need is a count (coverage, concurrency, contention metrics), the
+    * endpoint-rank identity computes it in linear work:
+    *
+    *   overlaps(l) = #{r : r.lo ≤ l.hi} − #{r : r.hi < l.lo}
+    *
+    * Both ranks come from ONE cumulative table over the integer value
+    * domain: per-value counts of right starts and right ends (two
+    * keyed aggregates over R — the only data-sized shuffles), summed
+    * cumulatively over a generated value spine that covers both
+    * sides' endpoint ranges. The ordered window runs over the SPINE —
+    * bounded by the value DOMAIN, not the data (the count-of-counts
+    * discipline from skewReport) — and the spine joins back to L by
+    * plain equi-join on the endpoint value, which Spark broadcasts
+    * (domain-sized table). Requires integer endpoints over a bounded
+    * domain; for unbounded/continuous domains, quantize first (the
+    * equi-depth route), trading exactness at bin edges.
+    */
+  def intervalOverlapCount(left: DataFrame, right: DataFrame,
+                           lLo: String, lHi: String,
+                           rLo: String, rHi: String): DataFrame = {
+    require(left.columns.intersect(right.columns).isEmpty,
+      "intervalOverlapCount: column names collide across sides — alias first")
+    // value spine covering every endpoint either side can query
+    val bounds = left.agg(min(col(lLo)).as("__llo"), max(col(lHi)).as("__lhi"))
+      .crossJoin(right.agg(min(col(rLo)).as("__rlo"), max(col(rHi)).as("__rhi")))
+      .select(least(col("__llo"), col("__rlo")).as("__lo"),
+        greatest(col("__lhi"), col("__rhi")).as("__hi"))
+    val spine = bounds.select(
+      explode(sequence(col("__lo"), col("__hi"))).as("__v"))
+    // per-value endpoint histograms: starts at v, ends BEFORE v (shift
+    // r.hi by +1 so "r.hi < v" becomes an inclusive prefix sum at v)
+    val starts = right.groupBy(col(rLo).as("__v"))
+      .agg(count(lit(1)).as("__cs"))
+    val ends = right.groupBy((col(rHi) + 1).as("__v"))
+      .agg(count(lit(1)).as("__ce"))
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the ordered window is over the domain-sized spine — bounded by
+    // the value domain whatever the data volume
+    val cdf = spine
+      .join(starts, Seq("__v"), "left").join(ends, Seq("__v"), "left")
+      .select(col("__v"),
+        sum(coalesce(col("__cs"), lit(0L))).over(w).as("__n_start"),
+        sum(coalesce(col("__ce"), lit(0L))).over(w).as("__n_end"))
+    left
+      .join(broadcast(cdf.select(col("__v").as(lHi + "__k"),
+        col("__n_start"))), col(lHi) === col(lHi + "__k"))
+      .join(broadcast(cdf.select(col("__v").as(lLo + "__k"),
+        col("__n_end"))), col(lLo) === col(lLo + "__k"))
+      .withColumn("n_overlap", col("__n_start") - col("__n_end"))
+      .drop(lHi + "__k", lLo + "__k", "__n_start", "__n_end")
+  }
+
   /** §2.7: set ops are built-ins; exposed for surface completeness. */
   def setMinus(left: DataFrame, right: DataFrame): DataFrame = left.except(right)
   def setIntersect(left: DataFrame, right: DataFrame): DataFrame = left.intersect(right)

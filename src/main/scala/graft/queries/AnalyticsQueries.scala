@@ -416,11 +416,25 @@ object AnalyticsQueries {
     * Both interval sets are synthesized from real date columns with
     * pure integer arithmetic for oracle parity. Bin width 32 days ≈
     * the longest interval, per the operator's sizing rule.
+    *
+    * The probe side is a FIXED anchor set (r11, the EmbAnchorCap
+    * discipline): intervals over a bounded calendar densify as the
+    * corpus grows, so pair ENUMERATION over two unbounded sides has
+    * quadratic-in-SF output by construction — the ×100 leg measured
+    * this exact query at 2,964 output rows (sf0.01) → 30.1M (sf1) →
+    * ~3B (sf10), 441 s wall, the suite's only output-quadratic row.
+    * The production shape for "enrich a window list against all
+    * activity" is a BOUNDED window list, which the key cap pins
+    * (`< 10⁷` keeps every base-corpus key at sf ≤ 0.1 — the oracles
+    * there are bit-identical — and exactly the base replica at any
+    * synthesized scale). The unbounded-both-sides need is served by
+    * [[intervalCount]], whose output stays linear at every scale.
     */
   def intervalJoin(s: SparkSession, d: String): DataFrame = {
     val day0 = lit("1990-01-01").cast("date")
     val l = Tables.orders(s, d)
-      .filter(pmod(col("o_orderkey"), lit(101)) === 0)
+      .filter(pmod(col("o_orderkey"), lit(101)) === 0 &&
+        col("o_orderkey") < 10000000L)
       .select(col("o_orderkey").as("l_id"),
         datediff(col("o_orderdate"), day0).cast("long").as("l_lo"))
       .withColumn("l_hi", col("l_lo") + pmod(col("l_id"), lit(14L)))
@@ -436,6 +450,36 @@ object AnalyticsQueries {
         (least(col("l_hi"), col("r_hi")) -
           greatest(col("l_lo"), col("r_lo")) + 1).as("overlap_days"))
       .orderBy("l_id", "r_id")
+  }
+
+  /** Per-interval overlap COUNT over the SAME two interval sets as
+    * [[intervalJoin]] but with BOTH sides unbounded — the form that
+    * scales when the calendar is fixed and the data is not
+    * ([[graft.ops.Ops.intervalOverlapCount]]: endpoint-rank identity,
+    * two keyed aggregates over the big side, an ordered window over
+    * the ~domain-sized day spine, two broadcast lookups; output is
+    * one row per left interval — linear at every SF where the pair
+    * enumeration is quadratic). Integer day endpoints ⇒ exact oracle
+    * (DuckDB replays the count as a LEFT inequality join + GROUP BY;
+    * its IEJoin stays in oracle-affordable territory at sweep SFs).
+    */
+  def intervalCount(s: SparkSession, d: String): DataFrame = {
+    val day0 = lit("1990-01-01").cast("date")
+    val l = Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(101)) === 0)
+      .select(col("o_orderkey").as("l_id"),
+        datediff(col("o_orderdate"), day0).cast("long").as("l_lo"))
+      .withColumn("l_hi", col("l_lo") + pmod(col("l_id"), lit(14L)))
+    val r = Tables.lineitem(s, d)
+      .filter(pmod(col("l_orderkey"), lit(23)) === 0)
+      .select((col("l_orderkey") * 8 + col("l_linenumber")).as("r_id"),
+        datediff(col("l_shipdate"), day0).cast("long").as("r_lo"),
+        (col("l_linenumber") * 3).cast("long").as("__len"))
+      .withColumn("r_hi", col("r_lo") + col("__len")).drop("__len")
+    graft.ops.Ops.intervalOverlapCount(l, r,
+        "l_lo", "l_hi", "r_lo", "r_hi")
+      .select(col("l_id"), col("n_overlap"))
+      .orderBy("l_id")
   }
 
   /** One-pass per-column dataset profile ([[graft.ops.Profile.profile]])

@@ -417,6 +417,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSet === brute.toSet)
   }
 
+  test("interval overlap count equals brute force, including zero rows") {
+    import spark.implicits._
+    // edges the endpoint-rank identity must survive: a left interval
+    // before every right start, one after every right end, a point
+    // interval, exact endpoint touches, and a right set whose max end
+    // equals the spine max (the shifted end-histogram row falls off
+    // the spine and must be harmless)
+    val ls = Seq((1L, 0L, 4L), (2L, 5L, 5L), (3L, 90L, 95L),
+      (4L, 300L, 310L), (5L, 10L, 200L), (6L, 205L, 206L))
+      .toDF("l_id", "l_lo", "l_hi")
+    val rs = Seq((10L, 5L, 9L), (11L, 0L, 150L), (12L, 96L, 100L),
+      (13L, 95L, 95L), (14L, 201L, 204L), (15L, 310L, 310L))
+      .toDF("r_id", "r_lo", "r_hi")
+    val got = graft.ops.Ops.intervalOverlapCount(ls, rs,
+        "l_lo", "l_hi", "r_lo", "r_hi")
+      .select("l_id", "n_overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rv = Seq((5L, 9L), (0L, 150L), (96L, 100L), (95L, 95L),
+      (201L, 204L), (310L, 310L))
+    val brute = Seq((1L, 0L, 4L), (2L, 5L, 5L), (3L, 90L, 95L),
+      (4L, 300L, 310L), (5L, 10L, 200L), (6L, 205L, 206L))
+      .map { case (id, lo, hi) =>
+        id -> rv.count { case (rlo, rhi) => lo <= rhi && rlo <= hi }.toLong
+      }.toMap
+    assert(got === brute)
+    assert(got(6L) === 0L, "zero-overlap left must appear with count 0")
+  }
+
   test("profile: exact and approx variants agree on structure") {
     val exact = graft.ops.Profile.profile(
       graft.io.Tables.orders(spark, sfDir), Seq("o_orderkey", "o_orderstatus"),

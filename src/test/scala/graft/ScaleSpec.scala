@@ -327,7 +327,17 @@ class ScaleSpec extends SparkSpec {
       // pass-through — explode/expand above a reduction re-opens the
       // fan-out (the pairsFromBaskets n²-per-basket shape), so a
       // global window directly over them is unbounded again unless a
-      // further reducing operator sits above the expansion
+      // further reducing operator sits above the expansion.
+      // r11 refinement: a Generate whose generator is built from
+      // SEQUENCE is the one expansion whose output is NOT data-sized —
+      // it is VALUE-DOMAIN-sized (the intervalOverlapCount day spine:
+      // explode(sequence(min, max)) over a 1-row bounds aggregate).
+      // Exploding a data-derived array (collect_list & co.) stays
+      // unbounded: that is exactly the pairsFromBaskets trap.
+      case g: org.apache.spark.sql.execution.GenerateExec
+          if g.boundGenerator.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Sequence]) =>
+        reduced(g.child)
       case _: org.apache.spark.sql.execution.GenerateExec |
            _: org.apache.spark.sql.execution.ExpandExec => false
       case u => u.children.exists(reduced)
