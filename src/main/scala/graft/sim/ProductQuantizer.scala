@@ -100,12 +100,40 @@ object ProductQuantizer {
     }: _*)
 
   /** Add `pq_codes: array<int>` — per subspace, the L2-nearest centroid
-    * index (ties → smaller code). Narrow map, fully codegen'd
-    * ([[graft.functions.ArrayL2]] per candidate centroid), no shuffle.
+    * index (ties → smaller code). Narrow map, no shuffle, ONE native
+    * codegen expression ([[graft.functions.PqEncode]]) carrying the
+    * whole flattened codebook: the r11 ×100 leg measured the previous
+    * `transform`/`array_max` composition (higher-order functions are
+    * CodegenFallback — interpreted, boxed structs per centroid per row)
+    * at ~3 ms/row, 639 CPU-s for a 200 k-row encode; the native loop is
+    * the entire PQ-family fix. [[encodeComposed]] keeps the composed
+    * form, and SimilaritySpec pins bit-equality between the two.
     */
   def encode(df: DataFrame, cb: Codebook,
              vecCol: String = "embedding",
              outCol: String = "pq_codes"): DataFrame = {
+    val m = cb.length
+    val ksub = cb(0).length
+    val dsub = cb(0)(0).length
+    val flat = new Array[Double](m * ksub * dsub)
+    for (s <- 0 until m; c <- 0 until ksub; p <- 0 until dsub)
+      flat((s * ksub + c) * dsub + p) = cb(s)(c)(p)
+    // composed-form edge: a NULL vector encodes to all-zero codes (its
+    // per-code distances were all null → all-tie → smallest code)
+    df.withColumn(outCol, coalesce(
+      graft.functions.PqEncodeFunctions.pq_encode(
+        col(vecCol), m, ksub, dsub, flat),
+      lit(Array.fill(m)(0))))
+  }
+
+  /** The pre-r11 composed encode (slice + transform over the literal
+    * codebook + array_max over `(−dist, −code)` structs) — retained as
+    * the independently-derived semantics oracle for [[encode]]'s native
+    * expression; spec-only, never on a hot path.
+    */
+  private[graft] def encodeComposed(df: DataFrame, cb: Codebook,
+                                    vecCol: String = "embedding",
+                                    outCol: String = "pq_codes"): DataFrame = {
     val m = cb.length
     val dsub = cb(0)(0).length
     val codeExprs = (0 until m).map { s =>

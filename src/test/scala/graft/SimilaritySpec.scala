@@ -262,6 +262,43 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2L) === 2L) // dist 2
   }
 
+  test("PQ: native encode ≡ composed encode, bit-exact incl. hostile rows") {
+    import graft.sim.ProductQuantizer
+    // real corpus + trained codebook: every row must agree
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cb = ProductQuantizer.train(emb, m = 8, ksub = 16, iters = 2)
+    val native = ProductQuantizer.encode(emb, cb)
+      .select("vec_id", "pq_codes")
+    val composed = ProductQuantizer.encodeComposed(emb, cb)
+      .select("vec_id", "pq_codes")
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty,
+      "native PqEncode diverged from the composed form on the corpus")
+    // hostile inputs: null vec (→ all-zero codes), short vec (short
+    // subspaces → code 0), null/NaN elements, double element type
+    val hostile = Seq(
+      (0L, Array[java.lang.Double](1.0, 2.0, 3.0, 4.0)),
+      (1L, null),
+      (2L, Array[java.lang.Double](1.0, 2.0, 3.0)),           // short
+      (3L, Array[java.lang.Double](null, 2.0, null, 4.0)),    // null elems
+      (4L, Array[java.lang.Double](Double.NaN, 0.0, 1.0, Double.NaN)),
+      (5L, Array[java.lang.Double](-0.0, 0.0, 1e300, -1e300))
+    ).toDF("vec_id", "embedding")
+    val hcb: ProductQuantizer.Codebook = IndexedSeq.tabulate(2)(s =>
+      IndexedSeq.tabulate(3)(c =>
+        Array(c.toDouble + s, 2.0 * c - s)))
+    val hn = ProductQuantizer.encode(hostile, hcb)
+      .select("vec_id", "pq_codes").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList))
+    val hc = ProductQuantizer.encodeComposed(hostile, hcb)
+      .select("vec_id", "pq_codes").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList))
+    assert(hn.toSeq === hc.toSeq,
+      s"hostile rows diverged: native=${hn.toSeq} composed=${hc.toSeq}")
+    assert(hn.find(_._1 == 1L).get._2 === List(0, 0),
+      "null vector must encode to all-zero codes")
+  }
+
   test("PQ: ADC score equals dot(query, reconstructed codes) exactly") {
     import graft.sim.ProductQuantizer
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
