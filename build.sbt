@@ -41,4 +41,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // band projection ran 2.4x faster with this flag; a standard Spark
   // production setting).
   "-XX:-DontCompileHugeMethods",
+  // The default 240 MB code cache saturates partway through a
+  // 250-query suite (each query contributes ~30-60 generated classes,
+  // and -DontCompileHugeMethods makes the compiled blobs bigger); once
+  // full, HotSpot disables the compilers and every later query runs
+  // INTERPRETED on both bench iterations — measured r11: the sf10
+  // full-suite leg had q_emb_neardup_lsh_prod at 57.6 s on BOTH iters
+  // where a fresh JVM warms to ~4 s, and the "roving" per-close noise
+  // rows that evaporate on solo re-measure are the same mechanism.
+  // 1 GiB keeps the whole suite compiled (standard Spark prod sizing).
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )

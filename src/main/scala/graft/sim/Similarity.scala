@@ -434,7 +434,34 @@ object Similarity {
       s"rowsPerBand must be in [1,63]: $rowsPerBand")
     val d = if (dim > 0) dim else probeDim(df, vecCol)
     val hp = hyperplanes(bands * rowsPerBand, d)
-    // band b's key packs the signs of its own rowsPerBand hyperplanes
+    // band b's key packs the signs of its own rowsPerBand hyperplanes —
+    // ONE native SignBits loop per band (hyperplanes ride as a double[]
+    // reference object). The pre-r11 when(array_dot(…))-chain form
+    // (kept as cosineLshBandsComposed, equality spec-pinned) generated
+    // a compile-hostile wall of code: 58 CPU-s of C2 JIT for one
+    // query's plans at the ×100 leg, and interpreted-speed execution
+    // for late-suite queries once the compile queue backed up
+    // (BASELINE §15.7). Null vec → composed form's 0L key (coalesce).
+    val bandKeys = (0 until bands).map { b =>
+      coalesce(graft.functions.SignBitsFunctions.sign_bits(col(vecCol),
+        (0 until rowsPerBand).map(j => hp(b * rowsPerBand + j))), lit(0L))
+    }
+    df.select(col(idCol), posexplode(array(bandKeys: _*))
+      .as(Seq("band", "bucket")))
+  }
+
+  /** The pre-r11 composed band keys (when/array_dot/bit-or chains) —
+    * retained as the independently-derived semantics oracle for
+    * [[cosineLshBands]]'s native [[graft.functions.SignBits]] path;
+    * spec-only, never on a hot path.
+    */
+  private[graft] def cosineLshBandsComposed(df: DataFrame, bands: Int = 8,
+      rowsPerBand: Int = 4, vecCol: String = "embedding",
+      idCol: String = "vec_id", dim: Int = -1): DataFrame = {
+    require(rowsPerBand >= 1 && rowsPerBand <= 63,
+      s"rowsPerBand must be in [1,63]: $rowsPerBand")
+    val d = if (dim > 0) dim else probeDim(df, vecCol)
+    val hp = hyperplanes(bands * rowsPerBand, d)
     val bandKeys = (0 until bands).map { b =>
       (0 until rowsPerBand).map { j =>
         when(array_dot(col(vecCol), litVec(hp(b * rowsPerBand + j))) > 0,
@@ -763,6 +790,22 @@ object Similarity {
                        vecCol: String = "embedding",
                        idCol: String = "vec_id",
                        dim: Int = -1): DataFrame = {
+    require(planes >= 1 && planes <= 63, s"planes must be in [1,63]: $planes")
+    val d = if (dim > 0) dim else probeDim(df, vecCol)
+    val hp = hyperplanes(planes, d)
+    // native SignBits loop — same rationale and equality pin as
+    // [[cosineLshBands]] (BASELINE §15.7)
+    val bucket = coalesce(graft.functions.SignBitsFunctions.sign_bits(
+      col(vecCol), (0 until planes).map(hp)), lit(0L))
+    df.select(col(idCol), bucket.as("bucket"))
+  }
+
+  /** Pre-r11 composed single-bucket key — spec-only semantics oracle
+    * for [[cosineLshBuckets]], as [[cosineLshBandsComposed]].
+    */
+  private[graft] def cosineLshBucketsComposed(df: DataFrame,
+      planes: Int = 16, vecCol: String = "embedding",
+      idCol: String = "vec_id", dim: Int = -1): DataFrame = {
     require(planes >= 1 && planes <= 63, s"planes must be in [1,63]: $planes")
     val d = if (dim > 0) dim else probeDim(df, vecCol)
     val hp = hyperplanes(planes, d)

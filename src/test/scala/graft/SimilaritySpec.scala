@@ -262,6 +262,41 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2L) === 2L) // dist 2
   }
 
+  test("LSH: native sign-bit keys ≡ composed, bit-exact incl. hostile rows") {
+    // real corpus, both configs that ship (8×4 default, 4×16 prod)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    for ((bands, rpb) <- Seq((8, 4), (4, 16))) {
+      val n = Similarity.cosineLshBands(emb, bands, rpb, dim = 64)
+      val c = Similarity.cosineLshBandsComposed(emb, bands, rpb, dim = 64)
+      assert(n.exceptAll(c).isEmpty && c.exceptAll(n).isEmpty,
+        s"native band keys diverged at $bands x $rpb")
+    }
+    val nb = Similarity.cosineLshBuckets(emb, planes = 16, dim = 64)
+    val cbk = Similarity.cosineLshBucketsComposed(emb, planes = 16, dim = 64)
+    assert(nb.exceptAll(cbk).isEmpty && cbk.exceptAll(nb).isEmpty,
+      "native bucket keys diverged")
+    // hostile rows: null vec (→ key 0), short vec (→ key 0), null/NaN
+    // elements, zero vector (strict sign: no bit)
+    val hostile = Seq(
+      (0L, Array[java.lang.Double](1.0, -2.0, 3.0, -4.0)),
+      (1L, null),
+      (2L, Array[java.lang.Double](1.0, 2.0)),                // short
+      (3L, Array[java.lang.Double](null, 2.0, null, -4.0)),   // null elems
+      (4L, Array[java.lang.Double](Double.NaN, 1.0, 0.0, 2.0)),
+      (5L, Array[java.lang.Double](0.0, 0.0, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val hn = Similarity.cosineLshBands(hostile, bands = 4, rowsPerBand = 4,
+        dim = 4).orderBy("vec_id", "band").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val hc = Similarity.cosineLshBandsComposed(hostile, bands = 4,
+        rowsPerBand = 4, dim = 4).orderBy("vec_id", "band").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(hn.toSeq === hc.toSeq,
+      s"hostile band keys diverged: native=${hn.toSeq} composed=${hc.toSeq}")
+    assert(hn.filter(_._1 == 1L).forall(_._3 == 0L),
+      "null vector must key to bucket 0 in every band")
+  }
+
   test("PQ: native encode ≡ composed encode, bit-exact incl. hostile rows") {
     import graft.sim.ProductQuantizer
     // real corpus + trained codebook: every row must agree
