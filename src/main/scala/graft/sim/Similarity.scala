@@ -255,24 +255,54 @@ object Similarity {
     */
   private def assignPrepped(prepped: DataFrame, centroids: DataFrame,
                             vecCol: String, idCol: String): DataFrame = {
-    val cents = withUnit(centroids, vecCol)
+    val centArr = centArrFrame(centroids, vecCol, idCol)
+    // native argmax loop over the broadcast centroid array — the
+    // array_max(transform(…)) composition it replaces (retained as
+    // assignPreppedComposed, equality spec-pinned) was an interpreted
+    // HOF per row per centroid, the same per-row tax as the PQ encode
+    // map (BASELINE §15.7). coalesce: with an EMPTY/NULL centroid set
+    // (or a null winning id) keep the -1 sentinel.
+    prepped.crossJoin(broadcast(centArr))
+      .withColumn("cell", coalesce(
+        graft.functions.ArgMaxDotFunctions.argmax_dot(
+          col(vecCol), col("__cents")),
+        lit(-1L)))
+      .drop("__cents")
+  }
+
+  /** The aggregated 1-row broadcastable centroid array (no driver
+    * collect): `__cents: array<struct<__cent_id, __cent_unit>>`, ids
+    * ascending.
+    */
+  private def centArrFrame(centroids: DataFrame, vecCol: String,
+                           idCol: String): DataFrame =
+    withUnit(centroids, vecCol)
       .select(col(idCol).as("__cent_id"), col("__unit").as("__cent_unit"))
-    // collect centroid list as one broadcastable array via cross-join of
-    // a 1-row aggregated frame (no driver collect)
-    val centArr = cents.agg(
-      sort_array(collect_list(struct(col("__cent_id"), col("__cent_unit"))))
-        .as("__cents"))
+      .agg(sort_array(collect_list(
+        struct(col("__cent_id"), col("__cent_unit")))).as("__cents"))
+
+  /** Pre-r11 composed assignment (array_max over transform structs) —
+    * spec-only semantics oracle for [[assignPrepped]]'s native
+    * [[graft.functions.ArgMaxDot]] path.
+    */
+  private[graft] def assignPreppedComposed(prepped: DataFrame,
+      centroids: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val centArr = centArrFrame(centroids, vecCol, idCol)
     prepped.crossJoin(broadcast(centArr))
       .withColumn("__best", array_max(transform(col("__cents"), c =>
         struct(
           array_dot(c.getField("__cent_unit"), col(vecCol)).as("sim"),
           (-c.getField("__cent_id")).as("nid")))))
-      // coalesce: with an EMPTY centroid set array_max yields NULL —
-      // keep the -1 sentinel the pre-rewrite fold returned
       .withColumn("cell",
         coalesce((-col("__best").getField("nid")).cast("long"), lit(-1L)))
       .drop("__cents", "__best")
   }
+
+  /** [[assignCells]] via the composed path — spec-only. */
+  private[graft] def assignCellsComposed(corpus: DataFrame,
+      centroids: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame =
+    assignPreppedComposed(withUnit(corpus, vecCol), centroids, vecCol, idCol)
 
   /** Spherical k-means coarse-quantizer training (Lloyd iterations;
     * Dhillon & Modha, "Concept decompositions for large sparse text

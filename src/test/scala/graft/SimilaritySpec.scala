@@ -262,6 +262,47 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2L) === 2L) // dist 2
   }
 
+  test("assignCells: native argmax ≡ composed, bit-exact incl. hostile rows") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(emb, k = 16, iters = 2)
+    val n = Similarity.assignCells(emb, cents).select("vec_id", "cell")
+    val c = Similarity.assignCellsComposed(emb, cents).select("vec_id", "cell")
+    assert(n.exceptAll(c).isEmpty && c.exceptAll(n).isEmpty,
+      "native assignCells diverged from the composed form on the corpus")
+    // hostile: null vec (assigns to the all-null-sim tie → smallest
+    // id), short vec (same), NaN elements, zero vector
+    val hostile = Seq(
+      (0L, Array[java.lang.Double](1.0, -2.0, 3.0, -4.0)),
+      (1L, null),
+      (2L, Array[java.lang.Double](1.0, 2.0)),
+      (3L, Array[java.lang.Double](null, 2.0, null, -4.0)),
+      (4L, Array[java.lang.Double](Double.NaN, 1.0, 0.0, 2.0)),
+      (5L, Array[java.lang.Double](0.0, 0.0, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val hcents = Seq(
+      (10L, Array(1.0, 0.0, 0.0, 0.0)),
+      (11L, Array(0.0, 1.0, 0.0, 0.0)),
+      (12L, Array(0.0, 0.0, 1.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val hn = Similarity.assignCells(hostile, hcents)
+      .select("vec_id", "cell").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hc = Similarity.assignCellsComposed(hostile, hcents)
+      .select("vec_id", "cell").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hn.toSeq === hc.toSeq,
+      s"hostile assignment diverged: native=${hn.toSeq} composed=${hc.toSeq}")
+    assert(hn.find(_._1 == 1L).get._2 === 10L,
+      "null vec must fall to the smallest centroid id (all-null-sim tie)")
+    // empty centroid set → -1 sentinel on both paths
+    val empty = hcents.filter(col("vec_id") < 0L)
+    val en = Similarity.assignCells(hostile, empty)
+      .select("cell").distinct().collect().map(_.getLong(0)).toSeq
+    val ec = Similarity.assignCellsComposed(hostile, empty)
+      .select("cell").distinct().collect().map(_.getLong(0)).toSeq
+    assert(en === Seq(-1L) && ec === Seq(-1L))
+  }
+
   test("LSH: native sign-bit keys ≡ composed, bit-exact incl. hostile rows") {
     // real corpus, both configs that ship (8×4 default, 4×16 prod)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
