@@ -1659,12 +1659,27 @@ object AnalyticsQueries {
       .agg(collect_set(col("l_partkey")).as("parts"))
 
   private def pairsFromBaskets(b: DataFrame): DataFrame =
+    // native pair generator — the nested transform/filter HOF form it
+    // replaces (kept below, equality spec-pinned in AnalyticsSpec) ran
+    // interpreted AND materialized the k² struct array per basket
+    // before the explode; measured ~4.3k CPU-s across itemSim/basket/
+    // assortativity at the ×100 leg (BASELINE §16.3)
+    b.select(graft.functions.ArrayPairsFunctions.array_pairs(col("parts")))
+
+  /** Pre-r11 composed pair explosion — spec-only semantics oracle for
+    * [[pairsFromBaskets]]'s native [[graft.functions.ArrayPairs]].
+    */
+  private[graft] def pairsFromBasketsComposed(b: DataFrame): DataFrame =
     b.select(explode(expr(
         """flatten(transform(parts,
           |  x -> transform(filter(parts, y -> y != x),
           |       y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
         .as("pr"))
       .select(col("pr.part_a"), col("pr.part_b"))
+
+  /** Spec access to the native pair path on an arbitrary basket frame. */
+  private[graft] def pairsFromBasketsNative(b: DataFrame): DataFrame =
+    pairsFromBaskets(b)
 
   /** Burstiness of the event stream per type: the dispersion index
     * (variance/mean of daily counts; 1 = Poisson) and the bounded

@@ -11,6 +11,38 @@ import graft.queries.{AnalyticsQueries, TrainingQueries}
   */
 class AnalyticsSpec extends SparkSpec {
 
+  test("ArrayPairs: native basket pairs ≡ composed HOF form, incl. hostile") {
+    import spark.implicits._
+    // real baskets: per-order part sets from lineitem
+    val bk = graft.io.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+    val n = AnalyticsQueries.pairsFromBasketsNative(bk)
+    val c = AnalyticsQueries.pairsFromBasketsComposed(bk)
+    assert(n.exceptAll(c).isEmpty && c.exceptAll(n).isEmpty,
+      "native ArrayPairs diverged from the composed form on real baskets")
+    // hostile: null array, empty, singleton, null elements, duplicate
+    // values (dup outers re-emit, equal values never pair)
+    val hostile = Seq(
+      (0L, Seq[java.lang.Long](1L, 2L, 3L)),
+      (1L, null),
+      (2L, Seq.empty[java.lang.Long]),
+      (3L, Seq[java.lang.Long](7L)),
+      (4L, Seq[java.lang.Long](1L, null, 2L)),
+      (5L, Seq[java.lang.Long](5L, 5L, 6L))
+    ).toDF("ok", "parts")
+    val hn = AnalyticsQueries.pairsFromBasketsNative(hostile)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val hc = AnalyticsQueries.pairsFromBasketsComposed(hostile)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(hn === hc, s"hostile pairs diverged: native=$hn composed=$hc")
+    // dup-value basket emits (5,6) twice and (6,5) once, never (5,5)
+    assert(hn.count(_ == ((5L, 6L))) === 2)
+    assert(hn.count(_ == ((5L, 5L))) === 0)
+  }
+
   test("TopKAgg agrees with the row_number window form") {
     import graft.ops.Ops
     val viaAgg = AnalyticsQueries.topKAgg(spark, sfDir)
