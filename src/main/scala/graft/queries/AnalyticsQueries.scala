@@ -588,18 +588,30 @@ object AnalyticsQueries {
     * pairs by support with full tie-breaks.
     */
   def basket(s: SparkSession, d: String): DataFrame = {
-    // r8: the same basket-array discipline as [[itemSim]] — ONE
-    // raw-lineitem shuffle builds the per-order part sets, and
-    // order-count, per-part count, and pair occurrences all derive
-    // from that lineage (the exchange is reused, not recomputed),
-    // replacing the old distinct + self-join's extra exchanges. No
-    // post-aggregate width pin here, unlike itemSim: downstream is
+    // r8/r11: ONE raw-incidence shuffle under everything — pair
+    // occurrences ride the basket arrays, while order-count and
+    // per-part count derive from [[incidence]]/[[partOrderCounts]]
+    // directly (NOT by exploding the arrays back out — that re-ran
+    // the collect_set build once per consumer, see partOrderCounts).
+    // No post-aggregate width pin here, unlike itemSim: downstream is
     // two broadcast probes + TakeOrdered over the pair aggregate,
     // cheap enough that AQE's coalesce is harmless.
+    val perPart = partOrderCounts(s, d)
+      .select(col("pk"), col("n").as("n_part"))
     val bk = baskets(s, d)
-    val nOrders = bk.agg(count(lit(1)).as("n_orders"))
-    val perPart = bk.select(explode(col("parts")).as("pk"))
-      .groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
+    // one row per basket, counted off the materialized barrier — a
+    // ~zero-cost read of an exchange the pair branch pays for anyway.
+    // The counted expression must be NULLABLE and reference `parts`,
+    // or the optimizer rewrites it to count(1) (count of a
+    // non-nullable column — collect_set never yields null — folds),
+    // prunes the array, and collapses this branch into its own
+    // distinct-on-ok pipeline below the barrier: a second full
+    // scan+shuffle of lineitem for one scalar (measured: the 3.3 MB
+    // twin scan stage in the r11 profile). `when` without `otherwise`
+    // is nullable by construction and always-true here, so the value
+    // is exactly the basket count.
+    val nOrders = bk.agg(
+      count(when(size(col("parts")) >= 0, 1)).as("n_orders"))
     val pairs = pairsFromBaskets(bk)
       .filter(col("part_a") < col("part_b"))
       .groupBy("part_a", "part_b")
@@ -637,11 +649,10 @@ object AnalyticsQueries {
     // r7 (VERDICT item 5): pair occurrences come from basket arrays
     // ([[copurchasePairs]]) — one raw-lineitem shuffle and in-place
     // explosion replace the distinct + self-join + two join exchanges;
-    // per-part order counts re-derive from the IDENTICAL basket
-    // lineage so the exchange is reused, not recomputed
+    // per-part order counts derive from the SAME incidence exchange
+    // without touching the arrays (r11 — see [[partOrderCounts]])
     val bk = baskets(s, d)
-    val perPart = bk.select(explode(col("parts")).as("pk"))
-      .groupBy("pk").agg(count(lit(1)).as("n"))
+    val perPart = partOrderCounts(s, d)
     val sim = pairsFromBaskets(bk)
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_pair"))
@@ -1638,9 +1649,24 @@ object AnalyticsQueries {
     * rows BEFORE a fan-out compute stage is the general 100 TB shape;
     * the explicit partition count pins it against coalescing.
     */
-  private def baskets(s: SparkSession, d: String): DataFrame =
+  /** Raw (order, part) incidence rows, hash-partitioned by order —
+    * THE shared exchange under the whole basket family. Every
+    * downstream need (basket arrays, per-part order counts, order
+    * count) derives from this one shuffle via ReuseExchange; counts
+    * deliberately do NOT go through the basket arrays (see
+    * [[partOrderCounts]]).
+    */
+  private def incidence(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // explicit null guard, for PLAN EQUALITY more than semantics
+      // (collect_set drops nulls anyway): consumers that inner-join on
+      // the part key get IsNotNull(pk) INFERRED and pushed into their
+      // scan, and a branch whose scan carries the filter no longer
+      // canonicalizes equal to one whose scan doesn't — the shared
+      // exchange then materializes once per branch. Stating the filter
+      // here keeps every consumer's subtree identical.
+      .filter(col("pk").isNotNull)
       // explicit hash repartition BEFORE the aggregate, for two
       // independent scale reasons: (1) the partial collect_set would
       // otherwise run on the SCAN partitions — a low-split input (the
@@ -1651,12 +1677,41 @@ object AnalyticsQueries {
       // funnel the n²-per-basket pair EXPLOSION downstream onto 1–2
       // post-shuffle partitions (measured both ways at sf0.1:
       // 2.2→5.9 s walls). EnsureRequirements sees hash(ok) already
-      // satisfied, so the aggregate adds no second exchange — one
-      // shuffle total, and it carries rows, not baskets.
+      // satisfied, so downstream aggregates add no second exchange.
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
         col("ok"))
+
+  /** Distinct orders containing each part, computed on [[incidence]]
+    * DIRECTLY — never by exploding the basket arrays back out. Two
+    * r11 stage-profile findings drive this shape: (a) a consumer that
+    * explodes `baskets` re-runs the whole collect_set build, because
+    * AQE stage reuse cannot unify an exchange subtree with a sibling
+    * that already holds the inner original (the ReusedExchange-nesting
+    * limitation); (b) none of it is needed — hash(ok) satisfies the
+    * (ok, pk) clustering, so the dedup aggregate sits directly on the
+    * shared incidence exchange with no new shuffle, and only the
+    * catalog-sized count crosses the one small pk exchange.
+    */
+  private def partOrderCounts(s: SparkSession, d: String): DataFrame =
+    incidence(s, d)
+      .dropDuplicates("ok", "pk")
+      .groupBy("pk").agg(count(lit(1)).as("n"))
+
+  /** Per-order distinct-part basket arrays over [[incidence]], with a
+    * round-robin barrier ABOVE the aggregate: (1) the barrier exchange
+    * is what pair-stage consumers read, so the collect_set build runs
+    * once per query even when the plan holds several pair branches;
+    * (2) round-robin spreads the n²-per-basket pair explosion evenly
+    * regardless of how AQE coalesced the agg read side. The group key
+    * is pruned below the barrier — no caller reads `ok`, and arrays
+    * ship ~half the bytes without it.
+    */
+  private def baskets(s: SparkSession, d: String): DataFrame =
+    incidence(s, d)
       .groupBy(col("ok"))
-      .agg(collect_set(col("l_partkey")).as("parts"))
+      .agg(collect_set(col("pk")).as("parts"))
+      .select(col("parts"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
 
   private def pairsFromBaskets(b: DataFrame): DataFrame =
     // native pair generator — the nested transform/filter HOF form it
