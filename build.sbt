@@ -30,7 +30,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 GiB default on a 128 GiB box: local[32] runs 32 executor task
+  // threads in ONE heap, and the typed-aggregate states that r11 moved
+  // onto the hash path (ObjectHashAggregate fallback raised from 128
+  // keys — Bench.scala) legitimately hold per-group object state that
+  // 8 GiB could not: the sf10 containment leg's per-doc gram lists are
+  // ~5 GiB across 32 concurrent tasks and OOM'd the old default (the
+  // downstream prefix-filter zip needs those arrays in memory anyway,
+  // so the old sort-fallback only deferred the footprint, not removed
+  // it). Per-executor heap on a real cluster is the analogous knob.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   // Bench-stall forensics (VERDICT r1): every forked JVM logs GC +
   // safepoint pauses so a wall-time spike can be attributed (or not)
   // to the collector. %p = pid, so concurrent forks don't clobber.

@@ -359,20 +359,18 @@ object Bench {
       // memory over the longest suite run. Harness-session scope
       // only — the library never mutates a caller's session.
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
-      // ObjectHashAggregateExec (every TypedImperativeAggregate:
-      // collect_set baskets, top-k heaps, HLL/CMS sketches) falls back
-      // to SORT-BASED aggregation after 128 distinct keys per task —
-      // a full external sort of the input plus per-row buffer
-      // (de)serialization, measured 2.6× on the basket-array build
-      // (6.7 s → 2.5 s, BASELINE §16.4). 128 keys is a toy bound: the
-      // real memory cost is keys × state-size, and our typed states
-      // are small and bounded (heaps ≤ k, HLL 16 KB, baskets ≤ order
-      // size), so 4M keys ≈ ≤400 MB/task worst-case — and a key-COUNT
-      // bound never protected the one-giant-group case anyway. At
-      // cluster scale the same discipline that sizes any hash agg
-      // (shuffle.partitions × per-task keys) applies.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "4194304")
+      // NOTE (r11, measured both ways — BASELINE §17.1): raising
+      // spark.sql.objectHashAggregate.sortBased.fallbackThreshold from
+      // its 128-key default looked like a free 2.6× on the typed-
+      // aggregate apply stages at close scale (collect_set baskets:
+      // 6.7 s → 2.5 s), but at the ×100 leg the hash path's per-group
+      // OBJECT states thrash the collector (q_item_sim 64.9 → 104.8 s
+      // with 605 s of GC even in a 32 GiB heap; containment 23 → 32 s)
+      // where the sort fallback streams ONE state at a time. The
+      // default is kept: no key-count threshold separates the two
+      // regimes, and the structural fix (compute each typed aggregate
+      // ONCE — see AnalyticsQueries.baskets) captures most of the win
+      // at every scale.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkLogs.quietIterativeCleanup()
@@ -458,8 +456,6 @@ object Bench {
           .config("spark.ui.enabled", "false")
           .config("spark.sql.streaming.stateStore.maintenanceInterval",
             "3600s")
-          .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-            "4194304")
           .getOrCreate()
         cs.sparkContext.setLogLevel("WARN")
         val cl = new MetricsListener

@@ -29,11 +29,6 @@ object Verify {
       // and the default tick's provider-snapshot cost lands on whatever
       // query is running (see Bench.scala for the measurement)
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
-      // keep TypedImperativeAggregates on the hash path (the default
-      // 128-key sort fallback is a 2.6× tax on basket/sketch apply
-      // stages — see Bench.scala for the measurement and sizing note)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "4194304")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkLogs.quietIterativeCleanup()

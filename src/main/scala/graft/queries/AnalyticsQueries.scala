@@ -488,15 +488,30 @@ object AnalyticsQueries {
     * Unstable string forms are pinned upstream: the timestamp is
     * profiled as DATE, the double pre-rounded.
     */
-  def profileTable(s: SparkSession, d: String): DataFrame =
+  def profileTable(s: SparkSession, d: String): DataFrame = {
+    // spread the exact-distinct ×7 Expand ONLY for a single-split
+    // scan: the one-file testdata gives orders one split and the
+    // Expand+partial-agg then run on one task (2.5 s vs ~0.7 s spread
+    // at sf0.1). The guard is deliberately the DEGENERATE case only —
+    // measured at the ×100 leg, re-shuffling the full 15 M-row table
+    // lost every time (unconditional: 13.5 → 44 s; even at 4 splits
+    // vs width 32 the shuffle cost 13.5 → 20 s, both BASELINE §17.4):
+    // with ≥2 splits the partial aggregates already parallelize the
+    // heavy part and the exchange buys nothing back.
+    val base0 = Tables.orders(s, d)
+    val base =
+      if (base0.rdd.getNumPartitions > 1) base0
+      else base0.repartition(
+        s.conf.get("spark.sql.shuffle.partitions").toInt)
     graft.ops.Profile.profile(
-      Tables.orders(s, d)
+      base
         .withColumn("o_orderdate", col("o_orderdate").cast("date"))
         .withColumn("o_totalprice", round(col("o_totalprice"), 2)),
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority"),
       exactDistinct = true)
       .orderBy("col_name")
+  }
 
   /** Declarative data-quality suite ([[graft.ops.Profile.checks]] +
     * [[graft.ops.Profile.fkViolations]]): domain, range, completeness
@@ -599,19 +614,15 @@ object AnalyticsQueries {
     val perPart = partOrderCounts(s, d)
       .select(col("pk"), col("n").as("n_part"))
     val bk = baskets(s, d)
-    // one row per basket, counted off the materialized barrier — a
-    // ~zero-cost read of an exchange the pair branch pays for anyway.
-    // The counted expression must be NULLABLE and reference `parts`,
-    // or the optimizer rewrites it to count(1) (count of a
-    // non-nullable column — collect_set never yields null — folds),
-    // prunes the array, and collapses this branch into its own
-    // distinct-on-ok pipeline below the barrier: a second full
-    // scan+shuffle of lineitem for one scalar (measured: the 3.3 MB
-    // twin scan stage in the r11 profile). `when` without `otherwise`
-    // is nullable by construction and always-true here, so the value
-    // is exactly the basket count.
-    val nOrders = bk.agg(
-      count(when(size(col("parts")) >= 0, 1)).as("n_orders"))
+    // one scalar: the distinct-order count. Deliberately NOT counted
+    // off `bk` — any reference to the basket arrays would make this a
+    // second consumer of the collect_set aggregate and re-run it in
+    // full (no exchange sits above the agg to reuse). Column pruning
+    // turns this branch into its own ok-only pipeline below the scan;
+    // that narrow scan+exchange is far cheaper than a duplicate
+    // object aggregate at every measured scale.
+    val nOrders = incidence(s, d).select("ok").dropDuplicates("ok")
+      .agg(count(lit(1)).as("n_orders"))
     val pairs = pairsFromBaskets(bk)
       .filter(col("part_a") < col("part_b"))
       .groupBy("part_a", "part_b")
@@ -1697,21 +1708,22 @@ object AnalyticsQueries {
       .dropDuplicates("ok", "pk")
       .groupBy("pk").agg(count(lit(1)).as("n"))
 
-  /** Per-order distinct-part basket arrays over [[incidence]], with a
-    * round-robin barrier ABOVE the aggregate: (1) the barrier exchange
-    * is what pair-stage consumers read, so the collect_set build runs
-    * once per query even when the plan holds several pair branches;
-    * (2) round-robin spreads the n²-per-basket pair explosion evenly
-    * regardless of how AQE coalesced the agg read side. The group key
-    * is pruned below the barrier — no caller reads `ok`, and arrays
-    * ship ~half the bytes without it.
+  /** Per-order distinct-part basket arrays over [[incidence]]. With
+    * the counts derived from [[partOrderCounts]] instead of exploding
+    * these arrays back out, the PAIR branch is the only consumer of
+    * this aggregate in every caller, so the collect_set build runs
+    * once per query with no barrier. (A round-robin barrier above the
+    * aggregate was tried and REVERTED, r11: it deduplicated the agg
+    * when several branches consumed it, but its deterministic
+    * pre-repartition sort + write/read of the full array relation
+    * cost q_assortativity +21 s wall at the ×100 leg — more than the
+    * duplicate agg ever did. BASELINE §17.2 has both measurements.)
     */
   private def baskets(s: SparkSession, d: String): DataFrame =
     incidence(s, d)
       .groupBy(col("ok"))
       .agg(collect_set(col("pk")).as("parts"))
       .select(col("parts"))
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
 
   private def pairsFromBaskets(b: DataFrame): DataFrame =
     // native pair generator — the nested transform/filter HOF form it
