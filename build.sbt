@@ -18,6 +18,17 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
+// MemTotal in KiB from /proc/meminfo; 0 when unreadable (non-Linux) —
+// which falls through to the conservative 8g default below.
+val hostMemKiB: Long =
+  try {
+    val src = scala.io.Source.fromFile("/proc/meminfo")
+    try src.getLines().find(_.startsWith("MemTotal"))
+      .map(_.replaceAll("[^0-9]", "").toLong).getOrElse(0L)
+    finally src.close()
+  } catch { case _: Throwable => 0L }
+val defaultHeap: String =
+  if (hostMemKiB >= 64L * 1024 * 1024) "32g" else "8g"
 val jdk17AddOpens = Seq(
   "java.base/java.lang", "java.base/java.lang.invoke",
   "java.base/java.lang.reflect", "java.base/java.io",
@@ -30,16 +41,18 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 32 GiB default on a 128 GiB box: local[32] runs 32 executor task
-  // threads in ONE heap, and the typed-aggregate states that r11 moved
-  // onto the hash path (ObjectHashAggregate fallback raised from 128
-  // keys — Bench.scala) legitimately hold per-group object state that
-  // 8 GiB could not: the sf10 containment leg's per-doc gram lists are
-  // ~5 GiB across 32 concurrent tasks and OOM'd the old default (the
-  // downstream prefix-filter zip needs those arrays in memory anyway,
-  // so the old sort-fallback only deferred the footprint, not removed
-  // it). Per-executor heap on a real cluster is the analogous knob.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Heap default scales to the HOST (ADVICE r11): 32 GiB on a
+  // ≥64 GiB box — local[32] runs 32 executor task threads in ONE
+  // heap, and the sf10 containment leg's per-doc gram lists are
+  // ~5 GiB across 32 concurrent tasks, which OOM'd the old 8 GiB
+  // default (the downstream prefix-filter zip needs those arrays in
+  // memory anyway, so a sort-fallback only defers the footprint) —
+  // but a blind 32g would fail JVM startup (or swap) on smaller
+  // hosts, so below 64 GiB the old run-anywhere 8g returns. Override
+  // either way with SPARK_DRIVER_MEM (e.g. `SPARK_DRIVER_MEM=24g sbt
+  // "runMain graft.Bench"`). Per-executor heap on a real cluster is
+  // the analogous knob.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
   // Bench-stall forensics (VERDICT r1): every forked JVM logs GC +
   // safepoint pauses so a wall-time spike can be attributed (or not)
   // to the collector. %p = pid, so concurrent forks don't clobber.

@@ -56,6 +56,26 @@ object Bench {
   final class MetricsListener extends SparkListener {
     val runMs = new LongAdder; val cpuNs = new LongAdder
     val gcMs = new LongAdder; val tasks = new LongAdder
+    // Variance-attribution evidence (VERDICT r11 #2): the sf10
+    // q_item_sim walls swung 47.7–136 s on identical config with
+    // cpu_ms itself tripling, and "external host load" could not be
+    // distinguished from a real mechanism (stage retries re-running
+    // work, memory pressure forcing spills + re-reads) because the
+    // detail JSON carried neither. These five counters settle it per
+    // query: a quiet run shows zero retries/failures and stable spill;
+    // a host-load run shows the SAME zeros with only wall inflated; a
+    // memory-pressure run shows spill growth; a retry storm shows
+    // retried>0 with run_ms inflated by the re-executed tasks.
+    val spillMemB = new LongAdder; val spillDiskB = new LongAdder
+    val shufReadB = new LongAdder; val shufWriteB = new LongAdder
+    val retried = new LongAdder // speculative/retried task attempts
+    val failed = new LongAdder  // tasks ending in a non-success reason
+    // whole-stage resubmissions (fetch failure): their tasks run at
+    // attemptNumber 0, so the task counter alone would miss them
+    val stageRetries = new LongAdder
+    override def onStageSubmitted(
+        s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+      if (s.stageInfo.attemptNumber > 0) stageRetries.increment()
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
@@ -63,10 +83,21 @@ object Bench {
         cpuNs.add(m.executorCpuTime)
         gcMs.add(m.jvmGCTime)
         tasks.increment()
+        spillMemB.add(m.memoryBytesSpilled)
+        spillDiskB.add(m.diskBytesSpilled)
+        shufReadB.add(m.shuffleReadMetrics.totalBytesRead)
+        shufWriteB.add(m.shuffleWriteMetrics.bytesWritten)
+      }
+      if (t.taskInfo != null) {
+        if (t.taskInfo.attemptNumber > 0) retried.increment()
+        if (!t.taskInfo.successful) failed.increment()
       }
     }
     def snap: Array[Long] =
-      Array(runMs.sum, cpuNs.sum / 1000000L, gcMs.sum, tasks.sum)
+      Array(runMs.sum, cpuNs.sum / 1000000L, gcMs.sum, tasks.sum,
+        spillMemB.sum >> 20, spillDiskB.sum >> 20,
+        shufReadB.sum >> 20, shufWriteB.sum >> 20,
+        retried.sum, failed.sum, stageRetries.sum)
   }
 
   /** `codegenN` / `jitMs`: per-iteration deltas of the whole-stage-
@@ -241,11 +272,21 @@ object Bench {
       // reading the wall array for stall forensics
       val ok = r.okFlags.mkString("[", ",", "]")
       val errPart = r.err.map(m => s""","err":${jsonStr(m)}""").getOrElse("")
+      // evidence fields ride only when the listener supplied them —
+      // length-safe so spec-built 4-element metric arrays stay valid
+      val evidence = if (r.metrics.length > 10)
+        s""","spill_mem_mb":${r.metrics(4)},""" +
+        s""""spill_disk_mb":${r.metrics(5)},""" +
+        s""""shuf_read_mb":${r.metrics(6)},""" +
+        s""""shuf_write_mb":${r.metrics(7)},""" +
+        s""""retried":${r.metrics(8)},"failed":${r.metrics(9)},""" +
+        s""""stage_retries":${r.metrics(10)}"""
+      else ""
       s"${jsonStr(k)}:{" +
         s""""best":${jsonNum(r.best)},"wall":$walls,"ok":$ok,""" +
         s""""run_ms":${r.metrics(0)},""" +
         s""""cpu_ms":${r.metrics(1)},"gc_ms":${r.metrics(2)},""" +
-        s""""tasks":${r.metrics(3)},""" +
+        s""""tasks":${r.metrics(3)}$evidence,""" +
         s""""codegen_n":$cg,"jit_ms":$jit$errPart}"""
     }.mkString("{", ",", "}")
     val errPart =
@@ -337,7 +378,16 @@ object Bench {
     // sf1 probe runs with partitions sized to the data, not the box,
     // exactly as a real deployment would
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
+    // State-store A/B knob (VERDICT r11 #5): `rocksdb` swaps every
+    // stateful streaming query onto the disk-backed RocksDB provider so
+    // the q_stream_* rows can be cost-attributed against the default
+    // HDFS-backed in-memory store at the ×100 leg. Unset = default.
+    val stateStore = sys.env.get("SPARK_GRAFT_STATESTORE") match {
+      case Some("rocksdb") => Some("org.apache.spark.sql.execution." +
+        "streaming.state.RocksDBStateStoreProvider")
+      case _ => None
+    }
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
@@ -371,6 +421,8 @@ object Bench {
       // regimes, and the structural fix (compute each typed aggregate
       // ONCE — see AnalyticsQueries.baskets) captures most of the win
       // at every scale.
+    val spark = stateStore.fold(builder0)(p =>
+        builder0.config("spark.sql.streaming.stateStore.providerClass", p))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkLogs.quietIterativeCleanup()

@@ -262,6 +262,7 @@ object SparkEntry {
     "q_burstiness"     -> (AnalyticsQueries.burstiness _),
     "q_gap_stats"      -> (AnalyticsQueries.gapStats _),
     "q_item_sim"       -> (AnalyticsQueries.itemSim _),
+    "q_item_sim_bucketed" -> (AnalyticsQueries.itemSimBucketed _),
     "q_communities"    -> (TrainingQueries.communities _),
     "q_hop_dist"       -> (AnalyticsQueries.hopDist _),
     "q_target_encode"  -> (TrainingQueries.targetEncode _),
@@ -279,6 +280,38 @@ object SparkEntry {
   /** DuckDB oracles — same column names, same total ORDER BY, same
     * rounding as the Spark plans (hash compare is exact).
     */
+  /** Shared by q_item_sim and q_item_sim_bucketed — identical
+    * semantics, different physical join strategy (broadcast vs
+    * co-partitioned shuffle-hash; see
+    * [[graft.queries.AnalyticsQueries.itemSimBucketed]]).
+    */
+  private val itemSimOracle: String =
+    """WITH li AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem),
+      |pp AS MATERIALIZED (SELECT pk, count(*) AS n FROM li GROUP BY 1),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_pair
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+      |  GROUP BY 1, 2),
+      |j1 AS MATERIALIZED (
+      |  SELECT pairs.*, pp.n AS n_a
+      |  FROM pairs JOIN pp ON pp.pk = pairs.part_a),
+      |j2 AS MATERIALIZED (
+      |  SELECT j1.*, pp.n AS n_b
+      |  FROM j1 JOIN pp ON pp.pk = j1.part_b),
+      |sim AS (
+      |  SELECT part_a, part_b,
+      |    n_pair / sqrt(CAST(n_a * n_b AS DOUBLE)) AS cos
+      |  FROM j2),
+      |r AS (
+      |  SELECT part_a, part_b, cos, row_number() OVER (
+      |    PARTITION BY part_a ORDER BY cos DESC, part_b) AS rn
+      |  FROM sim)
+      |SELECT part_a AS part, CAST(rn AS BIGINT) AS rank,
+      |  part_b AS neighbor, round(cos, 6) AS cosine
+      |FROM r WHERE rn <= 3 ORDER BY part, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_agg_sum" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
@@ -3150,32 +3183,12 @@ object SparkEntry {
     // Sequential single-key joins behind barriers are
     // order-deterministic; verified value-identical tri-SF, 17 s at
     // sf1 (600k output rows).
-    "q_item_sim" ->
-      """WITH li AS MATERIALIZED (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |  FROM lineitem),
-        |pp AS MATERIALIZED (SELECT pk, count(*) AS n FROM li GROUP BY 1),
-        |pairs AS MATERIALIZED (
-        |  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_pair
-        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
-        |  GROUP BY 1, 2),
-        |j1 AS MATERIALIZED (
-        |  SELECT pairs.*, pp.n AS n_a
-        |  FROM pairs JOIN pp ON pp.pk = pairs.part_a),
-        |j2 AS MATERIALIZED (
-        |  SELECT j1.*, pp.n AS n_b
-        |  FROM j1 JOIN pp ON pp.pk = j1.part_b),
-        |sim AS (
-        |  SELECT part_a, part_b,
-        |    n_pair / sqrt(CAST(n_a * n_b AS DOUBLE)) AS cos
-        |  FROM j2),
-        |r AS (
-        |  SELECT part_a, part_b, cos, row_number() OVER (
-        |    PARTITION BY part_a ORDER BY cos DESC, part_b) AS rn
-        |  FROM sim)
-        |SELECT part_a AS part, CAST(rn AS BIGINT) AS rank,
-        |  part_b AS neighbor, round(cos, 6) AS cosine
-        |FROM r WHERE rn <= 3 ORDER BY part, rank""".stripMargin,
+    // The bucketed form is the SAME function of the data (only the
+    // physical join strategy differs), so it shares q_item_sim's
+    // oracle verbatim — one relational truth, two physical plans, both
+    // hash-gated.
+    "q_item_sim_bucketed" -> itemSimOracle,
+    "q_item_sim" -> itemSimOracle,
     "q_communities" ->
       // the 4 deterministic LPA rounds unrolled as CTEs: each round
       // re-derives every node's argmax-weight neighbor label (ties to

@@ -27,11 +27,30 @@ import org.apache.logging.log4j.core.filter.RegexFilter
   * future deprecations) still reaches the driver logs.
   */
 object SparkLogs {
-  def quietIterativeCleanup(): Unit =
+  def quietIterativeCleanup(): Unit = {
+    addDenyFilter(".*locally checkpointed.*")
+    // WindowExec warns "No Partition Defined for Window operation!
+    // ... Moving all data to a single partition" on EVERY unpartitioned
+    // window — including the suite's deliberate ones, which are all
+    // either value-domain-sized (skewReport / intervalOverlapCount
+    // count-of-counts spines) or post-reduction (top-k over an already
+    // aggregated relation), each plan-gated by ScaleSpec's reduced-
+    // input assertions. ~60 repeats of the same warning walled the
+    // bench tail and buried real warnings (VERDICT r11 #7). Message-
+    // targeted like the filter above: a NEW unpartitioned window a
+    // regression introduces still fails ScaleSpec, and every other
+    // WARN from the window package still reaches the logs.
+    addDenyFilter(".*No Partition Defined for Window operation.*")
+  }
+
+  /** Root-logger message-targeted DENY — never level- or
+    * package-scoped, so only the exact known-benign message drops.
+    */
+  private def addDenyFilter(pattern: String): Unit =
     LogManager.getContext(false) match {
       case ctx: LoggerContext =>
         val filter = RegexFilter.createFilter(
-          ".*locally checkpointed.*", null, java.lang.Boolean.FALSE,
+          pattern, null, java.lang.Boolean.FALSE,
           Filter.Result.DENY, Filter.Result.NEUTRAL)
         ctx.getConfiguration.getRootLogger.addFilter(filter)
         ctx.updateLoggers()

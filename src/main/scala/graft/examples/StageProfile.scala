@@ -73,12 +73,14 @@ object StageProfile {
       spark.sparkContext.addSparkListener(lst)
       val t0 = System.nanoTime()
       drive()
-      val n = 0L
       val wall = (System.nanoTime() - t0) / 1e9
       // listener bus is async; give it a beat before reading
       Thread.sleep(1500)
       spark.sparkContext.removeSparkListener(lst)
-      println(f"== $name%s wall=$wall%.2fs rows=$n%d stages=${lst.rows.size}%d")
+      // no rows field: the noop sink discards output executor-side, so
+      // an output-row count here would always be a misleading 0
+      // (ADVICE r11); per-stage recordsRead below carries the volumes
+      println(f"== $name%s wall=$wall%.2fs stages=${lst.rows.size}%d")
       for (r <- lst.rows.sortBy(-_.runMs))
         println(f"  run=${r.runMs}%6dms cpu=${r.cpuMs}%6dms tasks=${r.tasks}%3d " +
           f"sr=${r.shuffleReadMb}%7.1fMB sw=${r.shuffleWriteMb}%7.1fMB " +

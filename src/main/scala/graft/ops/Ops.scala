@@ -310,10 +310,24 @@ object Ops {
     * (domain-sized table). Requires integer endpoints over a bounded
     * domain; for unbounded/continuous domains, quantize first (the
     * equi-depth route), trading exactness at bin edges.
+    *
+    * `maxDomain` is the GUARD on that requirement (VERDICT r11 #6): a
+    * caller handing µs-epoch endpoints would silently ask for a
+    * multi-trillion-row spine — the explode would OOM an executor long
+    * before any wrong answer surfaced, but the failure would read as a
+    * memory bug, not a contract violation. The guard is embedded IN
+    * the plan (`raise_error` on the bounds row), so constructing the
+    * query stays job-free and the violation reports at execution with
+    * the actual width and the quantize-first remedy. The 2^22 default
+    * (~4.2M values) keeps the spine's single-partition cumulative
+    * window comfortably in one task's memory (two longs per value,
+    * ~100 MB) — day grains (10^4), ports (2^16), price cents (10^6)
+    * all pass; epoch-µs domains fail fast by design.
     */
   def intervalOverlapCount(left: DataFrame, right: DataFrame,
                            lLo: String, lHi: String,
-                           rLo: String, rHi: String): DataFrame = {
+                           rLo: String, rHi: String,
+                           maxDomain: Long = 1L << 22): DataFrame = {
     require(left.columns.intersect(right.columns).isEmpty,
       "intervalOverlapCount: column names collide across sides — alias first")
     // value spine covering every endpoint either side can query
@@ -321,7 +335,16 @@ object Ops {
       .crossJoin(right.agg(min(col(rLo)).as("__rlo"), max(col(rHi)).as("__rhi")))
       .select(least(col("__llo"), col("__rlo")).as("__lo"),
         greatest(col("__lhi"), col("__rhi")).as("__hi"))
-    val spine = bounds.select(
+    val guarded = bounds.select(
+      when(col("__hi") - col("__lo") < lit(maxDomain), col("__lo"))
+        .otherwise(raise_error(concat(
+          lit("intervalOverlapCount: endpoint domain width "),
+          (col("__hi") - col("__lo") + 1).cast("string"),
+          lit(s" exceeds maxDomain=$maxDomain — the value spine would " +
+            "not fit an executor; quantize the endpoints to a coarser " +
+            "grain first (see scaladoc)")))).as("__lo"),
+      col("__hi"))
+    val spine = guarded.select(
       explode(sequence(col("__lo"), col("__hi"))).as("__v"))
     // per-value endpoint histograms: starts at v, ends BEFORE v (shift
     // r.hi by +1 so "r.hi < v" becomes an inclusive prefix sum at v)

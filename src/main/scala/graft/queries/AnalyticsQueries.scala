@@ -489,7 +489,7 @@ object AnalyticsQueries {
     * profiled as DATE, the double pre-rounded.
     */
   def profileTable(s: SparkSession, d: String): DataFrame = {
-    // spread the exact-distinct ×7 Expand ONLY for a single-split
+    // spread the exact-distinct ×7 Expand ONLY for a single-FILE
     // scan: the one-file testdata gives orders one split and the
     // Expand+partial-agg then run on one task (2.5 s vs ~0.7 s spread
     // at sf0.1). The guard is deliberately the DEGENERATE case only —
@@ -497,10 +497,20 @@ object AnalyticsQueries {
     // lost every time (unconditional: 13.5 → 44 s; even at 4 splits
     // vs width 32 the shuffle cost 13.5 → 20 s, both BASELINE §17.4):
     // with ≥2 splits the partial aggregates already parallelize the
-    // heavy part and the exchange buys nothing back.
+    // heavy part and the exchange buys nothing back. Gated on the
+    // FILE listing, not rdd.getNumPartitions (ADVICE r11): the RDD
+    // probe instantiated the physical plan at query-CONSTRUCTION time
+    // and made the plan shape depend on runtime split state
+    // (maxPartitionBytes), so "the same query" could plan differently
+    // across environments. The file count is already in the logical
+    // plan's file index — no job, no split-state dependence. Trade:
+    // a single MULTI-row-group file now takes the repartition path
+    // where splits would have parallelized it anyway (measured cost
+    // of that path at ×100: 13.5 → 20 s — §17.4) — acceptable for a
+    // guard that only exists for pathological single-file layouts.
     val base0 = Tables.orders(s, d)
     val base =
-      if (base0.rdd.getNumPartitions > 1) base0
+      if (base0.inputFiles.length > 1) base0
       else base0.repartition(
         s.conf.get("spark.sql.shuffle.partitions").toInt)
     graft.ops.Profile.profile(
@@ -617,11 +627,17 @@ object AnalyticsQueries {
     // one scalar: the distinct-order count. Deliberately NOT counted
     // off `bk` — any reference to the basket arrays would make this a
     // second consumer of the collect_set aggregate and re-run it in
-    // full (no exchange sits above the agg to reuse). Column pruning
-    // turns this branch into its own ok-only pipeline below the scan;
-    // that narrow scan+exchange is far cheaper than a duplicate
-    // object aggregate at every measured scale.
-    val nOrders = incidence(s, d).select("ok").dropDuplicates("ok")
+    // full (no exchange sits above the agg to reuse). Counted off RAW
+    // lineitem, not [[incidence]] (ADVICE r11): incidence filters
+    // pk.isNotNull, which silently drops orders whose every line has
+    // a null part key from the lift DENOMINATOR — the all-orders count
+    // is the population size, empty baskets included, and the DuckDB
+    // oracle counts it the same way. The branch was never a consumer
+    // of the shared exchange anyway (column pruning makes it its own
+    // ok-only pipeline below the scan; no pk ⇒ no use for the filter),
+    // so the shape and cost are unchanged on null-free data.
+    val nOrders = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok")).dropDuplicates("ok")
       .agg(count(lit(1)).as("n_orders"))
     val pairs = pairsFromBaskets(bk)
       .filter(col("part_a") < col("part_b"))
@@ -690,6 +706,59 @@ object AnalyticsQueries {
         col("n").as("n_a"))), "part_a")
       .join(broadcast(perPart.select(col("pk").as("part_b"),
         col("n").as("n_b"))), "part_b")
+      .withColumn("cos", col("n_pair") / sqrt(col("n_a") * col("n_b")))
+    sim.groupBy("part_a")
+      .agg(SketchAggregates.top_k_pairs(col("cos"), col("part_b"), 3)
+        .as("top"))
+      .select(col("part_a"), posexplode(col("top")))
+      .select(col("part_a").as("part"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor"),
+        round(col("col.score"), 6).as("cosine"))
+      .orderBy("part", "rank")
+  }
+
+  /** [[itemSim]] past the broadcast cliff (VERDICT r11 #3): identical
+    * semantics, zero broadcast dependence — the form for catalogs
+    * beyond ~10⁷ items, where the per-item count table no longer fits
+    * a broadcast but the interaction-sized pair relation must STILL
+    * never be sorted (the auto-planned SortMergeJoins sorted it twice
+    * at the ×100 leg: ×46 run_ms per data ×10 — §17.2).
+    *
+    * Both count probes are SHUFFLED HASH joins co-partitioned by the
+    * item key: each side is explicitly hash-repartitioned on the join
+    * key (the dynamic equivalent of a bucketed layout — a standing
+    * deployment would persist perPart via [[graft.io.Bucketing]] and
+    * skip its exchange entirely), and the build side is the
+    * CATALOG-sized count relation, so per-partition build memory is
+    * |items|/numPartitions — bounded by width, not data. The pair
+    * relation crosses three linear exchanges (aggregate, hash(b),
+    * hash(a)) and is never sorted; the hash(part_a) exchange under the
+    * second probe also satisfies the final per-item top-k groupBy, so
+    * that aggregate adds no fourth. Costs ONE interaction-sized
+    * exchange over the broadcast form — the price of dropping the
+    * broadcast bound; plan-gated in AnalyticsSpec (no BroadcastHashJoin,
+    * no SortMergeJoin, two ShuffledHashJoins).
+    */
+  def itemSimBucketed(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchAggregates
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val perPart = partOrderCounts(s, d)
+    val pairs = pairsFromBaskets(baskets(s, d))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_pair"))
+    // explicit width pins on every exchange, same rationale as
+    // [[itemSim]]: AQE sizes the pair shuffle by BYTES and would
+    // funnel the probe + top-k work onto 1-2 read partitions
+    val nB = perPart.select(col("pk").as("part_b"), col("n").as("n_b"))
+      .repartition(parts, col("part_b"))
+    val nA = perPart.select(col("pk").as("part_a"), col("n").as("n_a"))
+      .repartition(parts, col("part_a"))
+    val sim = pairs
+      .repartition(parts, col("part_b"))
+      .join(nB.hint("shuffle_hash"), "part_b")
+      .repartition(parts, col("part_a"))
+      .join(nA.hint("shuffle_hash"), "part_a")
       .withColumn("cos", col("n_pair") / sqrt(col("n_a") * col("n_b")))
     sim.groupBy("part_a")
       .agg(SketchAggregates.top_k_pairs(col("cos"), col("part_b"), 3)

@@ -477,6 +477,55 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(6L) === 0L, "zero-overlap left must appear with count 0")
   }
 
+  test("basket lift denominator counts orders with only-null part keys") {
+    // ADVICE r11 semantics pin: an order whose EVERY lineitem has a
+    // null l_partkey is an empty basket — it contributes no pairs and
+    // no per-part counts, but it IS an order, so it belongs in the
+    // lift denominator (and the DuckDB oracle's count(DISTINCT ok)
+    // includes it). The pre-fix form counted orders off the null-
+    // filtered incidence and silently shrank the population.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullpk_")
+      .toString
+    // orders 1 and 2 share parts {100,200}; order 3 is all-null-pk
+    Seq((1L, Option(100L)), (1L, Option(200L)),
+        (2L, Option(100L)), (2L, Option(200L)),
+        (3L, Option.empty[Long]))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = AnalyticsQueries.basket(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // pair (100,200): n_pair=2, n_a=n_b=2, n_orders=3 (empty basket
+    // counted) -> lift = 2*3/(2*2) = 1.5; the pre-fix denominator 2
+    // would have read 1.0
+    assert(rows.toSeq === Seq((100L, 200L, 2L, 1.5)))
+  }
+
+  test("interval overlap count: wide-domain input fails fast at execution") {
+    import spark.implicits._
+    // µs-epoch-grain endpoints (the VERDICT r11 #6 hazard): the value
+    // spine would need ~10^15 rows. The guard must (a) not fire at
+    // CONSTRUCTION (plan-embedded, job-free), (b) fail the EXECUTION
+    // with the contract message, never an OOM
+    val ls = Seq((1L, 0L, 1_000_000_000_000_000L)).toDF("l_id", "l_lo", "l_hi")
+    val rs = Seq((10L, 5L, 9L)).toDF("r_id", "r_lo", "r_hi")
+    val df = graft.ops.Ops.intervalOverlapCount(ls, rs,
+      "l_lo", "l_hi", "r_lo", "r_hi") // construction: no job, no throw
+    val e = intercept[Exception](df.collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("exceeds maxDomain") &&
+      m.contains("quantize")), msgs(e).mkString(" | "))
+    // width exactly at the bound still runs (closed-interval count:
+    // maxDomain VALUES is the largest admissible spine)
+    val ok = graft.ops.Ops.intervalOverlapCount(
+      Seq((1L, 0L, 99L)).toDF("l_id", "l_lo", "l_hi"), rs,
+      "l_lo", "l_hi", "r_lo", "r_hi", maxDomain = 100L)
+      .select("l_id", "n_overlap").collect()
+    assert(ok.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 1L)))
+  }
+
   test("profile: exact and approx variants agree on structure") {
     val exact = graft.ops.Profile.profile(
       graft.io.Tables.orders(spark, sfDir), Seq("o_orderkey", "o_orderstatus"),
@@ -828,6 +877,23 @@ class AnalyticsSpec extends SparkSpec {
       assert(cos.zip(cos.tail).forall { case (a, b) => b <= a })
       assert(!byRank.map(_.getLong(2)).contains(part), "self-neighbor")
     }
+  }
+
+  test("item sim bucketed: exact match to broadcast form, plan shuffle-hash") {
+    // VERDICT r11 #3 done-criteria: the past-broadcast-cliff form must
+    // (a) compute the identical result, (b) carry NO broadcast
+    // dependence, and (c) never SORT the interaction-sized pair
+    // relation (the sf10 SortMergeJoin cliff: x46 run_ms per data x10)
+    val b = AnalyticsQueries.itemSimBucketed(spark, sfDir)
+    val plan = b.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("ShuffledHashJoin".r.findAllIn(plan).length === 2, plan)
+    val got = b.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = AnalyticsQueries.itemSim(spark, sfDir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === want)
   }
 
   test("hop dist: seeds at 0, hops within bound, parts unique") {
