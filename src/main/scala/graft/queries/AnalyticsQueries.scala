@@ -673,6 +673,7 @@ object AnalyticsQueries {
     */
   def itemSim(s: SparkSession, d: String): DataFrame = {
     import graft.functions.SketchAggregates
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     // r7 (VERDICT item 5): pair occurrences come from basket arrays
     // ([[copurchasePairs]]) — one raw-lineitem shuffle and in-place
     // explosion replace the distinct + self-join + two join exchanges;
@@ -701,7 +702,8 @@ object AnalyticsQueries {
       // (measured: ×46 run_ms per data ×10 — n·log n sorts of the big
       // side, vs q_basket's ×11 linear). A part-count table broadcasts
       // fine well past 10⁷ items; beyond that the right form is
-      // bucketing both sides by item, not sorting interactions.
+      // [[itemSimBucketed]] — co-partitioned shuffle-hash probes, not
+      // sorted interactions.
       .join(broadcast(perPart.select(col("pk").as("part_a"),
         col("n").as("n_a"))), "part_a")
       .join(broadcast(perPart.select(col("pk").as("part_b"),
@@ -715,6 +717,17 @@ object AnalyticsQueries {
         (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("neighbor"),
         round(col("col.score"), 6).as("cosine"))
+      // materialization barrier BEFORE the presentation sort (r12
+      // stage forensics): a range-partitioned global sort SAMPLES its
+      // child to pick bounds, and that sample job RE-EXECUTES the
+      // child's lineage back to the last shuffle — here the count
+      // probes + top-k aggregate over the full pair relation, the
+      // query's most expensive map segment, ran twice (sf10: 975 s of
+      // the 3.2 M run_ms was the sample pass alone). One cheap
+      // round-robin exchange of the ≤3-rows-per-item RESULT (~90 MB
+      // at sf10 vs the 2 GB pair relation) cuts the sample's replay
+      // to a shuffle read.
+      .repartition(parts)
       .orderBy("part", "rank")
   }
 
@@ -768,6 +781,9 @@ object AnalyticsQueries {
         (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("neighbor"),
         round(col("col.score"), 6).as("cosine"))
+      // sample-replay barrier before the presentation sort — see the
+      // identical line in [[itemSim]]
+      .repartition(parts)
       .orderBy("part", "rank")
   }
 
