@@ -1079,8 +1079,8 @@ object SparkEntry {
         |FROM m ORDER BY doc_id""".stripMargin,
     "q_train_test_split" ->
       """SELECT doc_id,
-        | CAST((doc_id * 2654435761) % 4294967296 % 100 AS BIGINT) AS bucket,
-        | CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+        | CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100 AS BIGINT) AS bucket,
+        | CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100 < 90
         |   THEN 'train' ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
@@ -1251,9 +1251,9 @@ object SparkEntry {
       s"""WITH ${graft.queries.TrainingQueries.kmeansAssignSql(16)}
          |SELECT cell, vec_id, h FROM (
          |  SELECT a.cell, a.vec_id,
-         |    CAST((a.vec_id * 2654435761) % 4294967296 AS BIGINT) AS h,
+         |    CAST((CAST(a.vec_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS h,
          |    row_number() OVER (PARTITION BY a.cell
-         |      ORDER BY (a.vec_id * 2654435761) % 4294967296, a.vec_id)
+         |      ORDER BY (CAST(a.vec_id AS HUGEINT) * 2654435761) % 4294967296, a.vec_id)
          |      AS rn
          |  FROM assign a)
          |WHERE rn <= 3 ORDER BY cell, h, vec_id""".stripMargin,
@@ -1286,7 +1286,7 @@ object SparkEntry {
     "q_weighted_sample" ->
       """SELECT doc_id, n_chars, sample_key FROM (
         |  SELECT doc_id, n_chars,
-        |    round(ln((((doc_id * 2654435761) % 4294967296) + 0.5)
+        |    round(ln((((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) + 0.5)
         |      / 4294967296) / n_chars, 6) AS sample_key
         |  FROM documents WHERE n_chars > 0
         |  ORDER BY sample_key DESC, doc_id LIMIT 100)
@@ -1301,7 +1301,7 @@ object SparkEntry {
         |     for i in range(1, len(w) - 1)])) AS shingle
         |  FROM tok),
         |tagged AS (
-        |  SELECT doc_id, CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+        |  SELECT doc_id, CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100 < 90
         |    THEN 'train' ELSE 'test' END AS split FROM documents),
         |train_sh AS (
         |  SELECT DISTINCT shingle FROM sh JOIN tagged USING (doc_id)
@@ -2190,11 +2190,11 @@ object SparkEntry {
         |g AS (
         |  SELECT segment, count(*) AS n_cust,
         |    CAST(sum(cents) AS BIGINT) AS s0,
-        |    CAST(sum(CAST(i AS BIGINT) * cents) AS BIGINT) AS s1
+        |    sum(CAST(i AS BIGINT) * cents) AS s1
         |  FROM r GROUP BY 1)
         |SELECT segment, n_cust,
-        |  round(2.0 * s1 / n_cust / s0 - (n_cust + 1.0) / n_cust, 6)
-        |    AS gini
+        |  round(2.0 * CAST(s1 AS DOUBLE) / n_cust / s0
+        |    - (n_cust + 1.0) / n_cust, 6) AS gini
         |FROM g ORDER BY segment""".stripMargin,
     "q_benford" ->
       """WITH d AS (
@@ -3162,9 +3162,9 @@ object SparkEntry {
     "q_consistent_sample" ->
       """SELECT lang, doc_id, h FROM (
         |  SELECT lang, doc_id,
-        |    CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS h,
+        |    CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS h,
         |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        |      ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 5 ORDER BY lang, h, doc_id""".stripMargin,
     "q_kfold" ->
@@ -3173,7 +3173,7 @@ object SparkEntry {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM (
         |  SELECT doc_id, n_chars,
-        |    CAST((doc_id * 2654435761) % 4294967296 % 5 AS BIGINT)
+        |    CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 5 AS BIGINT)
         |      AS fold
         |  FROM documents)
         |GROUP BY 1 ORDER BY fold""".stripMargin,
@@ -3279,7 +3279,7 @@ object SparkEntry {
       """WITH li AS (
         |  SELECT o.o_orderpriority AS cat,
         |    CAST(l_returnflag = 'R' AS BIGINT) AS y,
-        |    CAST((l_orderkey * 8 + l_linenumber) * 2654435761
+        |    CAST(CAST(l_orderkey * 8 + l_linenumber AS HUGEINT) * 2654435761
         |      % 4294967296 % 5 AS BIGINT) AS fold
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
         |pf AS (

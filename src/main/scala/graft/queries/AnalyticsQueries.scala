@@ -1107,9 +1107,17 @@ object AnalyticsQueries {
     seg.withColumn("i", row_number().over(w))
       .groupBy("segment")
       .agg(count(lit(1)).as("n_cust"), sum("cents").as("s0"),
-        sum(col("i").cast("long") * col("cents")).as("s1"))
+        // DECIMAL(38,0), not LONG: each i·cents term fits a long, but
+        // the per-segment SUM reaches ~7·10¹⁹ at the ×100 leg — past
+        // Long.MaxValue, and under ansi=false the long sum WRAPS
+        // silently (found by the r12 sf10 oracle sweep: DuckDB's
+        // hugeint side errored honestly on the same cast). The exact
+        // decimal sum converts to double once, at the division — both
+        // engines round the same exact integer to the same double.
+        sum((col("i").cast("long") * col("cents"))
+          .cast("decimal(38,0)")).as("s1"))
       .select(col("segment"), col("n_cust"),
-        round(lit(2d) * col("s1") / col("n_cust") / col("s0")
+        round(lit(2d) * col("s1").cast("double") / col("n_cust") / col("s0")
           - (col("n_cust") + lit(1d)) / col("n_cust"), 6).as("gini"))
       .orderBy("segment")
   }

@@ -96,49 +96,71 @@ def main(argv):
     sf_dir, out_dir, artifact = argv[1], argv[2], argv[3]
     timeout = 600
     threads = os.cpu_count() or 8
+    jobs = 1
     if "--timeout" in argv:
         timeout = int(argv[argv.index("--timeout") + 1])
     if "--threads" in argv:
         threads = int(argv[argv.index("--threads") + 1])
+    if "--jobs" in argv:
+        jobs = int(argv[argv.index("--jobs") + 1])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results, n_pass, n_fail, n_skip = {}, 0, 0, 0
-    for name in sorted(oracle):
-        q = mp.Queue()
-        p = mp.Process(target=compare_one,
-                       args=(sf_dir, out_dir, name, oracle[name],
-                             threads, q))
-        p.start()
-        p.join(timeout)
-        if p.is_alive():
-            p.terminate()
-            p.join()
-            results[name] = {"skipped": "oracle_timeout",
-                             "timeout_sec": timeout}
-            n_skip += 1
-            print(f"SKIP {name}: oracle exceeded {timeout}s")
-            continue
-        try:
-            res = q.get_nowait()
-        except Exception:
+
+    def record(name, res, exitcode=None):
+        nonlocal n_pass, n_fail, n_skip
+        if res is None:
             results[name] = {"skipped": "oracle_crashed"}
             n_skip += 1
             print(f"SKIP {name}: oracle subprocess died "
-                  f"(exitcode {p.exitcode})")
-            continue
-        if "skipped" in res:
+                  f"(exitcode {exitcode})", flush=True)
+        elif "skipped" in res:
             results[name] = res
             n_skip += 1
-            print(f"SKIP {name}: {res['skipped']}")
+            print(f"SKIP {name}: {res['skipped']}", flush=True)
         elif res.get("hash_match"):
             results[name] = res
             n_pass += 1
-            print(f"PASS {name} ({res['spark_rows']} rows)")
+            print(f"PASS {name} ({res['spark_rows']} rows)", flush=True)
         else:
             results[name] = res
             n_fail += 1
             print(f"FAIL {name}: {res.get('err') or 'rows/schema mismatch'}"
                   f" spark={res.get('spark_rows')}"
-                  f" oracle={res.get('oracle_rows')}")
+                  f" oracle={res.get('oracle_rows')}", flush=True)
+
+    # Bounded worker pool over one-oracle-per-subprocess (timeouts on
+    # heavy oracles overlap instead of serializing the whole sweep);
+    # each subprocess runs DuckDB with `threads` so jobs*threads ~ CPUs.
+    import time
+    pending = sorted(oracle)
+    running = []  # (name, proc, queue, deadline)
+    while pending or running:
+        while pending and len(running) < jobs:
+            name = pending.pop(0)
+            q = mp.Queue()
+            p = mp.Process(target=compare_one,
+                           args=(sf_dir, out_dir, name, oracle[name],
+                                 threads, q))
+            p.start()
+            running.append((name, p, q, time.monotonic() + timeout))
+        time.sleep(0.2)
+        still = []
+        for name, p, q, deadline in running:
+            if not p.is_alive():
+                p.join()
+                try:
+                    res = q.get_nowait()
+                except Exception:
+                    res = None
+                record(name, res, p.exitcode)
+            elif time.monotonic() > deadline:
+                p.terminate()
+                p.join()
+                record(name, {"skipped": "oracle_timeout",
+                              "timeout_sec": timeout})
+            else:
+                still.append((name, p, q, deadline))
+        running = still
     summary = {"sf_dir": sf_dir, "out_dir": out_dir,
                "timeout_sec": timeout,
                "n_pass": n_pass, "n_fail": n_fail, "n_skip": n_skip,
