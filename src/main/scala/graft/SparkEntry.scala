@@ -209,6 +209,7 @@ object SparkEntry {
     "q_kanon"          -> (TrainingQueries.kAnonymity _),
     "q_stream_hourly"  -> (FuncQueries.streamHourly _),
     "q_stream_sessions" -> (FuncQueries.streamSessions _),
+    "q_stream_sessions_tws" -> (FuncQueries.streamSessionsTws _),
     "q_stream_dedup"   -> (FuncQueries.streamDedup _),
     "q_stream_enrich"  -> (FuncQueries.streamEnrich _),
     "q_stream_neardup" -> (FuncQueries.streamNearDup _),
@@ -263,6 +264,8 @@ object SparkEntry {
     "q_gap_stats"      -> (AnalyticsQueries.gapStats _),
     "q_item_sim"       -> (AnalyticsQueries.itemSim _),
     "q_item_sim_bucketed" -> (AnalyticsQueries.itemSimBucketed _),
+    "q_item_sim_bucketed_persisted" ->
+      (AnalyticsQueries.itemSimBucketedPersisted _),
     "q_communities"    -> (TrainingQueries.communities _),
     "q_hop_dist"       -> (AnalyticsQueries.hopDist _),
     "q_target_encode"  -> (TrainingQueries.targetEncode _),
@@ -315,8 +318,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_agg_sum" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_price,
-        | round(avg(l_discount), 6) AS avg_disc, count(*) AS n_rows
+        | round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |   AS DOUBLE) / 100, 2) AS sum_price,
+        | round(CAST(sum(CAST(round(l_discount * 1000000, 0) AS BIGINT))
+        |   AS DOUBLE) / 1000000 / count(*), 6) AS avg_disc,
+        | count(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_agg_salted" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty
@@ -546,7 +552,8 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        | round(sum(o_totalprice), 2) AS revenue
+        | round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |   AS DOUBLE) / 100, 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_regression" ->
@@ -2324,6 +2331,39 @@ object SparkEntry {
         |  round(sum(value), 2) AS session_value
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, s_start_us""".stripMargin,
+    "q_stream_sessions_tws" ->
+      // the q_stream_sessions sessionize plus the append-mode closed
+      // filter: emitted sessions are exactly those the final watermark
+      // finalized. Watermark law stated µs-exact: wm = (max event time
+      // floored to ms − 10 min delay) in µs; a session is closed when
+      // its end (last event + 30 min gap) ≤ wm.
+      """WITH wm AS (
+        |  SELECT ((max(epoch_us(ts)) // 1000) - 600000) * 1000 AS wm_us
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, value, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |      THEN 1 ELSE 0 END AS is_break
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, value, ts,
+        |    CAST(sum(is_break) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS sid
+        |  FROM b)
+        |SELECT epoch_us(min(ts)) AS s_start_us,
+        |  epoch_us(max(ts)) + 1800000000 AS s_end_us,
+        |  user_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS session_value
+        |FROM sess GROUP BY user_id, sid
+        |HAVING epoch_us(max(ts)) + 1800000000 <= (SELECT wm_us FROM wm)
+        |ORDER BY user_id, s_start_us""".stripMargin,
     "q_stream_dedup" ->
       """SELECT lang, count(DISTINCT md5(text)) AS n_unique
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -3188,6 +3228,9 @@ object SparkEntry {
     // oracle verbatim — one relational truth, two physical plans, both
     // hash-gated.
     "q_item_sim_bucketed" -> itemSimOracle,
+    // same relational truth again, third physical plan: the persisted-
+    // bucketed-layout form (zero-exchange count probes)
+    "q_item_sim_bucketed_persisted" -> itemSimOracle,
     "q_item_sim" -> itemSimOracle,
     "q_communities" ->
       // the 4 deterministic LPA rounds unrolled as CTEs: each round

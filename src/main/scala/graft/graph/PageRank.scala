@@ -57,27 +57,56 @@ object PageRank {
       .withColumn("__has_out", lit(1))
       .localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      // rank parked on sinks this round, redistributed uniformly: a
-      // ONE-ROW broadcast cross join instead of a driver collect, so
-      // each round is a single job (the checkpoint action) — an
-      // iterative driver loop pays per-job scheduling latency ×
-      // iters, and halving the job count halves that fixed cost
-      val dangling = ranks.join(hasOut, Seq("node"), "left")
-        .filter(col("__has_out").isNull)
-        .agg(coalesce(sum("rank"), lit(0.0)).as("__dang"))
-      val contrib = ranks.join(eNorm, ranks("node") === eNorm("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("rank") * col("frac")).as("__c"))
-      val stepped = nodes.join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("__c"), lit(0.0)) +
-              col("__dang") / lit(n.toDouble))).as("rank"))
-        .localCheckpoint(true)
+    // Sinkless graphs (every node has an out-edge — symmetrized graphs
+    // always qualify: q_textrank, q_ppr_terms) take the UNROLLED path
+    // (VERDICT r12 #5): the dangling term is identically 0, so the
+    // round body references the previous ranks exactly ONCE and two
+    // rounds can chain inside one materialization with no duplicated
+    // subtree — halving the per-round fixed job cost that dominates
+    // these queries' wall at small SF. With sinks, `ranks` feeds BOTH
+    // the dangling aggregate and the contribution join, so each round
+    // must materialize (unrolling would re-execute the previous round
+    // inside the broadcast branch); cadence only — per-round semantics
+    // are bit-identical either way.
+    val sinkless = hasOut.count() == n
+    val unroll = if (sinkless) 2 else 1
+    var i = 0
+    while (i < iters) {
+      val steps = math.min(unroll, iters - i)
+      var cur = ranks
+      for (_ <- 1 to steps) {
+        // rank parked on sinks this round, redistributed uniformly: a
+        // ONE-ROW broadcast cross join instead of a driver collect, so
+        // each round is a single job (the checkpoint action) — an
+        // iterative driver loop pays per-job scheduling latency ×
+        // iters, and halving the job count halves that fixed cost
+        val contrib = cur.select(col("node").as("__src"), col("rank"))
+          .join(eNorm.select(col("src").as("__src"), col("dst"),
+            col("frac")), Seq("__src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("rank") * col("frac")).as("__c"))
+        cur =
+          if (sinkless)
+            nodes.join(contrib, Seq("node"), "left")
+              .select(col("node"),
+                (lit((1.0 - damping) / n) +
+                  lit(damping) * coalesce(col("__c"), lit(0.0))).as("rank"))
+          else {
+            val dangling = cur.join(hasOut, Seq("node"), "left")
+              .filter(col("__has_out").isNull)
+              .agg(coalesce(sum("rank"), lit(0.0)).as("__dang"))
+            nodes.join(contrib, Seq("node"), "left")
+              .crossJoin(broadcast(dangling))
+              .select(col("node"),
+                (lit((1.0 - damping) / n) +
+                  lit(damping) * (coalesce(col("__c"), lit(0.0)) +
+                    col("__dang") / lit(n.toDouble))).as("rank"))
+          }
+      }
+      val stepped = cur.localCheckpoint(true)
       IterState.release(ranks)
       ranks = stepped
+      i += steps
     }
     IterState.release(eNorm)
     IterState.release(hasOut)
@@ -179,25 +208,49 @@ object PageRank {
     var ranks = dom.join(sW, Seq("node"), "left")
       .select(col("node"), coalesce(col("__sw"), lit(0.0)).as("rank"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      // same one-row broadcast fold as [[run]]: one job per round
-      val dangling = ranks.join(hasOut, Seq("node"), "left")
-        .filter(col("__has_out").isNull)
-        .agg(coalesce(sum("rank"), lit(0.0)).as("__dang"))
-      val contrib = ranks.join(eNorm, ranks("node") === eNorm("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("rank") * col("frac")).as("__c"))
-      val stepped = dom.join(contrib, Seq("node"), "left")
-        .join(sW, Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"),
-          (coalesce(col("__sw"), lit(0.0)) * lit(1.0 - damping) +
-            lit(damping) * (coalesce(col("__c"), lit(0.0)) +
-              col("__dang") * coalesce(col("__sw"), lit(0.0))))
-            .as("rank"))
-        .localCheckpoint(true)
+    // sinkless ⇒ dangling ≡ 0 ⇒ single-use round lineage ⇒ two rounds
+    // per materialization (same argument and cadence as [[run]]; a
+    // boundary node whose edges all leave the ball still has out-edges
+    // in eBall, so ball truncation never manufactures a sink)
+    val sinkless = hasOut.count() == dom.count()
+    val unroll = if (sinkless) 2 else 1
+    var i = 0
+    while (i < iters) {
+      val steps = math.min(unroll, iters - i)
+      var cur = ranks
+      for (_ <- 1 to steps) {
+        // same one-row broadcast fold as [[run]]: one job per round
+        val contrib = cur.select(col("node").as("__src"), col("rank"))
+          .join(eNorm.select(col("src").as("__src"), col("dst"),
+            col("frac")), Seq("__src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("rank") * col("frac")).as("__c"))
+        cur =
+          if (sinkless)
+            dom.join(contrib, Seq("node"), "left")
+              .join(sW, Seq("node"), "left")
+              .select(col("node"),
+                (coalesce(col("__sw"), lit(0.0)) * lit(1.0 - damping) +
+                  lit(damping) * coalesce(col("__c"), lit(0.0)))
+                  .as("rank"))
+          else {
+            val dangling = cur.join(hasOut, Seq("node"), "left")
+              .filter(col("__has_out").isNull)
+              .agg(coalesce(sum("rank"), lit(0.0)).as("__dang"))
+            dom.join(contrib, Seq("node"), "left")
+              .join(sW, Seq("node"), "left")
+              .crossJoin(broadcast(dangling))
+              .select(col("node"),
+                (coalesce(col("__sw"), lit(0.0)) * lit(1.0 - damping) +
+                  lit(damping) * (coalesce(col("__c"), lit(0.0)) +
+                    col("__dang") * coalesce(col("__sw"), lit(0.0))))
+                  .as("rank"))
+          }
+      }
+      val stepped = cur.localCheckpoint(true)
       IterState.release(ranks)
       ranks = stepped
+      i += steps
     }
     IterState.release(eNorm)
     IterState.release(hasOut)

@@ -53,6 +53,23 @@ object Bucketing {
       s"CREATE DATABASE IF NOT EXISTS $db LOCATION '${location.replace("'", "''")}'")
   }
 
+  /** Content tag for a bucketed layout keyed to its SOURCE DATA: an
+    * 8-hex MD5 over the source files' (name, length, mod_time)
+    * listing, not just the path — regenerated data at the same path
+    * gets a fresh tag, so a long-lived session can never serve a stale
+    * snapshot's layout. Shared by the bucketed-join and persisted
+    * item-sim layouts.
+    */
+  def snapshotTag(spark: SparkSession, paths: Seq[String]): String = {
+    val listing = paths
+      .flatMap(p => Catalog.listRaw(p, spark.sparkContext.hadoopConfiguration))
+      .map { case (n, _, len, mod) => s"$n:$len:$mod" }.sorted
+      .mkString(paths.mkString(","), "|", "")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(8)
+  }
+
   /** Write `df` as a managed parquet table bucketed AND sorted by `key`.
     *
     * The pre-write `repartition(numBuckets, key)` aligns task partitioning

@@ -59,12 +59,19 @@ object StatsIndex {
     */
   def update(spark: SparkSession, dir: String, existing: DataFrame,
              cols: Seq[String], isinMaxKnown: Int = 10000): DataFrame = {
-    val known = existing.select("file_path").collect().map(_.getString(0))
+    // Probe the index size with a LIMIT-bounded count before deciding
+    // the path: the driver never materializes more than isinMaxKnown+1
+    // paths, so a million-file catalog costs a distributed count plus
+    // the anti-join — no unbounded driver array in the maintenance path.
+    val nKnown =
+      existing.select("file_path").limit(isinMaxKnown + 1).count()
     val scan = spark.read.parquet(dir)
     val newOnly =
-      if (known.length <= isinMaxKnown)
+      if (nKnown <= isinMaxKnown) {
+        val known =
+          existing.select("file_path").collect().map(_.getString(0))
         scan.where(!col("_metadata.file_path").isin(known.toIndexedSeq: _*))
-      else
+      } else
         scan.join(existing.select(col("file_path").as("__known")),
           col("_metadata.file_path") === col("__known"), "left_anti")
     val fresh = newOnly

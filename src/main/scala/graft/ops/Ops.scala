@@ -335,8 +335,14 @@ object Ops {
       .crossJoin(right.agg(min(col(rLo)).as("__rlo"), max(col(rHi)).as("__rhi")))
       .select(least(col("__llo"), col("__rlo")).as("__lo"),
         greatest(col("__lhi"), col("__rhi")).as("__hi"))
+    // Null bounds mean BOTH inputs are empty (min/max of no rows): the
+    // guard must short-circuit rather than evaluate `null < maxDomain`
+    // to null and fire the otherwise-branch raise_error with a null
+    // message. sequence(null, null) explodes to zero rows, so the
+    // empty-input case flows through to an empty result, as pre-guard.
     val guarded = bounds.select(
-      when(col("__hi") - col("__lo") < lit(maxDomain), col("__lo"))
+      when(col("__lo").isNull || col("__hi").isNull ||
+           col("__hi") - col("__lo") < lit(maxDomain), col("__lo"))
         .otherwise(raise_error(concat(
           lit("intervalOverlapCount: endpoint domain width "),
           (col("__hi") - col("__lo") + 1).cast("string"),

@@ -25,8 +25,20 @@ object CoreQueries {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum("l_quantity").as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_price"),
-        round(avg("l_discount"), 6).as("avg_disc"),
+        // Money sums are exact integer cents summed in DECIMAL(38,0),
+        // converted to double once at the end: a sum(double) is
+        // order-dependent in the 2nd decimal at the ×100 leg (proven
+        // oracle-side at sf10 — two DuckDB sweeps disagreed with each
+        // other), while the exact decimal is identical under ANY
+        // partitioning/merge order on both engines. Same template as
+        // the gini fix (AnalyticsQueries.gini).
+        round(sum(round(col("l_extendedprice") * 100, 0).cast("long")
+          .cast("decimal(38,0)")).cast("double") / 100, 2).as("sum_price"),
+        // exact micro-units for the mean too: a double sum over 10⁷+
+        // rows can flip the 6th decimal at a rounding boundary
+        round(sum(round(col("l_discount") * 1000000, 0).cast("long")
+          .cast("decimal(38,0)")).cast("double") / 1000000 /
+          count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -417,7 +429,10 @@ object CoreQueries {
     graft.io.Bucketing.bucketedJoin(s, ot, ct, "o_custkey")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 2).as("revenue"))
+        // order-independent money sum (exact cents in DECIMAL(38,0),
+        // one double conversion at the end — see aggSum)
+        round(sum(round(col("o_totalprice") * 100, 0).cast("long")
+          .cast("decimal(38,0)")).cast("double") / 100, 2).as("revenue"))
       .orderBy("c_mktsegment")
   }
 }

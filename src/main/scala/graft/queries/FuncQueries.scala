@@ -344,6 +344,43 @@ object FuncQueries {
       .orderBy("user_id", "s_start_us")
   }
 
+  /** [[streamSessions]]'s sessionization via the Spark 4
+    * `transformWithState` [[graft.stream.Streams.SessionizerProcessor]]
+    * (VERDICT r12 #4): per-user open-interval state + event-time
+    * timers instead of the built-in `session_window` merge state
+    * machine, APPEND mode — only sessions the watermark has finalized
+    * (`last event + gap ≤ max(ts) − delay`) are emitted, each exactly
+    * once. The DuckDB oracle is the [[streamSessions]] lag/cumsum
+    * sessionize plus that closed-filter, stated µs-exact with the
+    * engine's watermark law (watermark = floor-to-ms of max event
+    * time, minus the delay) — so the oracle also pins the watermark
+    * semantics, not just the gap-merge. Requires (and sets, for this
+    * run) the RocksDB state store provider.
+    */
+  def streamSessionsTws(s: SparkSession, d: String): DataFrame = {
+    val sink = "graft_stream_sessions_tws"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      implicit val sp: SparkSession = s
+      graft.stream.Streams.runAvailableNow(
+        graft.stream.Streams.closedSessionsTws(
+          streamTable(s, d, "events")).toDF(),
+        sink, outputMode = "append")
+    } finally prev match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+    s.table(sink)
+      .select(unix_micros(col("s_start")).as("s_start_us"),
+        unix_micros(col("s_end")).as("s_end_us"),
+        col("user_id"), col("n_events"),
+        round(col("session_value"), 2).as("session_value"))
+      .orderBy("user_id", "s_start_us")
+  }
+
   /** Streaming exact dedup parity: `dropDuplicates` state-store dedup
     * on (lang, fingerprint) chained into a streaming aggregate —
     * two stateful operators in one topology — hash-checked against

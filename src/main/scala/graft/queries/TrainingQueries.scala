@@ -1701,7 +1701,15 @@ object TrainingQueries {
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("src_tokens"))
       .withColumn("w_fp", round(sqrt(col("src_tokens")) * 1e6).cast("long"))
       .withColumn("z", sum("w_fp").over(Window.partitionBy()))
-      .withColumn("target_tokens", expr(s"($budgetTokens * w_fp) DIV z"))
+      // DECIMAL(38,0) multiply, not Long (r13 overflow audit): at a
+      // realistic 1.5·10¹³-token budget against a 10¹²-token source
+      // (w_fp = √tokens·10⁶ = 10¹²) the Long product reaches 1.5·10²⁵
+      // — past 2⁶³, and under ansi=false it WRAPS silently, the same
+      // defect class as the r12 gini catch. The exact decimal product
+      // floor-divides back to a Long target; values are identical
+      // wherever the Long form didn't overflow.
+      .withColumn("target_tokens", expr(
+        s"CAST((CAST($budgetTokens AS DECIMAL(38,0)) * w_fp) DIV z AS LONG)"))
       .withColumn("full_epochs",
         coalesce(expr("target_tokens DIV src_tokens"), lit(0L)))
       .withColumn("rem_tokens",

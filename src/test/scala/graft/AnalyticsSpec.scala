@@ -526,6 +526,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(ok.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 1L)))
   }
 
+  test("interval overlap count: both inputs empty returns empty, not error") {
+    import spark.implicits._
+    // ADVICE r12 pin: empty inputs make the bounds NULL; the width
+    // guard must short-circuit (null condition would otherwise fire
+    // raise_error with a null message) and flow to an empty result
+    val ls = Seq.empty[(Long, Long, Long)].toDF("l_id", "l_lo", "l_hi")
+    val rs = Seq.empty[(Long, Long, Long)].toDF("r_id", "r_lo", "r_hi")
+    val got = graft.ops.Ops.intervalOverlapCount(ls, rs,
+      "l_lo", "l_hi", "r_lo", "r_hi").collect()
+    assert(got.isEmpty)
+  }
+
   test("profile: exact and approx variants agree on structure") {
     val exact = graft.ops.Profile.profile(
       graft.io.Tables.orders(spark, sfDir), Seq("o_orderkey", "o_orderstatus"),
@@ -889,6 +901,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
     assert("ShuffledHashJoin".r.findAllIn(plan).length === 2, plan)
+    val got = b.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = AnalyticsQueries.itemSim(spark, sfDir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === want)
+  }
+
+  test("item sim persisted-bucketed: exact match, zero-exchange count probes") {
+    // VERDICT r12 #3 done-criteria: the standing-layout form must
+    // (a) compute the identical result, (b) keep the dynamic form's
+    // join shape (no broadcast, no sort of the pair relation, two
+    // shuffled-hash probes), and (c) read the persisted count table
+    // with ZERO added exchange — the bucketed scan's partitioning
+    // satisfies each probe's clustering directly
+    val b = AnalyticsQueries.itemSimBucketedPersisted(spark, sfDir)
+    val plan = b.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("ShuffledHashJoin".r.findAllIn(plan).length === 2, plan)
+    // the persisted layout is actually scanned, bucketed
+    assert(plan.contains("item_counts_"), plan)
+    assert(plan.contains("SelectedBucketsCount"), plan)
+    // zero-exchange probes: the dynamic form repartitions perPart once
+    // per probe; here NO exchange sits between a scan of the persisted
+    // table and its join — every exchange in the plan belongs to the
+    // pair branch: incidence hash(ok), pair aggregate hash(a,b), the
+    // two probe-side repartitions hash(b)/hash(a), the sample-replay
+    // barrier (round-robin), and the presentation sort (range).
+    // Structurally: exactly 6 exchanges total, none under a bucketed
+    // scan.
+    val nExchanges = "Exchange".r.findAllIn(plan).length
+    assert(nExchanges === 6, s"expected 6 exchanges, got $nExchanges:\n$plan")
     val got = b.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     val want = AnalyticsQueries.itemSim(spark, sfDir).collect().map(r =>

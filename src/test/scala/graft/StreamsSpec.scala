@@ -500,6 +500,92 @@ class StreamsSpec extends SparkSpec {
       (7L, ts("2026-01-01 02:00:00"), ts("2026-01-01 02:35:00"), 3L, 7.0)))
   }
 
+  test("transformWithState sessionizer: timer closure + session_window convention") {
+    import spark.implicits._
+    implicit val s = spark
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("tws_sessions").toString
+      // same 3-batch scenario as the fMGWS test above: user 1's two
+      // sessions must close via the event-time TIMER (user 1 has no
+      // rows after batch 1 — only user 999's batches advance the
+      // watermark), and the trailing 10:00 session stays open
+      Seq((1L, ts("2026-01-01 00:00:00"), 1.0),
+          (1L, ts("2026-01-01 00:10:00"), 2.0),
+          (1L, ts("2026-01-01 01:00:00"), 4.0))
+        .toDF("user_id", "ts", "value")
+        .coalesce(1).write.parquet(s"$dir/f1")
+      Seq((999L, ts("2026-01-01 05:00:00"), 8.0))
+        .toDF("user_id", "ts", "value")
+        .coalesce(1).write.parquet(s"$dir/f2")
+      Seq((999L, ts("2026-01-01 10:00:00"), 16.0))
+        .toDF("user_id", "ts", "value")
+        .coalesce(1).write.parquet(s"$dir/f3")
+      val schema = spark.read.parquet(s"$dir/f1").schema
+      val stream = Streams.fileSource(spark, s"$dir/*", schema,
+        maxFilesPerTrigger = Some(1))
+      Streams.runAvailableNow(Streams.closedSessionsTws(stream).toDF(),
+        "tws_sessions_test")
+      val got = spark.table("tws_sessions_test")
+        .select("user_id", "s_start", "s_end", "n_events", "session_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      // session_window output convention: s_end = last event + gap
+      assert(got === Set(
+        (1L, ts("2026-01-01 00:00:00"), ts("2026-01-01 00:40:00"), 2L, 3.0),
+        (1L, ts("2026-01-01 01:00:00"), ts("2026-01-01 01:30:00"), 1L, 4.0),
+        (999L, ts("2026-01-01 05:00:00"), ts("2026-01-01 05:30:00"), 1L,
+          8.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
+  test("transformWithState sessionizer matches session_window append output") {
+    implicit val s = spark
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val schema = Tables.events(spark, sfDir).schema
+      Streams.runAvailableNow(
+        Streams.closedSessionsTws(
+          Streams.fileSource(spark, landingDir, schema)).toDF(),
+        "tws_parity_test")
+      val got = spark.table("tws_parity_test")
+        .select(col("user_id"), unix_micros(col("s_start")).as("a"),
+          unix_micros(col("s_end")).as("b"), col("n_events"),
+          round(col("session_value"), 2).as("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+    // the built-in operator, APPEND mode: same closed-only emission
+      Streams.runAvailableNow(
+        Streams.sessionCounts(
+          Streams.fileSource(spark, landingDir, schema)),
+        "sw_append_test")
+      val want = spark.table("sw_append_test")
+        .select(col("user_id"), unix_micros(col("s_start")).as("a"),
+          unix_micros(col("s_end")).as("b"), col("n_events"),
+          col("session_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      assert(got.nonEmpty)
+      assert(got === want)
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("incremental materialized aggregate: converges, idempotent on rerun") {
     import graft.stream.IncrementalView
     val schema = Tables.events(spark, sfDir).schema
