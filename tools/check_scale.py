@@ -113,6 +113,9 @@ def compare_one(sf_dir, out_dir, name, sql, threads, q, mem_gb=0):
         if ("out of memory" in low or "memory limit" in low
                 or "could not allocate" in low or "bad_alloc" in low):
             q.put({"skipped": "oracle_oom", "err": msg[:300]})
+        elif "no space left" in low:
+            # spill-to-disk exhausted the volume — same resource class
+            q.put({"skipped": "oracle_disk_full", "err": msg[:300]})
         else:
             q.put({"rows_match": False, "schema_match": False,
                    "hash_match": False, "spark_rows": None,
@@ -199,6 +202,15 @@ def main(argv):
             elif time.monotonic() > deadline:
                 p.terminate()
                 p.join()
+                # a terminated oracle never reaches its own spill-dir
+                # cleanup — tens of GB can linger and starve the NEXT
+                # heavy oracle's spill (observed r13: two killed
+                # 15 GB/7 GB dirs tipped a later 4-way window into
+                # no-space)
+                if mem_gb:
+                    import shutil
+                    shutil.rmtree(f"{out_dir}/.duckdb_spill_{name}",
+                                  ignore_errors=True)
                 record(name, {"skipped": "oracle_timeout",
                               "timeout_sec": timeout})
             else:
