@@ -104,6 +104,12 @@ def compare_one(sf_dir, out_dir, name, sql, threads, q, mem_gb=0):
             shutil.rmtree(spill, ignore_errors=True)
         q.put(res)
     except Exception as e:  # noqa: BLE001 - recorded, never raised
+        # reap the spill dir on FAILURE too — a failed heavy oracle
+        # can leave >50 GB behind and starve every later spill
+        if mem_gb:
+            import shutil
+            shutil.rmtree(f"{out_dir}/.duckdb_spill_{name}",
+                          ignore_errors=True)
         msg = f"{type(e).__name__}: {e}"
         low = msg.lower()
         # an ORACLE resource failure is a cost statement about DuckDB,
