@@ -175,6 +175,27 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("epoch plan: trillion-token budget does not wrap (r13 overflow audit)") {
+    // budget × w_fp would reach ~10³⁰ in Long arithmetic and wrap
+    // silently under ansi=false; the DECIMAL(38,0) multiply must keep
+    // every target non-negative and the floor-sum identity intact
+    val budget = 1_500_000_000_000_0L // 1.5·10¹³ tokens
+    val rows = TrainingQueries.epochPlan(spark, sfDir, budget).collect()
+    assert(rows.nonEmpty)
+    val targets = rows.map(_.getAs[Long]("target_tokens"))
+    assert(targets.forall(_ >= 0L),
+      s"wrapped target: ${targets.filter(_ < 0).mkString(",")}")
+    assert(targets.sum <= budget && targets.sum > budget - rows.length)
+    rows.foreach { r =>
+      val src = r.getAs[Long]("src_tokens")
+      val tgt = r.getAs[Long]("target_tokens")
+      val full = r.getAs[Long]("full_epochs")
+      val rem = r.getAs[Long]("rem_tokens")
+      assert(full >= 0 && rem >= 0 && full * src + rem === tgt,
+        s"identity broke at big budget: $r")
+    }
+  }
+
   test("sparse retrieval: cosines in (0,1], k-bounded, no self-matches") {
     val rows = TrainingQueries.sparseRetrieval(spark, sfDir, k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
