@@ -639,8 +639,9 @@ object AnalyticsQueries {
     val nOrders = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok")).dropDuplicates("ok")
       .agg(count(lit(1)).as("n_orders"))
-    val pairs = pairsFromBaskets(bk)
-      .filter(col("part_a") < col("part_b"))
+    // canonical-half generation (r13): the a<b filter used to DROP
+    // half the generated rows; array_combinations never emits them
+    val pairs = pairsFromBasketsHalf(bk)
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_pair"))
     pairs
@@ -675,21 +676,23 @@ object AnalyticsQueries {
     import graft.functions.SketchAggregates
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     // r7 (VERDICT item 5): pair occurrences come from basket arrays
-    // ([[copurchasePairs]]) — one raw-lineitem shuffle and in-place
+    // ([[pairsFromBasketsHalf]]) — one raw-lineitem shuffle and in-place
     // explosion replace the distinct + self-join + two join exchanges;
     // per-part order counts derive from the SAME incidence exchange
     // without touching the arrays (r11 — see [[partOrderCounts]])
     val bk = baskets(s, d)
     val perPart = partOrderCounts(s, d)
-    val sim = pairsFromBaskets(bk)
+    val half = pairsFromBasketsHalf(bk)
+      // HALF-relation pipeline (r13, guide §2.3): generation, the
+      // pair aggregate's partial+final hashing, its exchange, and the
+      // two count probes all run on the a<b half; both orientations
+      // are reconstructed after the probes by [[mirrorPairs]] (cosine
+      // is symmetric), so only the top-k aggregate sees full volume.
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_pair"))
       // pin the pair-grain stage's width: AQE sizes the pair shuffle
       // by BYTES (a few tens of MB → 1-2 read partitions) and the
-      // broadcast-join probes + top-k heap inserts downstream would
-      // serialize on them. Hash by part_a so the SAME exchange also
-      // satisfies the final groupBy(part_a) distribution — net zero
-      // extra shuffles, stage width pinned.
+      // broadcast-join probes downstream would serialize on them.
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
         col("part_a"))
       // BROADCAST the per-item counts, explicitly: perPart is
@@ -709,6 +712,8 @@ object AnalyticsQueries {
       .join(broadcast(perPart.select(col("pk").as("part_b"),
         col("n").as("n_b"))), "part_b")
       .withColumn("cos", col("n_pair") / sqrt(col("n_a") * col("n_b")))
+    val sim = mirrorPairs(half.select("part_a", "part_b", "cos"),
+      Seq("cos"))
     sim.groupBy("part_a")
       .agg(SketchAggregates.top_k_pairs(col("cos"), col("part_b"), 3)
         .as("top"))
@@ -757,7 +762,8 @@ object AnalyticsQueries {
     import graft.functions.SketchAggregates
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val perPart = partOrderCounts(s, d)
-    val pairs = pairsFromBaskets(baskets(s, d))
+    // half-relation pipeline + post-probe mirror, as in [[itemSim]]
+    val pairs = pairsFromBasketsHalf(baskets(s, d))
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_pair"))
     // explicit width pins on every exchange, same rationale as
@@ -767,12 +773,19 @@ object AnalyticsQueries {
       .repartition(parts, col("part_b"))
     val nA = perPart.select(col("pk").as("part_a"), col("n").as("n_a"))
       .repartition(parts, col("part_a"))
-    val sim = pairs
+    val half = pairs
       .repartition(parts, col("part_b"))
       .join(nB.hint("shuffle_hash"), "part_b")
       .repartition(parts, col("part_a"))
       .join(nA.hint("shuffle_hash"), "part_a")
       .withColumn("cos", col("n_pair") / sqrt(col("n_a") * col("n_b")))
+    // the mirror re-keys half its rows to part_b, so the top-k groupBy
+    // plans its own hash(part_a) exchange — but its PARTIAL aggregate
+    // runs on the pinned probe-width tasks and compresses each to ≤3
+    // candidates per item before the shuffle, so no width pin is
+    // needed on the re-key
+    val sim = mirrorPairs(half.select("part_a", "part_b", "cos"),
+      Seq("cos"))
     sim.groupBy("part_a")
       .agg(SketchAggregates.top_k_pairs(col("cos"), col("part_b"), 3)
         .as("top"))
@@ -826,17 +839,20 @@ object AnalyticsQueries {
       graft.io.Bucketing.writeBucketed(partOrderCounts(s, d), tbl, "pk",
         parts)
     val bkt = s.table(tbl)
-    val pairs = pairsFromBaskets(baskets(s, d))
+    // half-relation pipeline + post-probe mirror, as in [[itemSim]]
+    val pairs = pairsFromBasketsHalf(baskets(s, d))
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_pair"))
     val nB = bkt.select(col("pk").as("part_b"), col("n").as("n_b"))
     val nA = bkt.select(col("pk").as("part_a"), col("n").as("n_a"))
-    val sim = pairs
+    val half = pairs
       .repartition(parts, col("part_b"))
       .join(nB.hint("shuffle_hash"), "part_b")
       .repartition(parts, col("part_a"))
       .join(nA.hint("shuffle_hash"), "part_a")
       .withColumn("cos", col("n_pair") / sqrt(col("n_a") * col("n_b")))
+    val sim = mirrorPairs(half.select("part_a", "part_b", "cos"),
+      Seq("cos"))
     sim.groupBy("part_a")
       .agg(SketchAggregates.top_k_pairs(col("cos"), col("part_b"), 3)
         .as("top"))
@@ -1754,7 +1770,7 @@ object AnalyticsQueries {
     *
     * Scale shape (r7, VERDICT item 5 — hyperedge discipline): pair
     * candidates come from per-order basket ARRAYS
-    * ([[copurchasePairs]]: one groupBy shuffle of raw lineitem +
+    * ([[pairsFromBasketsHalf]]: one groupBy shuffle of raw lineitem +
     * in-place pair explosion, basket-size-bounded), not an order-keyed
     * self-join — that removes the (ok, pk) distinct shuffle AND both
     * join exchanges. The Pearson coefficient is then assembled from
@@ -1771,8 +1787,12 @@ object AnalyticsQueries {
     * engines' co-moment update orders.
     */
   def assortativity(s: SparkSession, d: String): DataFrame = {
-    val e = copurchasePairs(s, d)
-      .select(col("part_a").as("pa"), col("part_b").as("pb")).distinct()
+    // dedup the a<b half (half the generation and half the distinct's
+    // exchange+hashing — r13, see [[pairsFromBasketsHalf]]), then
+    // mirror: the co-purchase graph is symmetric by construction
+    val eh = pairsFromBasketsHalf(baskets(s, d)).distinct()
+    val e = mirrorPairs(eh, Seq.empty)
+      .select(col("part_a").as("pa"), col("part_b").as("pb"))
     val deg = e.groupBy("pa").agg(count(lit(1)).as("deg"))
     val aggA = e
       .join(deg.select(col("pa").as("pb"), col("deg").as("db")), "pb")
@@ -1796,17 +1816,6 @@ object AnalyticsQueries {
           .as("assortativity"))
   }
 
-  /** Directed co-purchase part pairs (both orientations), one row per
-    * pair OCCURRENCE (an (a,b) sharing k orders appears k times —
-    * callers count or distinct as their semantics need). Hyperedge
-    * generation: orders are grouped to basket arrays (`collect_set`
-    * dedups parts in-aggregate, so no separate distinct shuffle) and
-    * pairs explode IN PLACE from each array — Σ basket² work bounded
-    * by order size, with zero join exchanges. The one shuffle is raw
-    * lineitem keyed by order; everything after is narrow.
-    */
-  private[queries] def copurchasePairs(s: SparkSession, d: String): DataFrame =
-    pairsFromBaskets(baskets(s, d))
 
   /** Per-order distinct-part basket arrays. The trailing round-robin
     * `repartition` is load-bearing: the basket shuffle is small (~MBs
@@ -1890,6 +1899,37 @@ object AnalyticsQueries {
     // assortativity at the ×100 leg (BASELINE §16.3)
     b.select(graft.functions.ArrayPairsFunctions.array_pairs(col("parts")))
 
+  /** The `part_a < part_b` HALF of [[pairsFromBaskets]] (r13, guide
+    * §2.3): co-occurrence over set baskets is symmetric, so the
+    * k²-per-basket generation, the pair aggregation's hashing, and the
+    * aggregate's exchange all run at half volume; consumers that need
+    * both orientations reconstruct them AFTER aggregation with
+    * [[mirrorPairs]] — a narrow 2-rows-per-row explode, never a union
+    * (a union's two branches would re-execute the whole probe subtree:
+    * ReuseExchange dedups exchanges, not the operators between them).
+    * ≡ `pairsFromBaskets(b).filter(part_a < part_b)` for every input
+    * (spec-pinned incl. hostile arrays in AnalyticsSpec).
+    */
+  private def pairsFromBasketsHalf(b: DataFrame): DataFrame =
+    b.select(graft.functions.ArrayPairsFunctions
+      .array_combinations(col("parts")))
+
+  /** Emit both orientations of an aggregated half-pair relation:
+    * one generator pass, `(a, b, v) → {(a, b, v), (b, a, v)}`. The
+    * value column list is caller-supplied so the mirror stays a
+    * single narrow projection.
+    */
+  private def mirrorPairs(half: DataFrame, valueCols: Seq[String])
+  : DataFrame = {
+    val vs = valueCols.map(c => col(c).as(c))
+    half.select(explode(array(
+        struct((col("part_a").as("part_a") +: col("part_b").as("part_b")
+          +: vs): _*),
+        struct((col("part_b").as("part_a") +: col("part_a").as("part_b")
+          +: vs): _*))).as("__m"))
+      .select(col("__m.*"))
+  }
+
   /** Pre-r11 composed pair explosion — spec-only semantics oracle for
     * [[pairsFromBaskets]]'s native [[graft.functions.ArrayPairs]].
     */
@@ -1904,6 +1944,14 @@ object AnalyticsQueries {
   /** Spec access to the native pair path on an arbitrary basket frame. */
   private[graft] def pairsFromBasketsNative(b: DataFrame): DataFrame =
     pairsFromBaskets(b)
+
+  /** Spec access to the canonical-half pair path. */
+  private[graft] def pairsFromBasketsHalfNative(b: DataFrame): DataFrame =
+    pairsFromBasketsHalf(b)
+
+  /** Spec access to the post-aggregation mirror. */
+  private[graft] def mirrorPairsNative(half: DataFrame,
+      valueCols: Seq[String]): DataFrame = mirrorPairs(half, valueCols)
 
   /** Burstiness of the event stream per type: the dispersion index
     * (variance/mean of daily counts; 1 = Poisson) and the bounded

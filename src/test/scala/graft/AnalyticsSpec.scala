@@ -43,6 +43,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(hn.count(_ == ((5L, 5L))) === 0)
   }
 
+  test("ArrayCombinations ≡ array_pairs.filter(a<b); mirror restores both") {
+    import spark.implicits._
+    val bk = graft.io.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+    val half = AnalyticsQueries.pairsFromBasketsHalfNative(bk)
+    val filt = AnalyticsQueries.pairsFromBasketsNative(bk)
+      .filter(col("part_a") < col("part_b"))
+    assert(half.exceptAll(filt).isEmpty && filt.exceptAll(half).isEmpty,
+      "array_combinations diverged from array_pairs.filter(a<b)")
+    // hostile inputs: null array, empty, singleton, null elements,
+    // duplicate values — the combination form must match the filtered
+    // full form EXACTLY, including the dup-value multiplicity (5,5,6
+    // has two i<j position pairs with differing values → (5,6) twice)
+    val hostile = Seq(
+      (0L, Seq[java.lang.Long](3L, 1L, 2L)),
+      (1L, null),
+      (2L, Seq.empty[java.lang.Long]),
+      (3L, Seq[java.lang.Long](7L)),
+      (4L, Seq[java.lang.Long](2L, null, 1L)),
+      (5L, Seq[java.lang.Long](5L, 5L, 6L))
+    ).toDF("ok", "parts")
+    val hh = AnalyticsQueries.pairsFromBasketsHalfNative(hostile)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val hf = AnalyticsQueries.pairsFromBasketsNative(hostile)
+      .filter(col("part_a") < col("part_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(hh === hf, s"hostile combos diverged: half=$hh filtered=$hf")
+    // emission is canonical regardless of array order: (1,2)/(1,3)/(2,3)
+    assert(hh.count(_ == ((1L, 2L))) === 2) // from baskets 0 and 4
+    assert(hh.count(_ == ((5L, 6L))) === 2)
+    // the aggregated mirror reconstructs the full-orientation counts:
+    // groupBy over mirrored half-counts == groupBy over array_pairs
+    // (set baskets — the itemSim/assortativity precondition)
+    val fullAgg = AnalyticsQueries.pairsFromBasketsNative(bk)
+      .groupBy("part_a", "part_b").count()
+    val halfAgg = AnalyticsQueries.mirrorPairsNative(
+      half.groupBy("part_a", "part_b").count(), Seq("count"))
+    assert(halfAgg.exceptAll(fullAgg).isEmpty &&
+      fullAgg.exceptAll(halfAgg).isEmpty,
+      "mirrored half-aggregate diverged from the full-orientation one")
+  }
+
   test("TopKAgg agrees with the row_number window form") {
     import graft.ops.Ops
     val viaAgg = AnalyticsQueries.topKAgg(spark, sfDir)
@@ -926,13 +969,15 @@ class AnalyticsSpec extends SparkSpec {
     // zero-exchange probes: the dynamic form repartitions perPart once
     // per probe; here NO exchange sits between a scan of the persisted
     // table and its join — every exchange in the plan belongs to the
-    // pair branch: incidence hash(ok), pair aggregate hash(a,b), the
-    // two probe-side repartitions hash(b)/hash(a), the sample-replay
-    // barrier (round-robin), and the presentation sort (range).
-    // Structurally: exactly 6 exchanges total, none under a bucketed
-    // scan.
+    // pair branch: incidence hash(ok), the HALF-pair aggregate
+    // hash(a,b), the two probe-side repartitions hash(b)/hash(a), the
+    // post-mirror top-k hash(part_a) (r13: the mirror re-keys half the
+    // rows, so the top-k distribution no longer rides the hash(a)
+    // probe exchange), the sample-replay barrier (round-robin), and
+    // the presentation sort (range). Structurally: exactly 7 exchanges
+    // total, none under a bucketed scan.
     val nExchanges = "Exchange".r.findAllIn(plan).length
-    assert(nExchanges === 6, s"expected 6 exchanges, got $nExchanges:\n$plan")
+    assert(nExchanges === 7, s"expected 7 exchanges, got $nExchanges:\n$plan")
     val got = b.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     val want = AnalyticsQueries.itemSim(spark, sfDir).collect().map(r =>
