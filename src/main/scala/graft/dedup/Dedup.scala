@@ -139,21 +139,36 @@ object Dedup {
     * each doc's shingle-hash array in GLOBAL RARITY order — (document
     * frequency asc, hash asc), total and deterministic — so a prefix
     * of the array is exactly the rarest shingles the prefix-filter
-    * theorems quantify over. Returns `(sh = (id, h), arrs = (id,
-    * hs, n))`; the caller derives its own prefix length (the slack
-    * and the length-filter differ between the Jaccard and containment
-    * forms). One definition so a fix to the rarity order, the cap, or
-    * the slack cannot silently miss one of the two operators.
+    * theorems quantify over. Returns `arrs = (id, hs, n)`,
+    * eagerly materialized; the caller derives its own prefix length
+    * (the slack and the length-filter differ between the Jaccard and
+    * containment forms) and, when it needs the flat posting list,
+    * re-derives it as `explode(hs)` — hs holds exactly the doc's
+    * post-cap hashes, so the explode ≡ the (id, h) relation without
+    * another gram pass. One definition so a fix to the rarity order,
+    * the cap, or the slack cannot silently miss one of the two
+    * operators.
     */
   private def prefixIndex(df: DataFrame, k: Int, textCol: String,
                           idCol: String, maxDf: Option[Int])
-  : (DataFrame, DataFrame) = {
+  : DataFrame = {
     // byte-level gram hashing (VERDICT r10 #7): same values as
     // `shingles(...)` + `xxhash64(shingle)` with per-doc distinct, but
     // no gram STRING is ever materialized — the expression form's
     // token/gram-array churn was 20–30 s of GC per gram query at the
     // sf10 leg. Distinct is on the hash, identical barring 64-bit
     // collisions (the operator's documented posture).
+    // r13 materialization discipline (guide §1.2/§5): arrs is multiply
+    // consumed — the prefix explode, the posting-list probe side, and
+    // two verification joins — and nothing below is an
+    // identical-exchange pair Spark's ReuseExchange could dedup (the
+    // close plan re-ran the gram Generate 8× per containment query).
+    // One eager localCheckpoint of the per-doc arrays makes every
+    // consumer read materialized blocks (memory-and-disk, the graph
+    // operators' round-state discipline); inside the checkpoint job
+    // the gram subtree still runs twice (df-count + rarity join — their
+    // exchanges have different children), measured cheaper than a
+    // second sequential checkpoint barrier at every SF probed.
     val sh0 = df.select(col(idCol),
       graft.functions.GramHashes.gramHashesDistinct(col(textCol), k))
     val sh = maxDf match {
@@ -170,7 +185,8 @@ object Dedup {
       .select(col(idCol),
         expr("transform(__s, s -> s.h)").as("hs"),
         size(col("__s")).as("n"))
-    (sh, arrs)
+      .localCheckpoint(true)
+    arrs
   }
 
   def ngramJaccard(df: DataFrame, threshold: Double = 0.8, k: Int = 3,
@@ -180,7 +196,7 @@ object Dedup {
     // carries a 1e-6 slack so pairs that only reach t after the
     // 6-decimal rounding below are still guaranteed a prefix collision.
     val tSlack = threshold - 1e-6
-    val (_, arrs0) = prefixIndex(df, k, textCol, idCol, maxDf)
+    val arrs0 = prefixIndex(df, k, textCol, idCol, maxDf)
     val arrs = arrs0.withColumn("plen",
       (floor(lit(1.0 - tSlack) * col("n")) + 1).cast("int"))
     val prefixes = arrs
@@ -224,14 +240,20 @@ object Dedup {
                        textCol: String = "text", idCol: String = "doc_id",
                        maxDf: Option[Int] = None): DataFrame = {
     val tSlack = threshold - 1e-6
-    val (sh, arrs) = prefixIndex(df, k, textCol, idCol, maxDf)
+    val arrs = prefixIndex(df, k, textCol, idCol, maxDf)
     val prefixes = arrs
       .withColumn("plen",
         (floor(lit(1.0 - tSlack) * col("n")) + 1).cast("int"))
       .select(col(idCol).as("doc_a"),
         explode(slice(col("hs"), lit(1), col("plen"))).as("h"))
+    // the inverted-index side re-derived from the CHECKPOINTED per-doc
+    // arrays (hs holds exactly the doc's post-cap shingle hashes, so
+    // explode(hs) ≡ sh) — a local explode of materialized blocks
+    // instead of another gram-hashing pass over the corpus
+    val postings = arrs.select(col(idCol).as("doc_b"),
+      explode(col("hs")).as("h"))
     val cand = prefixes
-      .join(sh.select(col(idCol).as("doc_b"), col("h")), Seq("h"))
+      .join(postings, Seq("h"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cand

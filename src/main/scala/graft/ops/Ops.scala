@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object Ops {
 
+  /** Materialization barrier before a presentation `orderBy` (guide
+    * §2.4 + the r12 q_item_sim stage forensics): a range-partitioned
+    * global sort SAMPLES its child to pick partition bounds, and that
+    * sample job re-executes the child's lineage back to the last
+    * shuffle — so whatever sits between the final exchange and the
+    * sort (a percentile final-merge, a window pass, a wide projection)
+    * runs TWICE. One cheap round-robin exchange of the RESULT pins the
+    * computation into shuffle files the sample then merely reads.
+    * Worth it exactly when the segment under the sort is expensive
+    * relative to one extra exchange of the output; partition count
+    * follows `spark.sql.shuffle.partitions`, so the barrier stays
+    * scale-adaptive (AQE re-coalesces downstream).
+    */
+  def sortBarrier(df: DataFrame): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+
   /** P1: ordered column projection. */
   def project(df: DataFrame, cols: Seq[String]): DataFrame =
     df.select(cols.map(col): _*)

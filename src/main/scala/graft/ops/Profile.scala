@@ -26,15 +26,38 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String],
               exactDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile: need at least one column")
-    def distinctOf(c: String): Column =
-      if (exactDistinct) countDistinct(col(c))
-      else approx_count_distinct(col(c))
-    val aggs: Seq[Column] = cols.flatMap { c => Seq(
+    val statAggs: Seq[Column] = cols.flatMap { c => Seq(
       count(col(c)).as(s"__n_$c"),
-      distinctOf(c).as(s"__d_$c"),
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c")) }
-    val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    // r13 split (guide §1.2 "the distributed algorithm"): exact
+    // multi-column count(distinct) makes Catalyst EXPAND the input ×N,
+    // and when min/max of STRING columns ride the SAME aggregate the
+    // partial dedup cannot use a hash aggregate (string-buffered
+    // min/max has no mutable UnsafeRow slot), so the whole ×N expanded
+    // relation went through Sort + SortAggregate — the profile query's
+    // entire cost at every SF. Splitting the distincts into their own
+    // aggregate leaves that pass keys-only (pure HashAggregate dedup),
+    // and the counts/min/max become one plain global pass with map-side
+    // partials. Two columnar scans in exchange for removing an
+    // O(n·N log n·N) 13-column sort; the 1×1-row crossJoin is free.
+    // The HLL path needs no split: approx_count_distinct is a single
+    // mergeable pass with no Expand (ObjectHashAggregate, keys-only
+    // global), so it keeps the one-scan form.
+    val wide =
+      if (!exactDistinct) {
+        val aggs = cols.flatMap { c => Seq(
+          count(col(c)).as(s"__n_$c"),
+          approx_count_distinct(col(c)).as(s"__d_$c"),
+          min(col(c)).cast("string").as(s"__min_$c"),
+          max(col(c)).cast("string").as(s"__max_$c")) }
+        df.agg(count(lit(1)).as("__rows"), aggs: _*)
+      } else {
+        val stats = df.agg(count(lit(1)).as("__rows"), statAggs: _*)
+        val dAggs = cols.map(c => countDistinct(col(c)).as(s"__d_$c"))
+        val dist = df.agg(dAggs.head, dAggs.tail: _*)
+        stats.crossJoin(dist)
+      }
     val entries = cols.map { c => struct(
       lit(c).as("col_name"),
       col("__rows").as("n_rows"),

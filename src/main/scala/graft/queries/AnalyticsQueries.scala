@@ -338,6 +338,10 @@ object AnalyticsQueries {
         count(when(price < col("q1") - lit(1.5) * iqr ||
           price > col("q3") + lit(1.5) * iqr, 1)).as("n_outliers"),
         count(lit(1)).as("n"))
+      // barrier: the MAD final merge (holistic percentile over every
+      // |x − median|) ran twice under the presentation sort's range
+      // sample; pin the 5-row result instead (Ops.sortBarrier doc)
+      .transform(graft.ops.Ops.sortBarrier)
       .orderBy("pri")
   }
 
@@ -1115,20 +1119,33 @@ object AnalyticsQueries {
     */
   def ewma(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val frame = w.rowsBetween(-15, Window.currentRow)
+    // r13 rewrite of the SAME dyadic sum (guide §4 per-task work): the
+    // collect_list + zip_with/sequence/aggregate HOF chain allocated 3
+    // arrays and ran interpreted lambdas per row — the close profile's
+    // #2 run_ms. The 16 taps are now 16 `lag` offsets over ONE window
+    // pass (all offsets share the frame machinery) with compile-time
+    // 0.5^k weight literals — whole-stage-codegen arithmetic, zero
+    // allocation. Value-identical, not just approximately: x is an
+    // integer, every weight is a power of two, so each term and every
+    // partial sum is an exact dyadic rational in IEEE doubles —
+    // association order cannot change the result.
+    val taps = (0 until 16).map { k =>
+      val term = (if (k == 0) col("x") else lag(col("x"), k).over(w)) *
+        lit(math.pow(0.5, k))
+      coalesce(term, lit(0d))
+    }
+    val nTaps = least(row_number().over(w), lit(16))
     Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("ts"),
         floor(col("value")).as("x"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("xs", collect_list("x").over(frame))
       .withColumn("ewma", round(
-        expr("""aggregate(
-                  zip_with(xs, sequence(size(xs) - 1, 0, -1),
-                           (x, k) -> x * pow(0.5d, k)),
-                  0d, (acc, t) -> acc + t)""") /
-          expr("2.0d - pow(0.5d, size(xs) - 1)"), 6))
+        taps.reduce(_ + _) /
+          (lit(2.0d) - pow(lit(0.5d), nTaps - lit(1))), 6))
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"), col("x"), col("ewma"))
+      // barrier: otherwise the window pass replays under the
+      // presentation sort's range sample (Ops.sortBarrier doc)
+      .transform(graft.ops.Ops.sortBarrier)
       .orderBy("user_id", "ts_us", "event_id")
   }
 
@@ -1579,6 +1596,10 @@ object AnalyticsQueries {
         round(min("p95"), 2).as("p95"),
         round(avg("wz"), 4).as("winsor_mean"),
         round(stddev_samp("wz"), 4).as("winsor_std"))
+      // barrier: the percentile window + clamp + moment aggregate ran
+      // twice under the presentation sort's range sample; pin the
+      // 3-row result into one exchange instead (Ops.sortBarrier doc)
+      .transform(graft.ops.Ops.sortBarrier)
       .orderBy("o_orderstatus")
   }
 
@@ -1992,6 +2013,10 @@ object AnalyticsQueries {
           .as("median_gap_s"),
         round(expr("percentile(gap, 0.9d)") / 1000000d, 3)
           .as("p90_gap_s"))
+      // barrier: the exact-percentile final merge (holistic — every
+      // gap crosses the type shuffle) ran twice under the presentation
+      // sort's range sample (Ops.sortBarrier doc)
+      .transform(graft.ops.Ops.sortBarrier)
       .orderBy("event_type")
   }
 

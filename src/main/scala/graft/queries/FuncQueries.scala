@@ -42,15 +42,24 @@ object FuncQueries {
     * does not (→ NULL, never error — the reference's errors='coerce').
     */
   def coerce(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).select(
-      col("o_orderkey"),
-      expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)")
-        .as("priority_num"),
-      expr("try_cast(o_orderstatus AS BIGINT)").as("status_num"),
-      // floor, not cast: double→int cast truncates in Spark but rounds
-      // in DuckDB — floor is the portable spelling
-      floor(col("o_totalprice")).cast("long").as("price_int"))
+    // sort FIRST, project AFTER (guide §2.3/§2.4): the coercions sit
+    // above the range sort, so the RangePartitioner's sample pass
+    // replays only the 4-column scan instead of running every
+    // try_cast twice (r13 close profile: the projection executed 2×
+    // under the final sort). Same rows, same order — the sort key is
+    // an untouched input column.
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
       .orderBy("o_orderkey")
+      .select(
+        col("o_orderkey"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)")
+          .as("priority_num"),
+        expr("try_cast(o_orderstatus AS BIGINT)").as("status_num"),
+        // floor, not cast: double→int cast truncates in Spark but
+        // rounds in DuckDB — floor is the portable spelling
+        floor(col("o_totalprice")).cast("long").as("price_int"))
 
   /** F7 display formatting + F11 URL join — the reference's
     * `:,.2f` CloudWatch formatting (`report_processor.py:128-129,259`)
@@ -90,7 +99,16 @@ object FuncQueries {
     * hash stability. Narrow map, codegen'd end-to-end.
     */
   def mathFuncs(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).select(
+    // sort the 6 raw input columns first, evaluate the 10 math
+    // functions above the sort (guide §2.3/§2.4): the range sample no
+    // longer replays the function projection (it ran 2× before), and
+    // the exchange carries 6 narrow columns instead of 12 computed
+    // ones. Sort keys are untouched inputs — rows and order identical.
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+      .orderBy("l_orderkey", "l_linenumber")
+      .select(
       col("l_orderkey"), col("l_linenumber"),
       abs(col("l_quantity") - 25.0).as("abs_dev"),
       round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
@@ -102,7 +120,6 @@ object FuncQueries {
       greatest(col("l_tax"), col("l_discount")).as("max_rate"),
       least(col("l_tax"), col("l_discount")).as("min_rate"),
       pmod(col("l_orderkey"), lit(7L)).cast("long").as("key_mod7"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** §2.5 completion: the ranking-function family — rank / dense_rank /
     * lead / percent_rank / cume_dist per customer over order history.
@@ -128,15 +145,25 @@ object FuncQueries {
     * semantics, engine-portable).
     */
   def unpivotMeasures(s: SparkSession, d: String): DataFrame =
+    // sort BEFORE the Expand (guide §2.3/§2.4): the former
+    // post-unpivot orderBy made the range sample replay the Expand
+    // (2× execution) and shuffled 2 rows per input row. Sorting the
+    // base and unpivoting in ascending-measure order
+    // ("l_extendedprice" < "l_quantity") emits the same row BAG in
+    // (key, key, measure)-sorted order up to ties — the synthetic
+    // lineitem has duplicate (l_orderkey, l_linenumber) keys, so the
+    // old orderBy's order WITHIN a tie group was already
+    // nondeterministic and the oracle compares rows sorted on every
+    // column. Half the exchanged rows, single Expand execution.
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"), col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
       .unpivot(
         ids = Array(col("l_orderkey"), col("l_linenumber")),
-        values = Array(col("l_quantity"), col("l_extendedprice")),
+        values = Array(col("l_extendedprice"), col("l_quantity")),
         variableColumnName = "measure",
         valueColumnName = "value")
-      .orderBy("l_orderkey", "l_linenumber", "measure")
 
   /** F9 content hashing (the sync engine's MD5 CDC) + F2 lower. */
   def md5Hash(s: SparkSession, d: String): DataFrame =
@@ -712,6 +739,11 @@ object FuncQueries {
         round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
         round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
         round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"))
+      // barrier: the exact-percentile FINAL merge (every value crosses
+      // the group shuffle — percentile is holistic) ran twice under
+      // the presentation sort's range sample; the 3-row result is
+      // pinned into one cheap exchange instead (Ops.sortBarrier doc).
+      .transform(graft.ops.Ops.sortBarrier)
       .orderBy("l_returnflag")
 
   /** Pivot (conditional aggregation): per-user spend matrix by event

@@ -1623,15 +1623,28 @@ object TrainingQueries {
     * production run would persist and reuse.
     */
   def lmScore(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(s, d)
+    // r13 (guide §2.4 remove shuffles outright): adjacent bigrams come
+    // straight off the token ARRAY — one narrow transform + explode —
+    // instead of posexplode + a per-doc lead() window, which shuffled
+    // every corpus token by doc_id and sorted it just to look one row
+    // ahead. NOT array_distinct'd: unlike [[bigramEdges]], the LM
+    // score counts every occurrence. Same (doc_id, w, w2) bag — only
+    // the materialization order changes, and every consumer below is
+    // an order-insensitive aggregate/join. The relation feeds FOUR
+    // consumers (c12, c1, the vocab count, the per-doc join), so it is
+    // localCheckpoint'd to tokenize once, not four times (same
+    // discipline as the graph operators' round state).
+    val pairArr = expr(
+      """CASE WHEN size(__toks) >= 2 THEN
+        |  transform(sequence(0, size(__toks) - 2),
+        |    i -> struct(__toks[i] AS w, __toks[i + 1] AS w2))
+        |ELSE array() END""".stripMargin)
+    val bg = Tables.documents(s, d)
       .select(col("doc_id"),
-        posexplode(graft.text.TextAnalysis.tokens(col("text")))
-          .as(Seq("pos", "w")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val bg = toks.withColumn("w2", lead("w", 1).over(w))
-      .filter(col("w2").isNotNull)
-      .select("doc_id", "w", "w2")
+        graft.text.TextAnalysis.tokens(col("text")).as("__toks"))
+      .withColumn("e", explode(pairArr))
+      .select(col("doc_id"), col("e.w").as("w"), col("e.w2").as("w2"))
+      .localCheckpoint(true)
     val c12 = bg.groupBy("w", "w2").agg(count(lit(1)).as("c12"))
     val c1 = bg.groupBy("w").agg(count(lit(1)).as("c1"))
     val v = bg.agg(countDistinct("w").as("v"))

@@ -1231,4 +1231,43 @@ class AnalyticsSpec extends SparkSpec {
       assert(rate >= 0.0 && rate <= 1.0)
     }
   }
+
+  test("ewma: 16-lag-tap spelling ≡ collect_list dyadic fold, bit-exact") {
+    import org.apache.spark.sql.expressions.Window
+    // r13 restructure pin: both spellings sum exact dyadic rationals
+    // (integer x, power-of-two weights), so they must agree to the BIT
+    // before the round(6) — exceptAll compares raw doubles. (The lag
+    // form treats a NULL x as a zero tap where collect_list would skip
+    // and renormalize — TestdataCanarySpec pins events.value NOT NULL,
+    // and this equality would fail loudly if a refresh broke that.)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val frame = w.rowsBetween(-15, Window.currentRow)
+    val old = graft.io.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value")).as("x"))
+      .withColumn("xs", collect_list("x").over(frame))
+      .withColumn("ewma", round(
+        expr("""aggregate(
+                  zip_with(xs, sequence(size(xs) - 1, 0, -1),
+                           (x, k) -> x * pow(0.5d, k)),
+                  0d, (acc, t) -> acc + t)""") /
+          expr("2.0d - pow(0.5d, size(xs) - 1)"), 6))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("x"), col("ewma"))
+    val neu = AnalyticsQueries.ewma(spark, sfDir)
+    assert(neu.exceptAll(old).isEmpty && old.exceptAll(neu).isEmpty,
+      "ewma spellings diverged")
+  }
+
+  test("profile: exact-distinct path never sorts the expanded relation") {
+    // r13 restructure gate: splitting count(distinct) from the
+    // string-buffered min/max leaves the ×N-expanded dedup a pure
+    // HashAggregate — the only Sort in the whole plan is the final
+    // presentation orderBy (the old single-aggregate form sorted the
+    // expanded relation twice on a 7-column key).
+    val plan = AnalyticsQueries.profileTable(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Sort \\[".r.findAllIn(plan).length === 1,
+      s"expected exactly the presentation sort, plan:\n$plan")
+  }
 }

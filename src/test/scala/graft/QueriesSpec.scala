@@ -246,4 +246,59 @@ class QueriesSpec extends SparkSpec {
     assert(slope < 0.0, s"rank-frequency slope must be negative: $slope")
     assert(nTerms > 0 && nTokens > nTerms)
   }
+
+  test("unpivot: pre-sorted Expand ≡ post-Expand orderBy (bag + key order)") {
+    // r13 restructure: sort-the-base-then-unpivot (ascending-measure
+    // values order) must emit (a) the identical row BAG as the former
+    // post-Expand orderBy(key, key, measure) and (b) rows
+    // nondecreasing on (l_orderkey, l_linenumber, measure). Exact
+    // SEQUENCE equality is not a contract either form offers: the
+    // synthetic lineitem holds duplicate (l_orderkey, l_linenumber)
+    // keys, so the old orderBy's within-tie order was already
+    // nondeterministic; the oracle compares rows sorted on all columns.
+    val base = graft.io.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+    val old = base.unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice")),
+        variableColumnName = "measure", valueColumnName = "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+    val neuDf = FuncQueries.unpivotMeasures(spark, sfDir)
+    assert(neuDf.exceptAll(old).isEmpty && old.exceptAll(neuDf).isEmpty,
+      "unpivot row bags diverged")
+    // within a duplicate-key tie group the two forms interleave
+    // measures differently (both orders are within-tie arbitrary), so
+    // the order pin is on the sort KEYS only
+    val keys = neuDf.collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(keys === keys.sorted,
+      "pre-sorted unpivot is not (l_orderkey, l_linenumber)-ordered")
+  }
+
+  test("lm score: array-bigram spelling ≡ posexplode+lead window spelling") {
+    import org.apache.spark.sql.expressions.Window
+    // r13 restructure pin: the windowless bigram build must yield the
+    // identical (doc_id, w, w2) BAG, hence identical scores.
+    val toks = graft.io.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(graft.text.TextAnalysis.tokens(col("text")))
+          .as(Seq("pos", "w")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val oldBg = toks.withColumn("w2", lead("w", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select("doc_id", "w", "w2")
+    val pairArr = expr(
+      """CASE WHEN size(__toks) >= 2 THEN
+        |  transform(sequence(0, size(__toks) - 2),
+        |    i -> struct(__toks[i] AS w, __toks[i + 1] AS w2))
+        |ELSE array() END""".stripMargin)
+    val newBg = graft.io.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.tokens(col("text")).as("__toks"))
+      .withColumn("e", explode(pairArr))
+      .select(col("doc_id"), col("e.w").as("w"), col("e.w2").as("w2"))
+    assert(newBg.exceptAll(oldBg).isEmpty && oldBg.exceptAll(newBg).isEmpty,
+      "bigram bags diverged between the window and array spellings")
+  }
 }
