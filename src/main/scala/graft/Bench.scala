@@ -162,6 +162,14 @@ object Bench {
               (run: () => Unit): QueryResult = {
     var err: Option[String] = None
     val runs = (1 to iters).map { _ =>
+      // Harness hygiene, not caching: drop the previous run's leaked
+      // localCheckpoint round state (pinned session caches excepted)
+      // BEFORE the timer starts — each iteration reconstructs its
+      // DataFrame from the parquet inputs, so no measured work is
+      // ever reused; the checkpoint WRITE stays inside the timed
+      // region. See IterState.releaseAllExceptPinned for the r13
+      // eviction-churn forensics that motivated this.
+      graft.graph.IterState.releaseAllExceptPinned(spark)
       drainListenerBus(spark)
       val before = listener.snap
       val (cg0, jit0) = compileSnap()
@@ -424,6 +432,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
+      // Whole-stage-codegen CLASS cache (static conf, default 100
+      // entries): the iterative graph queries compile ~130 codegen
+      // units per run — past 100 the LRU thrashes and EVERY iteration
+      // recompiles the lot (r13 forensics: q_ppr_terms codegen_n
+      // [128, 98, 106] across its three iterations, 6–20 s of JIT per
+      // pass on a 3.4 s-run_ms query). This caches compiled CLASSES,
+      // never data or results; sized to hold the suite's largest
+      // query several times over.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       // SURVEY §4: coercion parity with the reference (errors='coerce')
       .config("spark.sql.ansi.enabled", "false")
       // Naive parquet timestamps surface as TIMESTAMP, not NTZ — two

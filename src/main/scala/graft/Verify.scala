@@ -24,6 +24,9 @@ object Verify {
       // rounds of testdata `ts` re-encodings (BASELINE.md §7); the
       // type-driven repair in Tables.normalizeTs is the second belt.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // codegen CLASS cache sized past the iterative queries' ~130
+      // units per run (default 100 thrashes — see Bench.scala)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       // one maintenance tick per hour: AvailableNow drains live ≪ 60 s
       // and the default tick's provider-snapshot cost lands on whatever
@@ -48,6 +51,11 @@ object Verify {
       case None        => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
+      // release prior queries' leaked localCheckpoint round state,
+      // pinned session caches excepted (same hygiene as Bench —
+      // accumulated blocks poison later queries' execution-memory
+      // grants; see IterState.releaseAllExceptPinned)
+      graft.graph.IterState.releaseAllExceptPinned(spark)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case scala.util.control.NonFatal(e) =>

@@ -169,6 +169,23 @@ object Dedup {
     // the gram subtree still runs twice (df-count + rarity join — their
     // exchanges have different children), measured cheaper than a
     // second sequential checkpoint barrier at every SF probed.
+    //
+    // SIZE-GATED, like Spark's own broadcast threshold: the checkpoint
+    // is a barrier that serializes otherwise-concurrent plan branches,
+    // so on a corpus small enough that eight parallel gram passes fit
+    // one short job it LOSES wall (close sf0.1 A/B: containment
+    // 1.50 → 2.16 s eager vs lazy) while at the ×10 leg it wins
+    // outright (9.87 → 8.17 s, run_ms −18%). The probe is the
+    // optimizer's size ESTIMATE of the input subtree (file bytes —
+    // metadata only, no job); the crossover sits well below one
+    // executor-core's worth of scan work, so the default only keeps
+    // toy corpora lazy. Parameterised for deployments via
+    // spark.graft.dedup.materializeIndexMinBytes.
+    val matMin = df.sparkSession.conf
+      .getOption("spark.graft.dedup.materializeIndexMinBytes")
+      .map(_.toLong).getOrElse(4L << 20)
+    val materialize =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes >= matMin
     val sh0 = df.select(col(idCol),
       graft.functions.GramHashes.gramHashesDistinct(col(textCol), k))
     val sh = maxDf match {
@@ -185,8 +202,7 @@ object Dedup {
       .select(col(idCol),
         expr("transform(__s, s -> s.h)").as("hs"),
         size(col("__s")).as("n"))
-      .localCheckpoint(true)
-    arrs
+    if (materialize) arrs.localCheckpoint(true) else arrs
   }
 
   def ngramJaccard(df: DataFrame, threshold: Double = 0.8, k: Int = 3,

@@ -60,16 +60,21 @@ object PageRank {
     // Sinkless graphs (every node has an out-edge — symmetrized graphs
     // always qualify: q_textrank, q_ppr_terms) take the UNROLLED path
     // (VERDICT r12 #5): the dangling term is identically 0, so the
-    // round body references the previous ranks exactly ONCE and two
-    // rounds can chain inside one materialization with no duplicated
-    // subtree — halving the per-round fixed job cost that dominates
-    // these queries' wall at small SF. With sinks, `ranks` feeds BOTH
-    // the dangling aggregate and the contribution join, so each round
-    // must materialize (unrolling would re-execute the previous round
+    // round body references the previous ranks exactly ONCE and
+    // several rounds can chain inside one materialization with no
+    // duplicated subtree — cutting the per-round fixed job cost that
+    // dominates these queries' wall at small SF. Unroll depth 5
+    // measured best at the r13 close (2 vs 5 vs 10 on q_ppr_terms:
+    // 4.36 / 3.59 / 3.91 s — past 5 the deeper plan's analysis and
+    // codegen outgrow the saved job latency); at scale it only
+    // changes recovery granularity, since the base frames stay
+    // checkpointed. With sinks, `ranks` feeds BOTH the dangling
+    // aggregate and the contribution join, so each round must
+    // materialize (unrolling would re-execute the previous round
     // inside the broadcast branch); cadence only — per-round semantics
     // are bit-identical either way.
     val sinkless = hasOut.count() == n
-    val unroll = if (sinkless) 2 else 1
+    val unroll = if (sinkless) 5 else 1
     var i = 0
     while (i < iters) {
       val steps = math.min(unroll, iters - i)
@@ -208,12 +213,13 @@ object PageRank {
     var ranks = dom.join(sW, Seq("node"), "left")
       .select(col("node"), coalesce(col("__sw"), lit(0.0)).as("rank"))
       .localCheckpoint(true)
-    // sinkless ⇒ dangling ≡ 0 ⇒ single-use round lineage ⇒ two rounds
-    // per materialization (same argument and cadence as [[run]]; a
-    // boundary node whose edges all leave the ball still has out-edges
-    // in eBall, so ball truncation never manufactures a sink)
+    // sinkless ⇒ dangling ≡ 0 ⇒ single-use round lineage ⇒ five rounds
+    // per materialization (same argument, cadence and r13 depth
+    // measurement as [[run]]; a boundary node whose edges all leave
+    // the ball still has out-edges in eBall, so ball truncation never
+    // manufactures a sink)
     val sinkless = hasOut.count() == dom.count()
-    val unroll = if (sinkless) 2 else 1
+    val unroll = if (sinkless) 5 else 1
     var i = 0
     while (i < iters) {
       val steps = math.min(unroll, iters - i)

@@ -2741,10 +2741,15 @@ object AnalyticsQueries {
       .agg(min(col("ts").cast("long")).as("start_s"),
         max(col("ts").cast("long")).as("end_s"),
         min(to_date(col("ts"))).as("day"))
+    // one sessions pass, not two: the former unionByName branches each
+    // re-ran the per-user session window (no identical exchange for
+    // ReuseExchange to dedup); a 2-row explode emits the same
+    // (day, t, delta) bag from a single window execution (guide §2.4)
     val bounds = sessions
-      .select(col("day"), col("start_s").as("t"), lit(1L).as("delta"))
-      .unionByName(sessions
-        .select(col("day"), col("end_s").as("t"), lit(-1L).as("delta")))
+      .select(col("day"), explode(array(
+        struct(col("start_s").as("t"), lit(1L).as("delta")),
+        struct(col("end_s").as("t"), lit(-1L).as("delta")))).as("e"))
+      .select(col("day"), col("e.t").as("t"), col("e.delta").as("delta"))
     val sweep = Window.partitionBy("day").orderBy(col("t"), col("delta").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     bounds
@@ -2752,6 +2757,9 @@ object AnalyticsQueries {
       .groupBy("day")
       .agg(sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_sessions"),
         max("conc").as("max_concurrent"))
+      // barrier: the sweep window + session build ran twice under the
+      // presentation sort's range sample (Ops.sortBarrier doc)
+      .transform(graft.ops.Ops.sortBarrier)
       .orderBy("day")
   }
 }

@@ -220,7 +220,10 @@ object CoreQueries {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    // one range exchange serves the window AND the final sort (see
+    // FuncQueries.rankFuncs — same keys, same argument)
     Tables.orders(s, d)
+      .repartitionByRange(col("o_custkey"))
       .withColumn("order_rank", row_number().over(w).cast("long"))
       .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
       .withColumn("running_spend",

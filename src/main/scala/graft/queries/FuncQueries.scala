@@ -67,14 +67,19 @@ object FuncQueries {
     * Presentation-layer only; values are formatted AFTER all math.
     */
   def formatFuncs(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).select(
-      col("o_orderkey"),
-      format_number(col("o_totalprice"), 2).as("price_display"),
-      format_number(floor(col("o_totalprice")).cast("long"), 0)
-        .as("price_grouped"),
-      concat(lit("https://data.example.org/pub/"), lit("orders_"),
-        col("o_orderkey").cast("string"), lit(".json")).as("url"))
+    // sort first, format above the sort (guide §2.4): string
+    // formatting no longer runs under the range sample, and the
+    // exchange carries 2 numeric columns instead of 3 strings
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
       .orderBy("o_orderkey")
+      .select(
+        col("o_orderkey"),
+        format_number(col("o_totalprice"), 2).as("price_display"),
+        format_number(floor(col("o_totalprice")).cast("long"), 0)
+          .as("price_grouped"),
+        concat(lit("https://data.example.org/pub/"), lit("orders_"),
+          col("o_orderkey").cast("string"), lit(".json")).as("url"))
 
   /** §2.8 completion: date arithmetic — datediff / last_day /
     * add_months (end-of-month clamping) / week truncation / day-of-week
@@ -129,7 +134,15 @@ object FuncQueries {
   def rankFuncs(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    Tables.orders(s, d).select(
+    // ONE range exchange serves both operators (guide §2.4): range
+    // partitioning on o_custkey clusters the window's partition key
+    // (equal keys can't straddle a range boundary) AND is an ordering
+    // prefix of the final orderBy, so the presentation sort plans as a
+    // LOCAL sort with no second exchange — and its former range sample
+    // no longer re-executes the window pass.
+    Tables.orders(s, d)
+      .repartitionByRange(col("o_custkey"))
+      .select(
       col("o_custkey"), col("o_orderkey"),
       rank().over(w).cast("long").as("price_rank"),
       dense_rank().over(w).cast("long").as("price_dense_rank"),
@@ -278,6 +291,11 @@ object FuncQueries {
       .withColumn("n_90d", count(lit(1)).over(w).cast("long"))
       .withColumn("spend_90d", round(sum("o_totalprice").over(w), 2))
       .select("o_custkey", "o_orderkey", "o_orderdate", "n_90d", "spend_90d")
+      // barrier: the RANGE-frame window ran twice under the
+      // presentation sort's range sample (its key is unrelated to the
+      // window partition key, so the rankFuncs single-exchange trick
+      // does not apply here — Ops.sortBarrier doc)
+      .transform(graft.ops.Ops.sortBarrier)
       .orderBy("o_orderkey")
   }
 
@@ -298,6 +316,9 @@ object FuncQueries {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      // barrier: the HLL final merge ran twice under the presentation
+      // sort's range sample (Ops.sortBarrier doc)
+      .transform(graft.ops.Ops.sortBarrier)
       .orderBy("l_returnflag")
 
   /** Sliding event-time windows in BATCH form (1-hour window hopping
@@ -632,6 +653,9 @@ object FuncQueries {
           .as("ap90_qty"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
           .as("ap50_price"))
+      // barrier: the 10k-bucket sketch final merge ran twice under the
+      // presentation sort's range sample (Ops.sortBarrier doc)
+      .transform(graft.ops.Ops.sortBarrier)
       .orderBy("l_returnflag")
 
   /** Correlated scalar subquery through the SQL entry point — the one
@@ -665,12 +689,16 @@ object FuncQueries {
     * NULL, matching the coercion policy.
     */
   def variantJson(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).select(
-      col("event_id"),
-      expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
-      expr("variant_get(parse_json(props), '$.missing', 'bigint')")
-        .as("k_missing"))
+    // sort first, parse above the sort (guide §2.4): the range sample
+    // replays only the 2-column scan, not the variant parse ×2
+    Tables.events(s, d)
+      .select("event_id", "props")
       .orderBy("event_id")
+      .select(
+        col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+        expr("variant_get(parse_json(props), '$.missing', 'bigint')")
+          .as("k_missing"))
 
   /** Mergeable distinct-count sketches (`hll_sketch_agg` /
     * `hll_union_agg`): partial sketches built per (flag, status) then
@@ -773,11 +801,15 @@ object FuncQueries {
     * [[jsonExtract]]): parse props into a typed struct, project field.
     */
   def fromJson(s: SparkSession, d: String): DataFrame =
+    // sort first, parse above the sort (guide §2.4): same shape as
+    // [[variantJson]] — the JSON parse no longer runs under the range
+    // sample
     Tables.events(s, d)
+      .select("event_id", "props")
+      .orderBy("event_id")
       .withColumn("p", from_json(col("props"),
         org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
       .select(col("event_id"), col("p.k").as("k"))
-      .orderBy("event_id")
 
   /** Per-group z-score normalization via window aggregates (the
     * feature-scaling pass of a training pipeline): no pre-computed
@@ -791,6 +823,9 @@ object FuncQueries {
         round((col("value") - avg("value").over(w)) /
           stddev_samp(col("value")).over(w), 6))
       .select("event_id", "event_type", "value", "z")
+      // barrier: the moment window ran twice under the presentation
+      // sort's range sample (Ops.sortBarrier doc)
+      .transform(graft.ops.Ops.sortBarrier)
       .orderBy("event_id")
   }
 

@@ -61,6 +61,10 @@ object TrainingQueries {
     */
   def gopherRules(s: SparkSession, d: String): DataFrame =
     graft.text.TextAnalysis.gopherRules(Tables.documents(s, d))
+      // barrier: the gram legs + rule projection ran twice under the
+      // presentation sort's range sample (Ops.sortBarrier doc); the
+      // result rows are narrow flags, the cheapest thing to exchange
+      .transform(graft.ops.Ops.sortBarrier)
       .orderBy("doc_id")
 
   /** Exact DuckDB oracle for [[gopherRules]]: the same token/gram
@@ -180,6 +184,9 @@ object TrainingQueries {
         val old = Tables.documents(s, d)
           .filter(pmod(col("doc_id"), lit(5L)) < 4)
         val sigs = Dedup.minhashSignatures(old).localCheckpoint()
+        // exempt from the harness's between-query block release — this
+        // lineage-cut frame is consumed by LATER queries by design
+        graft.graph.IterState.pin(sigs)
         minhashIdxCache.put((s, d), (tag, sigs))
         sigs
       }
@@ -781,6 +788,10 @@ object TrainingQueries {
     TextAnalysis.qualityMetrics(Tables.documents(s, d))
       .select("doc_id", "n_chars_q", "n_tokens", "mean_token_len",
         "punct_ratio", "stopword_ratio", "quality_score")
+      // barrier: the metric projection (tokenize + ratios over every
+      // doc) ran twice under the presentation sort's range sample;
+      // the metric rows are narrow (Ops.sortBarrier doc)
+      .transform(graft.ops.Ops.sortBarrier)
       .orderBy("doc_id")
 
   /** Document fingerprints (rolling-hash stand-in: md5 of normalized
@@ -1755,6 +1766,9 @@ object TrainingQueries {
     TextAnalysis.modelQualityScore(
       TextAnalysis.qualityMetrics(Tables.documents(s, d)))
       .select("doc_id", "model_score")
+      // barrier: metrics + model score ran twice under the
+      // presentation sort's range sample (Ops.sortBarrier doc)
+      .transform(graft.ops.Ops.sortBarrier)
       .orderBy("doc_id")
 
   /** Int8 embedding quantization summary: per-vector scale + integer
@@ -1791,9 +1805,13 @@ object TrainingQueries {
 
   /** PII-shaped scrubbing with audit counts. */
   def redact(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.redact(Tables.documents(s, d))
+    // sort the docs first (guide §2.4): redaction is a row-preserving
+    // narrow map, so computing it above the sort keeps the order while
+    // the range sample replays only the scan — the regex passes ran
+    // twice before
+    TextAnalysis.redact(
+      Tables.documents(s, d).select("doc_id", "text").orderBy("doc_id"))
       .select("doc_id", "n_emails", "n_long_nums", "redacted")
-      .orderBy("doc_id")
 
   /** End-to-end curation (quality → language → dedup → near-dup →
     * chunk → split), composed from the verified operators. The whole-
@@ -1874,6 +1892,9 @@ object TrainingQueries {
         // closure is computed here, once, and its blocks stay pinned
         // in executor storage — no extra persist layer needed
         val comps = ConnectedComponents.run(pairs, "doc_a", "doc_b")
+        // exempt from the harness's between-query block release — this
+        // lineage-cut frame is consumed by LATER queries by design
+        graft.graph.IterState.pin(comps)
         clusterCache.put((s, d), (tag, comps))
         comps.withColumnRenamed("id", "doc_id")
       }
